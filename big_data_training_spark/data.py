@@ -1,0 +1,69 @@
+"""Table loaders over the partitioned-Parquet "log" layout.
+
+A reference *topic* is a durable append-only log analogized to a table
+(kafka/README.md:9-10, 29); here a topic at rest is a Parquet directory —
+columnar, splittable, min/max-indexed, so offset-range scans (S4) and
+predicate pushdown come for free at any scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor
+# (region/nation are fixed-size; supplier/part/customer grow slowly).
+BROADCAST_TABLES = ("region", "nation", "supplier")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one Parquet "topic".
+
+    The ``events`` fixture stores TIMESTAMP(NANOS), which Spark's reader
+    rejects by default; read the raw int64 nanos (legacy conf, runtime
+    settable) and truncate to micros — byte-identical with what the
+    DuckDB oracle does on ns→us conversion. Integer ``div`` matters:
+    nanosecond epochs exceed 2^53, so double division would round.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return canonicalize_ts(_read_parquet_nanosafe(spark, path))
+
+
+def canonicalize_ts(df: DataFrame) -> DataFrame:
+    """ns-epoch ``ts`` (bigint) → TimestampType, truncated to micros."""
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _read_parquet_nanosafe(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL API."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

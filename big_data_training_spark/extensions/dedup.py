@@ -1,0 +1,321 @@
+"""Deduplication suite for large text corpora.
+
+Five strategies, cheapest → most robust:
+
+* exact (md5 of raw text) — one groupBy on the hash;
+* fingerprint (md5 of sorted distinct-token bag) — catches reorderings;
+* n-gram Jaccard — exact set similarity via an inverted-index self-join;
+* MinHash + LSH — the 100 TB path: constant-size signatures, banded
+  bucketing, candidates only within buckets;
+* SimHash — near-dup via Hamming-adjacent 32-bit sketches.
+
+All hashing is md5-derived (functions/hashing.py) so every stage is
+value-verifiable against the DuckDB oracle. Signatures are computed with
+higher-order array functions (transform/aggregate) — per-row JVM code,
+no shuffle until the band/bucket join, no Python anywhere.
+
+Scale notes: the inverted-index join (ngram_jaccard) is quadratic in
+bucket size and exists as the exact baseline; MinHash-LSH bounds the
+join to band-bucket collisions (tunable precision/recall via
+bands×rows); at 100 TB you would also salt-split any pathological
+bucket. The signature computation itself is a pure map — linear scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_training_spark.data import load_table
+from big_data_training_spark.functions.hashing import hash60_expr, sql_hash60
+from big_data_training_spark.functions.text import SQL_TOKENS
+from big_data_training_spark.registry import register
+
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SHINGLE_K = 3
+MINHASH_TAU = 0.5
+JACCARD_TAU = 0.35
+
+# --- shingling ------------------------------------------------------------
+# k-word shingles from the token array, JVM-side:
+#   transform(sequence(1, n-k+1), i -> concat_ws(' ', slice(ws, i, k)))
+_SHINGLES = (
+    "array_distinct(transform("
+    "  sequence(1, greatest(size(ws) - {k} + 1, 0)),"
+    "  i -> concat_ws(' ', slice(ws, i, {k}))))"
+).format(k=SHINGLE_K)
+
+_SQL_SHINGLES_CTE = f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKENS.format(col='text')} AS ws FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(ws[i:i+{SHINGLE_K - 1}], ' ')
+                              for i in generate_series(1, len(ws) - {SHINGLE_K} + 1)]) AS shingles
+        FROM toks WHERE len(ws) >= {SHINGLE_K}
+    )
+"""
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("ws", F.expr("filter(split(text, '\\\\s+'), w -> w != '')"))
+        .filter(F.size("ws") >= SHINGLE_K)
+        .withColumn("shingles", F.expr(_SHINGLES))
+        .select("doc_id", "shingles")
+    )
+
+
+@register(
+    "dd_exact_dedup",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+    doc="exact dedup: hash-groupBy on raw content, keep first doc",
+)
+def dd_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup — one shuffle keyed on the content hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "dd_fingerprint_dedup",
+    f"""
+    SELECT md5(array_to_string(list_sort(list_distinct(
+               {SQL_TOKENS.format(col='text')})), ' ')) AS fingerprint,
+           min(doc_id) AS keeper_doc_id, count(*) AS n_docs
+    FROM documents GROUP BY 1
+    HAVING count(*) > 1
+    """,
+    doc="bag-of-words dedup: collapses token-reordered duplicates",
+)
+def dd_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder-insensitive dedup groups (only the collapsed ones)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(
+            " ", F.array_sort(F.array_distinct(F.expr("filter(split(text, '\\\\s+'), w -> w != '')")))
+        )
+    )
+    return (
+        docs.groupBy(fp.alias("fingerprint"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "dd_ngram_jaccard_pairs",
+    _SQL_SHINGLES_CTE
+    + f"""
+    , inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    common AS (
+        SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS c
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+    SELECT doc_i, doc_j,
+           round(c::DOUBLE / (si.n + sj.n - c), 4) AS jaccard
+    FROM common
+    JOIN sizes si ON si.doc_id = doc_i
+    JOIN sizes sj ON sj.doc_id = doc_j
+    WHERE c::DOUBLE / (si.n + sj.n - c) >= {JACCARD_TAU}
+    """,
+    doc="n-gram Jaccard near-dup pairs via inverted-index self-join",
+    bench=True,
+)
+def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard: explode to an inverted index, self-join
+    on the shingle (blocking — only co-occurring docs pair up), count
+    intersections, Jaccard from |A|+|B|-|A∩B|."""
+    sh = _shingled(spark, sf_dir).cache()
+    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    si = sizes.alias("si")
+    sj = sizes.alias("sj")
+    jac = F.col("c") / (F.col("si.n") + F.col("sj.n") - F.col("c"))
+    return (
+        common.join(si, F.col("si.doc_id") == F.col("doc_i"))
+        .join(sj, F.col("sj.doc_id") == F.col("doc_j"))
+        .filter(jac >= JACCARD_TAU)
+        .select("doc_i", "doc_j", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --- MinHash signatures ---------------------------------------------------
+# signature[i] = min over shingles of hash60(i || ':' || shingle)
+_SEED_SHINGLE = "concat(cast(i as string), ':', s)"
+_SIGNATURE = (
+    "transform(sequence(0, {n} - 1),"
+    "  i -> array_min(transform(shingles,"
+    "       s -> {h})))"
+).format(n=N_HASHES, h=hash60_expr(_SEED_SHINGLE))
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shingled(spark, sf_dir).withColumn("sig", F.expr(_SIGNATURE)).select(
+        "doc_id", "sig"
+    )
+
+
+_SQL_SIG_CTE = (
+    _SQL_SHINGLES_CTE
+    + f"""
+    , hashes AS (
+        SELECT doc_id, i,
+               min({sql_hash60("i::VARCHAR || ':' || s")}) AS h
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh),
+             generate_series(0, {N_HASHES - 1}) AS t(i)
+        GROUP BY doc_id, i
+    ), sig AS (
+        SELECT doc_id, list(h ORDER BY i) AS sig FROM hashes GROUP BY doc_id
+    )
+"""
+)
+
+
+@register(
+    "dd_minhash_signatures",
+    _SQL_SIG_CTE
+    + """
+    SELECT doc_id, array_to_string(sig, ',') AS signature FROM sig
+    """,
+    doc="MinHash signatures (16 md5-derived hash functions) per document",
+)
+def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-size (16×8-byte) per-doc signature, computed as a pure
+    map with higher-order functions — linear scan, no shuffle."""
+    return _signatures(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(",", F.expr("transform(sig, x -> cast(x as string))")).alias(
+            "signature"
+        ),
+    )
+
+
+@register(
+    "dd_minhash_lsh_pairs",
+    _SQL_SIG_CTE
+    + f"""
+    , bands AS (
+        SELECT doc_id, b,
+               md5(array_to_string(sig[b * {ROWS_PER_BAND} + 1 : (b + 1) * {ROWS_PER_BAND}], ',')) AS band_key,
+               sig
+        FROM sig, generate_series(0, {N_BANDS - 1}) AS t(b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j,
+               a.sig AS sig_i, b.sig AS sig_j
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), scored AS (
+        SELECT doc_i, doc_j,
+               (SELECT count(*) FROM generate_series(1, {N_HASHES}) AS g(i)
+                WHERE sig_i[i] = sig_j[i])::DOUBLE / {N_HASHES} AS est_jaccard
+        FROM cand
+    )
+    SELECT doc_i, doc_j, round(est_jaccard, 4) AS est_jaccard
+    FROM scored WHERE est_jaccard >= {MINHASH_TAU}
+    """,
+    doc="MinHash+LSH near-dup pairs (4 bands × 4 rows, est-Jaccard ≥ 0.5)",
+    bench=True,
+)
+def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path: band the signature, bucket-join on (band, key) so
+    only LSH collisions are compared, then estimate Jaccard from
+    signature agreement."""
+    sig = _signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}),"
+                f" b -> struct(b as b, md5(concat_ws(',', transform("
+                f"   slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}),"
+                f"   x -> cast(x as string)))) as band_key))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_i"),
+            F.col("b.doc_id").alias("doc_j"),
+            F.col("a.sig").alias("sig_i"),
+            F.col("b.sig").alias("sig_j"),
+        )
+        .dropDuplicates(["doc_i", "doc_j"])
+    )
+    est = (
+        F.size(F.expr("filter(zip_with(sig_i, sig_j, (x, y) -> x = y), v -> v)"))
+        / F.lit(N_HASHES)
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= MINHASH_TAU)
+        .select("doc_i", "doc_j", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+
+
+@register(
+    "dd_simhash",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKENS.format(col='text')} AS ws FROM documents
+    ), tok AS (
+        SELECT doc_id, {sql_hash60('t.w')} AS h
+        FROM (SELECT doc_id, unnest(ws) AS w FROM toks) AS t
+    ), bits AS (
+        SELECT doc_id, j,
+               CASE WHEN sum(2 * ((h >> j) & 1) - 1) > 0 THEN 1 ELSE 0 END AS bit
+        FROM tok, generate_series(0, 31) AS g(j)
+        GROUP BY doc_id, j
+    )
+    SELECT doc_id, sum(bit * (CAST(1 AS BIGINT) << j)) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    doc="SimHash 32-bit sketch per document (token-frequency weighted)",
+)
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash computed entirely with higher-order array functions
+    — per-row JVM evaluation, zero shuffle, zero Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    expr = """
+        aggregate(
+          sequence(0, 31),
+          cast(0 as bigint),
+          (acc, j) -> acc + if(
+             aggregate(hs, 0, (s, h) -> s + cast(2 * (shiftright(h, j) & 1) - 1 as int)) > 0,
+             shiftleft(cast(1 as bigint), j), cast(0 as bigint)))
+    """
+    return (
+        docs.withColumn("ws", F.expr("filter(split(text, '\\\\s+'), w -> w != '')"))
+        .withColumn("hs", F.expr(f"transform(ws, w -> {hash60_expr('w')})"))
+        .select("doc_id", F.expr(expr).alias("simhash"))
+    )

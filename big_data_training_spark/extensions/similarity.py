@@ -1,0 +1,189 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* brute-force cosine top-k — the exact baseline: broadcast the query
+  vector, one pipelined scan computing the dot product with higher-order
+  array functions, TakeOrderedAndProject for the top-k. Linear, no
+  shuffle, JVM-side.
+* sign-LSH bucketed ANN — the scale path: a deterministic bucket key
+  from coordinate signs restricts candidates to one bucket (random
+  hyperplanes at 100 TB; fixed coordinate planes here so the oracle can
+  replicate the bucketing).
+* per-label centroids — the IVF building block (coarse quantizer =
+  groupBy + element-wise mean).
+
+All arithmetic is cast to double before aggregation on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_training_spark.data import load_table
+from big_data_training_spark.registry import register
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+# Fixed "hyperplanes" for sign-LSH: coordinate axes, engine-portable.
+LSH_DIMS = (0, 13, 27, 41, 55)
+
+# cosine(a, b) with double accumulation, as a Spark SQL expression.
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " cast(0 as double), (acc, v) -> acc + v)"
+)
+
+
+def _cos_expr(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def _sql_dot(a: str, b: str, n: int = 64) -> str:
+    return (
+        f"(SELECT sum(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))"
+        f" FROM generate_series(1, {n}) AS g(i))"
+    )
+
+
+@register(
+    "sim_bruteforce_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+        SELECT e.vec_id, e.label,
+               {_sql_dot('e.embedding', 'q.qv')} /
+               (sqrt({_sql_dot('e.embedding', 'e.embedding')}) *
+                sqrt({_sql_dot('q.qv', 'q.qv')})) AS cos
+        FROM embeddings e, q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT vec_id, label, round(cos, 6) AS cosine
+    FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {TOP_K}
+    """,
+    doc="brute-force cosine top-k (exact ANN baseline)",
+    bench=True,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast 1-row query vector, pipelined cosine scan, global top-k
+    (TakeOrderedAndProject — per-partition heads merged on the driver)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .withColumn("cos", F.expr(_cos_expr("embedding", "qv")))
+        .select("vec_id", "label", F.round("cos", 6).alias("cosine"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+_SIGN_BITS = "".join(
+    f" || CASE WHEN embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END" for d in LSH_DIMS
+)
+
+
+@register(
+    "sim_lsh_buckets",
+    f"""
+    SELECT ('' {_SIGN_BITS}) AS bucket,
+           count(*) AS n_vectors, count(DISTINCT label) AS n_labels
+    FROM embeddings GROUP BY 1
+    """,
+    doc="sign-LSH bucketing: hyperplane-sign key → bucket histogram",
+)
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index layout: 2^5 sign-pattern buckets; at scale the join
+    for a query touches one bucket instead of the full corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(F.col("embedding").getItem(d) >= 0, "1").otherwise("0")
+            for d in LSH_DIMS
+        ]
+    )
+    return (
+        emb.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+    )
+
+
+@register(
+    "sim_lsh_ann_topk",
+    f"""
+    WITH keyed AS (
+        SELECT *, ('' {_SIGN_BITS}) AS bucket FROM embeddings
+    ), q AS (SELECT embedding AS qv, bucket AS qb FROM keyed WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+        SELECT e.vec_id, e.label,
+               {_sql_dot('e.embedding', 'q.qv')} /
+               (sqrt({_sql_dot('e.embedding', 'e.embedding')}) *
+                sqrt({_sql_dot('q.qv', 'q.qv')})) AS cos
+        FROM keyed e, q
+        WHERE e.bucket = q.qb AND e.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT vec_id, label, round(cos, 6) AS cosine
+    FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {TOP_K}
+    """,
+    doc="LSH-bucketed ANN top-k: candidates restricted to the query bucket",
+)
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: equi-join on the sign-LSH bucket key prunes the
+    candidate set (~1/2^5 of the corpus) before exact cosine rescoring."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(F.col("embedding").getItem(d) >= 0, "1").otherwise("0")
+            for d in LSH_DIMS
+        ]
+    )
+    keyed = emb.withColumn("bucket", bucket)
+    q = keyed.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qb")
+    )
+    return (
+        keyed.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qb"))
+        .withColumn("cos", F.expr(_cos_expr("embedding", "qv")))
+        .select("vec_id", "label", F.round("cos", 6).alias("cosine"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+@register(
+    "sim_label_centroids",
+    """
+    SELECT label, i - 1 AS pos,
+           round(CAST(sum(CAST(embedding[i] AS DECIMAL(38,12))) AS DOUBLE)
+                 / count(*), 6) AS centroid,
+           count(*) AS n
+    FROM embeddings, generate_series(1, 64) AS g(i)
+    GROUP BY label, i
+    """,
+    doc="per-label centroids (IVF coarse-quantizer building block)",
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean per label via posexplode + grouped avg — the
+    shuffle keys on (label, pos), 64×|labels| cells regardless of corpus
+    size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,12)")).cast("double") / F.count("*"),
+                6,
+            ).alias("centroid"),
+            F.count("*").alias("n"),
+        )
+    )

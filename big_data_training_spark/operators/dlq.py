@@ -1,0 +1,123 @@
+"""Dead-letter-queue routing with provenance (SURVEY.md §2.9, E1-E4).
+
+The reference's DLQ pattern (kafka/README.md:202-271): per-record
+validation; failures are forwarded to a dead-letter topic carrying
+origin metadata so they stay traceable; DLQ size is monitored.
+
+Spark realization: one scan, two complementary filters (the branch
+pattern, flink/README.md:23) — Catalyst reuses the scan per branch and
+both branches stay fully pipelined. Validation here = JSON payload must
+parse and carry k in [0,100), and the event must not be of type 'error'.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_training_spark.data import load_table
+from big_data_training_spark.registry import register
+
+# Validation predicate + failure-reason expression, shared by the ok/dlq
+# branches. from_json returns null on unparseable payloads (PERMISSIVE).
+_PROPS_SCHEMA = "k INT"
+
+
+def _parsed(events: DataFrame) -> DataFrame:
+    return events.withColumn("k", F.from_json("props", _PROPS_SCHEMA).getField("k"))
+
+
+def _fail_reason() -> Column:
+    return (
+        F.when(F.col("event_type") == "error", F.lit("error_event"))
+        .when(F.col("k").isNull(), F.lit("unparseable_props"))
+        .when((F.col("k") < 0) | (F.col("k") >= 100), F.lit("k_out_of_range"))
+        .otherwise(F.lit(None))
+    )
+
+
+_DLQ_SQL_REASON = """
+    CASE WHEN event_type = 'error' THEN 'error_event'
+         WHEN try_cast(json_extract_string(props, '$.k') AS INT) IS NULL
+              THEN 'unparseable_props'
+         WHEN try_cast(json_extract_string(props, '$.k') AS INT) < 0
+           OR try_cast(json_extract_string(props, '$.k') AS INT) >= 100
+              THEN 'k_out_of_range'
+         ELSE NULL END
+"""
+
+
+@register(
+    "e1_dlq_routing",
+    f"""
+    SELECT event_id AS origin_offset, user_id AS origin_key, ts AS failed_ts,
+           'events' AS origin_topic, {_DLQ_SQL_REASON} AS error_reason
+    FROM events WHERE {_DLQ_SQL_REASON} IS NOT NULL
+    """,
+    doc="E1+E2: route failing records to DLQ with provenance metadata",
+)
+def e1_dlq_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DLQ branch: failing records + origin metadata columns
+    (topic/offset/key/reason — kafka/README.md:265-271)."""
+    events = _parsed(load_table(spark, sf_dir, "events"))
+    return (
+        events.withColumn("error_reason", _fail_reason())
+        .filter(F.col("error_reason").isNotNull())
+        .select(
+            F.col("event_id").alias("origin_offset"),
+            F.col("user_id").alias("origin_key"),
+            F.col("ts").alias("failed_ts"),
+            F.lit("events").alias("origin_topic"),
+            "error_reason",
+        )
+    )
+
+
+@register(
+    "e1_ok_branch",
+    f"""
+    SELECT event_type, count(*) AS n_ok,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_value
+    FROM events WHERE {_DLQ_SQL_REASON} IS NULL
+    GROUP BY event_type
+    """,
+    doc="E1: the success branch continues through the pipeline",
+)
+def e1_ok_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The success branch: complementary filter, downstream aggregation."""
+    events = _parsed(load_table(spark, sf_dir, "events"))
+    return (
+        events.withColumn("error_reason", _fail_reason())
+        .filter(F.col("error_reason").isNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_ok"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+@register(
+    "e4_dlq_monitoring",
+    f"""
+    SELECT {_DLQ_SQL_REASON} AS error_reason, count(*) AS n,
+           CAST(count(*) > 1000 AS VARCHAR) AS over_threshold
+    FROM events WHERE {_DLQ_SQL_REASON} IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="E4: DLQ size monitoring with alert threshold (kafka/README.md:211)",
+)
+def e4_dlq_monitoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ depth per failure reason + threshold flag."""
+    events = _parsed(load_table(spark, sf_dir, "events"))
+    return (
+        events.withColumn("error_reason", _fail_reason())
+        .filter(F.col("error_reason").isNotNull())
+        .groupBy("error_reason")
+        .agg(
+            F.count("*").alias("n"),
+            (F.count("*") > 1000).cast("string").alias("over_threshold"),
+        )
+    )

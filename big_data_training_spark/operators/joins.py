@@ -1,0 +1,179 @@
+"""Joins: stream-table enrichment, windowed (interval) joins, multi-way
+relational joins.
+
+J1 stream–table lookup join (kafka/README.md:331-332): enrich events with
+a dimension table; the dimension is broadcast so no shuffle of the fact
+side — the Spark analog of the reference's cached lookup table.
+J2 stream–stream windowed join (kafka/README.md:333): same-key match
+within a time bound; batch form is an equi-join + time-range predicate.
+J3 co-partitioned join requirement (kafka/README.md:352): Spark inserts
+the hash Exchange automatically; for repeated large-large joins use
+bucketing (see docs/SCALING.md).
+
+Scale notes: dimension sides here (customer/nation/region/supplier) stay
+broadcastable even at 100 TB fact scale (they grow ~linearly in SF but
+stay orders of magnitude below the fact tables; Spark's AQE demotes to
+shuffle join automatically past the threshold). The interval self-join
+J2 is an equi-join on the key plus a range predicate — at scale the
+equi-key shuffle dominates and the range filter runs post-match, which
+is the same strategy Kafka Streams uses (per-key state within window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_training_spark.data import load_table
+from big_data_training_spark.functions.numeric import dsum, sql_dsum
+from big_data_training_spark.registry import register
+
+
+@register(
+    "j1_enrichment_broadcast",
+    f"""
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n_events,
+           {sql_dsum('e.value', 'total_value')}
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="J1: broadcast enrichment of the event stream with a dimension",
+    bench=True,
+)
+def j1_enrichment_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events ⋈ customer on user_id=c_custkey, dimension broadcast."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        events.join(F.broadcast(customer), events.user_id == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+    )
+
+
+@register(
+    "j2_interval_join",
+    """
+    SELECT s.user_id AS user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+           CAST(date_diff('second', s.ts, p.ts) AS BIGINT) AS lag_s
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 30 MINUTE
+    WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+    """,
+    doc="J2 batch form: same-key match within a 30-minute window",
+    bench=True,
+)
+def j2_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join on user_id + time-range predicate (windowed join)."""
+    events = load_table(spark, sf_dir, "events")
+    s = events.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("signup_id"), F.col("ts").alias("s_ts")
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        s.join(
+            p,
+            (s.user_id == p.p_user)
+            & (p.p_ts > s.s_ts)
+            & (p.p_ts <= s.s_ts + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "user_id",
+            "signup_id",
+            "purchase_id",
+            (F.col("p_ts").cast("long") - F.col("s_ts").cast("long")).alias("lag_s"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l.l_orderkey AS l_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           o.o_orderdate AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="multi-join + agg + deterministic top-k (TPC-H Q3 shape)",
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer⋈orders⋈lineitem, revenue per order, top-10 (K1 two-stage)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n.n_name AS n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    doc="6-way join with broadcast dims (TPC-H Q5 shape)",
+    bench=True,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join shuffles on keys; all dims broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )

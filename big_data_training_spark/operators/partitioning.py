@@ -1,0 +1,109 @@
+"""Partitioning / keying / ordering semantics (SURVEY.md §2.2, §2.11).
+
+P1 hash-partition-by-key, P5 re-key, P7 per-key order, P8 global order,
+K2 per-partition order preservation, F6 hash partition assignment.
+
+The reference's guarantee (kafka/README.md:361-378): same key → same
+partition → per-key total order; global order needs a single partition.
+In Spark the per-key form is ``repartition(n, key)`` +
+``sortWithinPartitions`` or, query-level, a window ordered within the
+key partition; the global form is a total ``orderBy`` (range-partitioned
+sort — better than the reference's 1-partition bottleneck because Spark
+samples range bounds and keeps the sort distributed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_training_spark.data import load_table
+from big_data_training_spark.registry import register
+
+
+@register(
+    "p7_per_key_order",
+    """
+    SELECT event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+           CAST(coalesce(date_diff('second',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), 0)
+            AS BIGINT) AS gap_s
+    FROM events
+    """,
+    doc="P7/K2: per-key ordered consumption with sequence + gap",
+)
+def p7_per_key_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key order: hash-exchange on user_id, sort within partition —
+    the Spark realization of 局部有序 (kafka/README.md:366-376)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.row_number().over(w).alias("seq"),
+        F.coalesce(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w),
+            F.lit(0),
+        ).alias("gap_s"),
+    )
+
+
+@register(
+    "p8_global_order_head",
+    """
+    SELECT event_id, ts, event_type FROM events
+    ORDER BY ts ASC, event_id ASC LIMIT 100
+    """,
+    doc="P8: global total order (single-partition analog)",
+)
+def p8_global_order_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global order head: TakeOrderedAndProject — no single-partition
+    bottleneck, unlike the reference's 1-partition topic."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .limit(100)
+    )
+
+
+@register(
+    "p1_partition_balance",
+    None,  # hash functions differ across engines; contract check only
+    doc="P1/F6: hash-partition balance contract (rows-only check)",
+)
+def p1_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-assignment contract (same key → same partition; balanced):
+    count keys and rows per pmod(hash(key), 32) bucket. Spark's Murmur3 ≠
+    Kafka murmur2 ≠ DuckDB hash, so the *values* are engine-specific and
+    the driver records a rows-only check (SURVEY.md §7 hard parts)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.pmod(F.hash("user_id"), F.lit(32)).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_keys"),
+        )
+    )
+
+
+@register(
+    "p5_rekey_counts",
+    """
+    SELECT CAST(value >= 100 AS VARCHAR) AS high_value, event_type,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    doc="P5: re-key by derived key (KeySelector, flink/README.md:24)",
+)
+def p5_rekey_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a new grouping key from the element, then group — the
+    keyBy(KeySelector) pattern."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("high_value", (F.col("value") >= 100).cast("string"))
+        .groupBy("high_value", "event_type")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,54 @@
+"""Replay helpers: run a bounded streaming topology to completion.
+
+ST5 reprocessing (kafka/README.md:310, 335-337) rests on replayable
+logs; here any fixture Parquet "topic" can be re-consumed as a stream
+(S1 stream form). ``run_to_completion`` drives the micro-batch loop
+synchronously and returns the materialized sink table.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1 stream form: subscribe to a Parquet topic as an unbounded
+    source. The static schema read is metadata-only (no data scan)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    from big_data_training_spark.data import _read_parquet_nanosafe, canonicalize_ts
+
+    schema = _read_parquet_nanosafe(spark, path).schema
+    # The file stream source wants a directory to monitor (a "topic"
+    # directory into which new log segments land); expose the fixture
+    # file through a scratch dir of symlinks.
+    topic_dir = tempfile.mkdtemp(prefix=f"bdts_topic_{name}_")
+    os.symlink(path, os.path.join(topic_dir, f"{name}.parquet"))
+    return canonicalize_ts(spark.readStream.schema(schema).parquet(topic_dir))
+
+
+def run_to_completion(
+    result: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Start result → memory sink, process all available input, stop, and
+    return the sink contents. Bounded input arrives as one micro-batch
+    (file source picks up every available file at the first trigger), so
+    complete/update-mode output is deterministic."""
+    spark = result.sparkSession
+    qname = f"sink_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="bdts_ckpt_")
+    query = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return spark.table(qname)

@@ -1,0 +1,78 @@
+"""Semantic unit tests for operator behavior (beyond oracle parity):
+plan-shape assertions (broadcast, pushdown) and invariants the oracle
+can't see."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from big_data_training_spark.data import load_table
+from big_data_training_spark.operators.joins import j1_enrichment_broadcast
+from big_data_training_spark.operators.relational import q1_pricing_summary
+from big_data_training_spark.operators.events import s4_offset_range_scan
+from big_data_training_spark.operators.partitioning import p1_partition_balance
+from big_data_training_spark.extensions.dedup import (
+    dd_minhash_lsh_pairs,
+    dd_ngram_jaccard_pairs,
+)
+from big_data_training_spark.functions.json_codec import (
+    codecs_avro_protobuf_available,
+)
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_j1_uses_broadcast_join(spark, sf_dir):
+    plan = physical_plan(j1_enrichment_broadcast(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = physical_plan(q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_s4_offset_pushdown(spark, sf_dir):
+    plan = physical_plan(s4_offset_range_scan(spark, sf_dir))
+    assert "PushedFilters" in plan and "event_id" in plan
+
+
+def test_q1_no_python_in_plan(spark, sf_dir):
+    plan = physical_plan(q1_pricing_summary(spark, sf_dir))
+    assert "Python" not in plan  # hot path stays JVM-side
+
+
+def test_p1_partition_contract(spark, sf_dir):
+    # Same key → same bucket; buckets reasonably balanced.
+    df = p1_partition_balance(spark, sf_dir).toPandas()
+    assert df["n_rows"].sum() > 0
+    assert (df["bucket"] >= 0).all() and (df["bucket"] < 32).all()
+
+
+def test_minhash_lsh_recall_against_exact(spark, sf_dir):
+    """LSH candidates with high estimated Jaccard should be real
+    near-dups per the exact n-gram Jaccard (est ≥ 0.5 → exact ≥ 0.35)."""
+    lsh = dd_minhash_lsh_pairs(spark, sf_dir).toPandas()
+    exact = dd_ngram_jaccard_pairs(spark, sf_dir).toPandas()
+    exact_pairs = set(zip(exact.doc_i, exact.doc_j))
+    assert len(lsh) > 0, "fixture contains near-dups; LSH must find some"
+    hits = sum((i, j) in exact_pairs for i, j in zip(lsh.doc_i, lsh.doc_j))
+    assert hits / len(lsh) >= 0.9
+
+
+def test_codec_availability_report():
+    avail = codecs_avro_protobuf_available()
+    assert set(avail) == {"avro", "protobuf"}
+
+
+def test_compaction_one_row_per_key(spark, sf_dir):
+    from big_data_training_spark.operators.compaction import (
+        c1_compaction_latest_per_key,
+    )
+
+    df = c1_compaction_latest_per_key(spark, sf_dir)
+    n_keys = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert df.count() == n_keys
+    assert df.groupBy("user_id").count().filter(F.col("count") > 1).count() == 0

@@ -1,0 +1,42 @@
+"""The engine-wide correctness gate: every registered query with an
+oracle must hash-match DuckDB on identical inputs (the driver's t2
+methodology — differential testing per kafka/README.md:335-337)."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_training_spark.registry import all_queries
+from tests.conftest import assert_matches_oracle
+
+SPECS = all_queries()
+WITH_ORACLE = sorted(n for n, s in SPECS.items() if s.oracle)
+ROWS_ONLY = sorted(n for n, s in SPECS.items() if not s.oracle)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity(spark, duck, sf_dir, name):
+    spec = SPECS[name]
+    assert_matches_oracle(spec.fn(spark, sf_dir), duck, spec.oracle)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, sf_dir, name):
+    df = SPECS[name].fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert len(qs) >= 50
