@@ -63,6 +63,20 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def repartition_for_compute(df: DataFrame) -> DataFrame:
+    """Spread rows across all cores before CPU-heavy per-row work.
+
+    Small fixtures arrive as one Parquet file → one input split → one
+    task, which serializes expression-heavy scans (hashing, shingling)
+    onto a single core. A round-robin repartition to the default
+    parallelism costs one cheap exchange of the raw rows and buys full
+    fan-out. At 100 TB inputs are already thousands of splits and this
+    becomes a no-op choice — keyed operators must NOT rely on it.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for the SQL API."""
     for name in TABLES:

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from big_data_training_spark.data import load_table
+from big_data_training_spark.data import load_table, repartition_for_compute
 from big_data_training_spark.functions.hashing import hash60_expr, sql_hash60
 from big_data_training_spark.functions.text import SQL_TOKENS
 from big_data_training_spark.registry import register
@@ -60,7 +60,7 @@ _SQL_SHINGLES_CTE = f"""
 
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     return (
         docs.withColumn("ws", F.expr("filter(split(text, '\\\\s+'), w -> w != '')"))
         .filter(F.size("ws") >= SHINGLE_K)
@@ -162,18 +162,26 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- MinHash signatures ---------------------------------------------------
-# signature[i] = min over shingles of hash60(i || ':' || shingle)
-_SEED_SHINGLE = "concat(cast(i as string), ':', s)"
+# One md5 per shingle (the expensive part), then a cheap arithmetic hash
+# family h_i(x) = ((2i+1)·x + 7919·i + 104729) mod M over the base hash —
+# the standard (a·x+b) mod p universal family, engine-portable and exactly
+# replicable in the oracle. M = 2^31-1 keeps every product under 2^62
+# (no BIGINT overflow in either engine).
+HASH_M = 2_147_483_647
+_BASE = f"transform(shingles, s -> {hash60_expr('s')} % {HASH_M})"
 _SIGNATURE = (
     "transform(sequence(0, {n} - 1),"
-    "  i -> array_min(transform(shingles,"
-    "       s -> {h})))"
-).format(n=N_HASHES, h=hash60_expr(_SEED_SHINGLE))
+    "  i -> array_min(transform(hs,"
+    "       h -> ((2 * i + 1) * h + 7919 * i + 104729) % {m})))"
+).format(n=N_HASHES, m=HASH_M)
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _shingled(spark, sf_dir).withColumn("sig", F.expr(_SIGNATURE)).select(
-        "doc_id", "sig"
+    return (
+        _shingled(spark, sf_dir)
+        .withColumn("hs", F.expr(_BASE))
+        .withColumn("sig", F.expr(_SIGNATURE))
+        .select("doc_id", "sig")
     )
 
 
@@ -182,8 +190,9 @@ _SQL_SIG_CTE = (
     + f"""
     , hashes AS (
         SELECT doc_id, i,
-               min({sql_hash60("i::VARCHAR || ':' || s")}) AS h
-        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh),
+               min(((2 * i + 1) * h + 7919 * i + 104729) % {HASH_M}) AS h
+        FROM (SELECT doc_id, {sql_hash60('t.s')} % {HASH_M} AS h
+              FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) AS t),
              generate_series(0, {N_HASHES - 1}) AS t(i)
         GROUP BY doc_id, i
     ), sig AS (
@@ -242,7 +251,8 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path: band the signature, bucket-join on (band, key) so
     only LSH collisions are compared, then estimate Jaccard from
     signature agreement."""
-    sig = _signatures(spark, sf_dir)
+    # cache: the signature scan feeds both sides of the band self-join
+    sig = _signatures(spark, sf_dir).cache()
     bands = sig.select(
         "doc_id",
         "sig",
@@ -305,7 +315,7 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash computed entirely with higher-order array functions
     — per-row JVM evaluation, zero shuffle, zero Python."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     expr = """
         aggregate(
           sequence(0, 31),
