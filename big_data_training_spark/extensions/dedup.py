@@ -162,18 +162,30 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- MinHash signatures ---------------------------------------------------
-# One md5 per shingle (the expensive part), then a cheap arithmetic hash
-# family h_i(x) = ((2i+1)·x + 7919·i + 104729) mod M over the base hash —
-# the standard (a·x+b) mod p universal family, engine-portable and exactly
-# replicable in the oracle. M = 2^31-1 keeps every product under 2^62
-# (no BIGINT overflow in either engine).
+# One md5 per shingle (the expensive part), then the universal hash family
+# h_i(x) = (a_i·x + b_i) mod M over the base hash, with 16 fixed large
+# 31-bit multipliers (seeded, hardcoded so the oracle replicates them).
+# Small multipliers would barely permute the ranking and inflate Jaccard
+# estimates; large a_i wrap mod M ~a_i times, scrambling properly.
+# M = 2^31-1 and a_i, x < 2^31 keep every product < 2^62 — no BIGINT
+# overflow in either engine.
 HASH_M = 2_147_483_647
+HASH_AB = (
+    (1373158607, 239081663), (53710185, 1592467581), (590620973, 525901256),
+    (479341425, 299655412), (1581559893, 220106707), (1453201079, 1590571865),
+    (1915941033, 1171165722), (186699715, 1268073012), (906070221, 68252793),
+    (63989049, 201209005), (469521479, 499635468), (1085242217, 1292825378),
+    (56985563, 1205264595), (427000597, 1537640408), (1395616197, 1506083910),
+    (1170252925, 900911954),
+)
+assert len(HASH_AB) == N_HASHES
 _BASE = f"transform(shingles, s -> {hash60_expr('s')} % {HASH_M})"
-_SIGNATURE = (
-    "transform(sequence(0, {n} - 1),"
-    "  i -> array_min(transform(hs,"
-    "       h -> ((2 * i + 1) * h + 7919 * i + 104729) % {m})))"
-).format(n=N_HASHES, m=HASH_M)
+_SIGNATURE = "array({})".format(
+    ", ".join(
+        f"array_min(transform(hs, h -> ({a} * h + {b}) % {HASH_M}))"
+        for a, b in HASH_AB
+    )
+)
 
 
 def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,15 +197,15 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SEEDS = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(HASH_AB))
 _SQL_SIG_CTE = (
     _SQL_SHINGLES_CTE
     + f"""
     , hashes AS (
-        SELECT doc_id, i,
-               min(((2 * i + 1) * h + 7919 * i + 104729) % {HASH_M}) AS h
+        SELECT doc_id, i, min((a * h + b) % {HASH_M}) AS h
         FROM (SELECT doc_id, {sql_hash60('t.s')} % {HASH_M} AS h
               FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) AS t),
-             generate_series(0, {N_HASHES - 1}) AS t(i)
+             (VALUES {_SQL_SEEDS}) AS seeds(i, a, b)
         GROUP BY doc_id, i
     ), sig AS (
         SELECT doc_id, list(h ORDER BY i) AS sig FROM hashes GROUP BY doc_id
