@@ -1,0 +1,277 @@
+"""Engine-addition analytics: grouping sets, pivot, exact/approx
+distincts, percentiles, per-group top-k, as-of join, sessionization.
+
+These are not described by the reference corpus (SURVEY.md §2.4 note,
+§2.11 note) but come free with Spark SQL and round out the warehouse
+surface a user of the reference's pipeline stage (README.md:21-22)
+expects. Sessionization is W2's session-window form in batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_training_spark.data import load_table
+from big_data_training_spark.functions.numeric import dsum, sql_dsum
+from big_data_training_spark.registry import register
+
+SESSION_GAP_S = 1800
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "w2_sessionization",
+    f"""
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR date_diff('second', lag(ts) OVER w, ts) >= {SESSION_GAP_S}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM o
+    )
+    SELECT user_id, session_id, min(ts) AS session_start,
+           max(ts) AS session_end, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="W2 batch form: gap-based sessionization (lag + cumulative sum)",
+    bench=True,
+)
+def w2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows in batch: a session breaks when the per-key gap
+    reaches the 30-min threshold — one shuffle on the key, two window
+    passes, no Python. (Gap ≥ threshold starts a new session, matching
+    session_window's half-open [start, last+gap) interval.)"""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_s = F.when(gap.isNull() | (gap >= SESSION_GAP_S), 1).otherwise(0)
+    return (
+        events.withColumn("new_s", new_s)
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "k_topk_per_group",
+    """
+    SELECT o_orderstatus, o_orderkey, o_totalprice, rk
+    FROM (
+        SELECT o_orderstatus, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+    doc="K1 generalization: top-k per group via ranked window",
+)
+def k_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per status: rank inside the key partition — the
+    distributed form of per-key top-k (no global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_orderstatus",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "rk",
+        )
+    )
+
+
+@register(
+    "agg_rollup_daily",
+    f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           count(*) AS n, {sql_dsum('value', 'total_value')}
+    FROM events GROUP BY ROLLUP (day, event_type)
+    """,
+    doc="rollup: day × type hierarchy with subtotals and grand total",
+)
+def agg_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — partial-aggregate-friendly subtotals."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.rollup(F.date_format("ts", "yyyy-MM-dd").alias("day"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), dsum("value", "total_value"))
+    )
+
+
+@register(
+    "agg_cube_returns",
+    f"""
+    SELECT l_returnflag, l_linestatus, {sql_dsum('l_quantity', 'sum_qty')},
+           count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="cube: all grouping-set combinations over returnflag × linestatus",
+)
+def agg_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "lineitem")
+    return (
+        events.cube("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), F.count("*").alias("n"))
+    )
+
+
+_PIVOT_SQL_COLS = ",\n           ".join(
+    f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in EVENT_TYPES
+)
+
+
+@register(
+    "agg_pivot_daily_types",
+    f"""
+    SELECT date_trunc('day', ts) AS day,
+           {_PIVOT_SQL_COLS}
+    FROM events GROUP BY 1
+    """,
+    doc="pivot: event types to columns (wide daily activity matrix)",
+)
+def agg_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra distinct-discovery
+    scan — required form at scale)."""
+    events = load_table(spark, sf_dir, "events")
+    df = (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+    )
+    renamed = df.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES]
+    )
+    return renamed
+
+
+@register(
+    "agg_exact_distinct",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="exact distinct aggregation (two-phase distinct expand)",
+)
+def agg_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "agg_approx_sketches",
+    None,  # HLL/quantile-sketch values are engine-specific
+    doc="approximate sketches: approx_count_distinct + approx percentile (rows-only)",
+)
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB forms: HyperLogLog++ distinct and GK-sketch quantiles —
+    constant memory per group, one pass, no exact-distinct expansion.
+    Sketch internals differ per engine, so the driver does a rows-only
+    check; accuracy is asserted against exact values in tests/."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        )
+    )
+
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+    doc="exact percentiles (linear interpolation) per key",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+@register(
+    "j_asof_join",
+    f"""
+    WITH pairs AS (
+        SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+               s.user_id AS user_id,
+               CAST(date_diff('second', p.ts, s.ts) AS BIGINT) AS age_s,
+               row_number() OVER (PARTITION BY s.event_id
+                                  ORDER BY p.ts DESC, p.event_id DESC) AS rk
+        FROM events s JOIN events p
+          ON s.user_id = p.user_id
+         AND p.ts <= s.ts AND p.ts > s.ts - INTERVAL 7 DAY
+        WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+    )
+    SELECT signup_id, purchase_id, user_id, age_s FROM pairs WHERE rk = 1
+    """,
+    doc="as-of join: latest purchase at-or-before each signup (7-day horizon)",
+)
+def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join — Spark has no native operator, so: bounded
+    range equi-join on the key + rank-1 per left row. The 7-day horizon
+    bounds the intermediate; at scale, bucketize ts into horizon-sized
+    bins to turn the range predicate into an equi-key (docs/SCALING.md)."""
+    events = load_table(spark, sf_dir, "events")
+    s = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", F.col("ts").alias("s_ts")
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = s.join(
+        p,
+        (s.user_id == p.p_user)
+        & (p.p_ts <= s.s_ts)
+        & (p.p_ts > s.s_ts - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = Window.partitionBy("signup_id").orderBy(F.desc("p_ts"), F.desc("purchase_id"))
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "signup_id",
+            "purchase_id",
+            "user_id",
+            (F.col("s_ts").cast("long") - F.col("p_ts").cast("long")).alias("age_s"),
+        )
+    )

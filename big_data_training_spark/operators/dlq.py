@@ -7,7 +7,7 @@ origin metadata so they stay traceable; DLQ size is monitored.
 Spark realization: one scan, two complementary filters (the branch
 pattern, flink/README.md:23) — Catalyst reuses the scan per branch and
 both branches stay fully pipelined. Validation here = JSON payload must
-parse and carry k in [0,100), and the event must not be of type 'error'.
+parse and carry k in [0,80), and the event must not be of type 'error'.
 """
 
 from __future__ import annotations
@@ -31,7 +31,7 @@ def _fail_reason() -> Column:
     return (
         F.when(F.col("event_type") == "error", F.lit("error_event"))
         .when(F.col("k").isNull(), F.lit("unparseable_props"))
-        .when((F.col("k") < 0) | (F.col("k") >= 100), F.lit("k_out_of_range"))
+        .when((F.col("k") < 0) | (F.col("k") >= 80), F.lit("k_out_of_range"))
         .otherwise(F.lit(None))
     )
 
@@ -41,7 +41,7 @@ _DLQ_SQL_REASON = """
          WHEN try_cast(json_extract_string(props, '$.k') AS INT) IS NULL
               THEN 'unparseable_props'
          WHEN try_cast(json_extract_string(props, '$.k') AS INT) < 0
-           OR try_cast(json_extract_string(props, '$.k') AS INT) >= 100
+           OR try_cast(json_extract_string(props, '$.k') AS INT) >= 80
               THEN 'k_out_of_range'
          ELSE NULL END
 """
@@ -95,6 +95,40 @@ def e1_ok_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2).alias(
                 "total_value"
             ),
+        )
+    )
+
+
+@register(
+    "e3_retry_redrive",
+    f"""
+    SELECT event_type, count(*) AS n_recovered,
+           round(CAST(sum(CAST(
+               least(greatest(try_cast(json_extract_string(props, '$.k') AS INT), 0), 79)
+           AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_k_fixed
+    FROM events
+    WHERE {_DLQ_SQL_REASON} = 'k_out_of_range'
+    GROUP BY event_type
+    """,
+    doc="E3: re-drive DLQ records through a fixed pipeline (kafka/README.md:210)",
+)
+def e3_retry_redrive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry path: take the retryable DLQ class (k_out_of_range), apply
+    the fix (clamp k into range), and re-run the downstream aggregation.
+    Batch re-drive = re-run over the DLQ table, the reference's
+    delayed-retry queue."""
+    events = _parsed(load_table(spark, sf_dir, "events"))
+    fixed_k = F.least(F.greatest(F.col("k"), F.lit(0)), F.lit(79))
+    return (
+        events.withColumn("error_reason", _fail_reason())
+        .filter(F.col("error_reason") == "k_out_of_range")
+        .withColumn("k_fixed", fixed_k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_recovered"),
+            F.round(
+                F.sum(F.col("k_fixed").cast("decimal(38,6)")).cast("double"), 2
+            ).alias("total_k_fixed"),
         )
     )
 

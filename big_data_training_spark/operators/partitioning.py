@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
+from big_data_training_spark.functions.hashing import hash60
 from big_data_training_spark.registry import register
 
 
@@ -86,6 +87,29 @@ def p1_partition_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
             F.countDistinct("user_id").alias("n_keys"),
         )
+    )
+
+
+@register(
+    "f6_hash_partition_assign",
+    """
+    SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 32
+               AS partition_id,
+           count(*) AS n_rows, count(DISTINCT user_id) AS n_keys
+    FROM events GROUP BY 1
+    """,
+    doc="F6: engine-portable hash partition assignment (value-verified)",
+)
+def f6_hash_partition_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key → hash → mod n_partitions (kafka/README.md:375-378) with the
+    md5-derived portable hash, so the oracle verifies actual assignments
+    (unlike p1, which checks only the native-Murmur3 contract)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            (hash60(F.col("user_id").cast("string")) % 32).alias("partition_id")
+        )
+        .agg(F.count("*").alias("n_rows"), F.countDistinct("user_id").alias("n_keys"))
     )
 
 

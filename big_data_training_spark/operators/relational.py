@@ -64,6 +64,111 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')},
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="T3+A4: selective filter + scalar aggregate (TPC-H Q6 shape)",
+    bench=True,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan-side query: every predicate pushes to Parquet, the
+    aggregate is a single partial/final reduction — the plan to beat at
+    100 TB is scan-bound, nothing else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q10_returned_revenue",
+    f"""
+    SELECT c.c_custkey AS c_custkey, c.c_name AS c_name, n.n_name AS n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    doc="returned-item revenue per customer, top-20 (TPC-H Q10 shape)",
+    bench=True,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact join shuffles on orderkey; customer/nation broadcast; global
+    top-20 via TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_orders",
+    f"""
+    SELECT o.o_orderkey AS o_orderkey, o.o_custkey AS o_custkey,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           {sql_dsum('l.l_quantity', 'sum_qty')}
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+    HAVING sum(l.l_quantity) > 200
+    """,
+    doc="large-volume orders via grouped HAVING (TPC-H Q18 shape)",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-filter (HAVING) after a fact-fact join — the aggregate
+    runs partial/final, the filter applies post-final only."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(dsum("l_quantity", "sum_qty"), F.sum("l_quantity").alias("_raw"))
+        .filter(F.col("_raw") > 200)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
     "q_order_priority_count",
     """
     SELECT o_orderstatus, count(*) AS n_orders,

@@ -1,0 +1,178 @@
+"""Source/sink connectors and log-layout operators (SURVEY.md §2.1).
+
+S2 pattern subscribe (glob paths), S5 topic append, S6 in-memory source,
+S8 external connectors (CSV/JSON), S11 retention/TTL expiry — each
+realized over the partitioned-Parquet log layout: a topic at rest is a
+date-partitioned Parquet directory, segments are files, retention is
+partition drop, subscribe-by-pattern is a path glob.
+
+Round-trip queries write to a scratch dir, read back through the
+connector under test, and aggregate — so the oracle (which sees only
+the original table) verifies the connector preserved the data.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_training_spark.data import load_table
+from big_data_training_spark.registry import register
+
+RETENTION_CUTOFF = "2024-01-15"
+
+
+def write_topic_log(events: DataFrame, base: str) -> str:
+    """S5: append the event stream to a date-partitioned Parquet log —
+    the durable-topic layout (kafka/README.md:9-10,29). Partition column
+    ``dt`` is the segment key; at 100 TB this is the unit of retention
+    drop (S11) and of partition pruning on read."""
+    out = os.path.join(base, "events_log")
+    (
+        events.withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(out)
+    )
+    return out
+
+
+@register(
+    "s5_s2_log_roundtrip",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n,
+           max(event_id) AS max_offset
+    FROM events GROUP BY 1
+    """,
+    doc="S5+S2: append to a partitioned topic log, glob-subscribe it back",
+)
+def s5_s2_log_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the day-partitioned log, re-read via path glob (pattern
+    subscribe), verify per-segment counts/offsets survive the round trip."""
+    events = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="bdts_log_")
+    out = write_topic_log(events, base)
+    back = spark.read.parquet(os.path.join(out, "dt=2024-*"))
+    # glob consumed the partition dirs, so dt returns via the file path —
+    # recover it from ts (identical by construction).
+    return (
+        back.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("dt"))
+        .agg(F.count("*").alias("n"), F.max("event_id").alias("max_offset"))
+    )
+
+
+@register(
+    "s11_retention_expiry",
+    f"""
+    SELECT count(*) AS n_live, min(strftime(ts, '%Y-%m-%d')) AS oldest_day
+    FROM events WHERE ts >= TIMESTAMP '{RETENTION_CUTOFF}'
+    """,
+    doc="S11: retention/TTL — drop expired log segments by partition",
+)
+def s11_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention as partition pruning: the filter on the partition column
+    prunes whole directories at planning time (the reference's
+    segment-level expiry, kafka/README.md:29-31) — no data read from
+    expired segments."""
+    events = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="bdts_ttl_")
+    out = write_topic_log(events, base)
+    live = spark.read.parquet(out).filter(F.col("dt") >= RETENTION_CUTOFF)
+    return live.agg(
+        F.count("*").alias("n_live"),
+        F.min(F.date_format("ts", "yyyy-MM-dd")).alias("oldest_day"),
+    )
+
+
+_DIM_ROWS = [
+    ("signup", "engagement"),
+    ("click", "engagement"),
+    ("view", "engagement"),
+    ("purchase", "revenue"),
+    ("error", "ops"),
+]
+_DIM_SQL = ", ".join(f"('{t}', '{c}')" for t, c in _DIM_ROWS)
+
+
+@register(
+    "s6_inmemory_dim_join",
+    f"""
+    SELECT dim.category AS category, count(*) AS n,
+           round(CAST(sum(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_value
+    FROM events e
+    JOIN (VALUES {_DIM_SQL}) AS dim(event_type, category)
+      ON e.event_type = dim.event_type
+    GROUP BY 1
+    """,
+    doc="S6: in-memory literal source (fromElements) joined as a dimension",
+)
+def s6_inmemory_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """env.fromElements analog: createDataFrame from literals, broadcast
+    into the event stream as an enrichment dim (J1 with an S6 source)."""
+    events = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(_DIM_ROWS, "event_type string, category string")
+    return (
+        events.join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+@register(
+    "s8_csv_roundtrip",
+    """
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_value
+    FROM events WHERE event_id < 2000 GROUP BY event_type
+    """,
+    doc="S8: CSV sink + source connector round-trip",
+)
+def s8_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export a slice to CSV, re-read with an explicit schema (no
+    inference scan), aggregate — connector fidelity is what the oracle
+    checks. Doubles survive CSV via Spark's round-trippable formatting."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    out = tempfile.mkdtemp(prefix="bdts_csv_") + "/slice"
+    events.select("event_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).option("header", True).csv(out)
+    back = spark.read.schema("event_id bigint, event_type string, value double").option(
+        "header", True
+    ).csv(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+@register(
+    "s8_json_roundtrip",
+    """
+    SELECT user_id, count(*) AS n, max(event_id) AS max_offset
+    FROM events WHERE event_id < 2000 GROUP BY user_id
+    """,
+    doc="S8: JSON-lines sink + source connector round-trip",
+)
+def s8_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round trip with explicit read schema (semi-structured
+    events, kafka/README.md:312)."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    out = tempfile.mkdtemp(prefix="bdts_json_") + "/slice"
+    events.select("event_id", "user_id").write.mode("overwrite").json(out)
+    back = spark.read.schema("event_id bigint, user_id bigint").json(out)
+    return back.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.max("event_id").alias("max_offset")
+    )

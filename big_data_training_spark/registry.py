@@ -57,6 +57,8 @@ def all_queries() -> dict[str, QuerySpec]:
     import big_data_training_spark.operators.compaction  # noqa: F401
     import big_data_training_spark.operators.dlq  # noqa: F401
     import big_data_training_spark.operators.partitioning  # noqa: F401
+    import big_data_training_spark.operators.analytics  # noqa: F401
+    import big_data_training_spark.operators.sources  # noqa: F401
     import big_data_training_spark.functions.text  # noqa: F401
     import big_data_training_spark.functions.json_codec  # noqa: F401
     import big_data_training_spark.extensions.dedup  # noqa: F401

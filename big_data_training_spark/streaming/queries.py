@@ -119,6 +119,124 @@ def st4_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w2_session_window_stream",
+    f"""
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM o
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="W2 streaming form: session_window(gap=30m) keyed aggregation",
+)
+def w2_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time session windows in streaming (merging-window state);
+    equals batch gap-sessionization on bounded replay — the oracle runs
+    the lag/cumsum formulation."""
+    events = read_stream_table(spark, sf_dir, "events")
+    agg = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n")
+    )
+    return run_to_completion(agg, "complete")
+
+
+@register(
+    "w5_watermark_append",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start, event_type,
+           count(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    HAVING time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR
+           <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+    doc="W5: watermark-finalized append-mode windows (late-data bound)",
+)
+def w5_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order handling (kafka/README.md:334): a 10-minute watermark
+    bounds reordering; append mode emits a window only once the watermark
+    passes its end — on bounded replay exactly the windows whose end ≤
+    max(event time) − delay, which is what the oracle selects."""
+    events = read_stream_table(spark, sf_dir, "events")
+    agg = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n")
+    )
+    return run_to_completion(agg, "append")
+
+
+_COMPACT_STATE = "last_offset BIGINT, last_ts_us BIGINT, last_type STRING"
+_COMPACT_OUT = "user_id BIGINT, last_offset BIGINT, last_type STRING"
+
+
+def _latest_per_key_state(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """C1 streaming form: keep only the newest record per key in state
+    (the compaction thread's key→latest-offset map, kafka/README.md:433)."""
+    if state.exists:
+        off, ts_us, typ = state.get
+    else:
+        off, ts_us, typ = -1, -1, ""
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        top = pdf.sort_values(["ts", "event_id"]).iloc[-1]
+        r_us = int(top["ts"].value // 1000)
+        if (r_us, int(top["event_id"])) > (ts_us, off):
+            off, ts_us, typ = int(top["event_id"]), r_us, str(top["event_type"])
+    state.update((off, ts_us, typ))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "last_offset": [off], "last_type": [typ]}
+    )
+
+
+@register(
+    "st_c1_stream_compaction",
+    """
+    WITH ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id AS last_offset, event_type AS last_type
+    FROM ranked WHERE rn = 1
+    """,
+    doc="C1 streaming form: latest-per-key via keyed state (compaction)",
+)
+def st_c1_stream_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming log compaction: per-key state holds the newest record
+    seen; equals batch latest-per-key on bounded replay."""
+    events = read_stream_table(spark, sf_dir, "events")
+    result = (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _latest_per_key_state,
+            outputStructType=_COMPACT_OUT,
+            stateStructType=_COMPACT_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_completion(result, "update")
+
+
+@register(
     "st5_reprocess_diff",
     """
     WITH v1 AS (

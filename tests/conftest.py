@@ -39,6 +39,9 @@ def duck():
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Driver-style compare frame: columns sorted by name, rows by value."""
     df = df[sorted(df.columns)]
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
     if len(df):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df.reset_index(drop=True)
