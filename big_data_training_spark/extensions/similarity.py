@@ -159,6 +159,56 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEARDUP_TAU = 0.2
+
+
+@register(
+    "dd_embedding_neardup",
+    f"""
+    WITH keyed AS (
+        SELECT *, ('' {_SIGN_BITS}) AS bucket FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+               {_sql_dot('a.embedding', 'b.embedding')} /
+               (sqrt({_sql_dot('a.embedding', 'a.embedding')}) *
+                sqrt({_sql_dot('b.embedding', 'b.embedding')})) AS cos
+        FROM keyed a JOIN keyed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_i, vec_j, round(cos, 6) AS cosine
+    FROM pairs WHERE cos >= {NEARDUP_TAU}
+    """,
+    doc="embedding-cosine near-dup pairs, sign-LSH bucket-blocked",
+)
+def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection in embedding space: candidates blocked by
+    the sign-LSH bucket (the all-pairs cross product never materializes),
+    exact cosine within buckets. The dedup analog of sim_lsh_ann_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(F.col("embedding").getItem(d) >= 0, "1").otherwise("0")
+            for d in LSH_DIMS
+        ]
+    )
+    keyed = emb.withColumn("bucket", bucket).select("vec_id", "bucket", "embedding")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_i"),
+        F.col("b.vec_id").alias("vec_j"),
+        F.expr(_cos_expr("a.embedding", "b.embedding")).alias("cos"),
+    )
+    return (
+        pairs.filter(F.col("cos") >= NEARDUP_TAU)
+        .select("vec_i", "vec_j", F.round("cos", 6).alias("cosine"))
+    )
+
+
 @register(
     "sim_label_centroids",
     """

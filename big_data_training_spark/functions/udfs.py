@@ -1,0 +1,84 @@
+"""User-function surface (SURVEY.md §2.12): vectorized scoring and
+grouped-map UDAFs — the slow path, Arrow-batched, never row-at-a-time.
+
+T5 ML-scoring map (flink/README.md:36-59): the reference's
+ProcessFunction calls a model per element; here a pandas UDF scores an
+Arrow batch per call (~10-100× the row-at-a-time throughput).
+U1 AggregateFunction analog: ``applyInPandas`` grouped map.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from big_data_training_spark.data import load_table
+from big_data_training_spark.registry import register
+
+
+@F.pandas_udf(DoubleType())
+def score_udf(value: pd.Series) -> pd.Series:
+    """T5 stub model: logistic score over the event measure. Stands in
+    for any per-batch model.predict; deterministic so the oracle can
+    replicate it arithmetically."""
+    import numpy as np
+
+    return np.round(1.0 / (1.0 + np.exp(-(value / 100.0 - 0.5))), 6)
+
+
+@register(
+    "t5_model_scoring",
+    """
+    SELECT event_id,
+           round(1.0 / (1.0 + exp(-(value / 100.0 - 0.5))), 6) AS score
+    FROM events WHERE event_id < 3000
+    """,
+    doc="T5: per-element model scoring via vectorized pandas UDF",
+)
+def t5_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scoring map — one Python roundtrip per batch."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    return events.select("event_id", score_udf("value").alias("score"))
+
+
+_Z_SCHEMA = "event_id bigint, event_type string, zscore double"
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """U1/A3 grouped aggregate-then-transform: standardize within key."""
+    std = pdf["value"].std()
+    z = (pdf["value"] - pdf["value"].mean()) / std if std > 0 else 0.0
+    return pd.DataFrame(
+        {
+            "event_id": pdf["event_id"],
+            "event_type": pdf["event_type"],
+            "zscore": z.round(4),
+        }
+    )
+
+
+@register(
+    "u1_grouped_zscore",
+    """
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4)
+               AS zscore
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+    doc="U1: custom grouped aggregate via applyInPandas (z-score per key)",
+)
+def u1_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateFunction analog: the whole key group arrives as one
+    pandas frame (flink/README.md:26's accumulator generalized). Note
+    the scale bound: a group must fit an executor's memory — for
+    unbounded keys use the two-pass join formulation instead."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(_zscore_group, schema=_Z_SCHEMA)
+    )

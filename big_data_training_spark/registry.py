@@ -59,6 +59,8 @@ def all_queries() -> dict[str, QuerySpec]:
     import big_data_training_spark.operators.partitioning  # noqa: F401
     import big_data_training_spark.operators.analytics  # noqa: F401
     import big_data_training_spark.operators.sources  # noqa: F401
+    import big_data_training_spark.operators.cdc  # noqa: F401
+    import big_data_training_spark.functions.udfs  # noqa: F401
     import big_data_training_spark.functions.text  # noqa: F401
     import big_data_training_spark.functions.json_codec  # noqa: F401
     import big_data_training_spark.extensions.dedup  # noqa: F401

@@ -119,6 +119,128 @@ def st4_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_j1_stream_static",
+    f"""
+    SELECT c.c_mktsegment AS mktsegment, count(*) AS n_events,
+           {sql_dsum('e.value', 'total_value')}
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="J1 streaming form: stream–static broadcast enrichment",
+)
+def st_j1_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream side joins the static dimension per micro-batch — the
+    static side re-resolves each batch, which is the reference's
+    CDC-refreshed cache (kafka/README.md:331-332)."""
+    events = read_stream_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = (
+        events.join(F.broadcast(customer), events.user_id == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+    )
+    return run_to_completion(joined, "complete")
+
+
+@register(
+    "st_j2_stream_stream",
+    """
+    SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+           s.user_id AS user_id
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 30 MINUTE
+    WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+    """,
+    doc="J2 streaming form: stream–stream windowed join with watermarks",
+)
+def st_j2_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two streams, same-key match within 30 minutes; watermarks bound
+    the join state (RocksDB) exactly like Kafka Streams' windowed join
+    (kafka/README.md:333). Bounded replay emits every match once."""
+    s = (
+        read_stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"), "user_id", F.col("ts").alias("s_ts")
+        )
+        .withWatermark("s_ts", "1 hour")
+    )
+    p = (
+        read_stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = s.join(
+        p,
+        F.expr(
+            "user_id = p_user AND p_ts > s_ts"
+            " AND p_ts <= s_ts + INTERVAL 30 MINUTES"
+        ),
+    ).select("signup_id", "purchase_id", "user_id")
+    return run_to_completion(joined, "append")
+
+
+@register(
+    "st_k1_foreachbatch_topk",
+    f"""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           {sql_dsum('value', 'total_value')}
+    FROM events GROUP BY 1, 2
+    ORDER BY total_value DESC, day ASC, event_type ASC
+    LIMIT 10
+    """,
+    doc="K1 streaming form: global top-k per micro-batch via foreachBatch",
+)
+def st_k1_foreachbatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k isn't expressible inside an update-mode streaming
+    plan; the two-stage topology (kafka/README.md:330) runs the windowed
+    aggregation in the stream and the top-k in foreachBatch over each
+    micro-batch's complete state — the exact two-topic split of the
+    reference, with the intermediate topic replaced by the state store."""
+    import tempfile
+
+    events = read_stream_table(spark, sf_dir, "events")
+    agg = (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(dsum("value", "total_value"))
+    )
+    out_dir = tempfile.mkdtemp(prefix="bdts_topk_") + "/out"
+    spark_ref = spark
+
+    def emit_topk(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.orderBy(
+                F.desc("total_value"), F.asc("day"), F.asc("event_type")
+            )
+            .limit(10)
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+
+    import uuid
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(emit_topk)
+        .queryName(f"topk_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark_ref.read.parquet(out_dir)
+
+
+@register(
     "w2_session_window_stream",
     f"""
     WITH o AS (
