@@ -44,6 +44,47 @@ def t5_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select("event_id", score_udf("value").alias("score"))
 
 
+_W3_SCHEMA = "user_id bigint, day timestamp, n bigint, median_value double, value_range double"
+
+
+def _window_apply(pdf: pd.DataFrame) -> pd.DataFrame:
+    """W3 WindowFunction: the whole (key, window) group in one call."""
+    v = pdf["value"]
+    return pd.DataFrame(
+        {
+            "user_id": [pdf["user_id"].iloc[0]],
+            "day": [pdf["day"].iloc[0]],
+            "n": [len(pdf)],
+            "median_value": [round(v.median(), 4)],
+            "value_range": [round(v.max() - v.min(), 4)],
+        }
+    )
+
+
+@register(
+    "w3_window_apply",
+    """
+    SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n,
+           round(quantile_cont(value, 0.5), 4) AS median_value,
+           round(max(value) - min(value), 4) AS value_range
+    FROM events GROUP BY user_id, date_trunc('day', ts)
+    """,
+    doc="W3: full-window apply (arbitrary per-window logic) via applyInPandas",
+)
+def w3_window_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WindowFunction (flink/README.md:27): aggregate all elements of a
+    (key, window) group with arbitrary Python — grouped-map pandas UDF
+    over the tumbling 1-day window key."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "user_id", F.date_trunc("day", "ts").alias("day"), "value"
+        )
+        .groupBy("user_id", "day")
+        .applyInPandas(_window_apply, schema=_W3_SCHEMA)
+    )
+
+
 _Z_SCHEMA = "event_id bigint, event_type string, zscore double"
 
 

@@ -87,6 +87,32 @@ def s11_retention_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s3_partition_assign_scan",
+    """
+    SELECT count(*) AS n, count(DISTINCT user_id) AS n_keys,
+           min(event_id) AS min_offset, max(event_id) AS max_offset
+    FROM events WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-05' AND '2024-01-09'
+    """,
+    doc="S3: standalone partition-assign scan (read specific log segments)",
+)
+def s3_partition_assign_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standalone-consumer pattern (kafka/README.md:117-118): read an
+    explicit subset of the topic's partitions — here five dt= segment
+    directories of the partitioned log, no group subscription."""
+    events = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="bdts_assign_")
+    out = write_topic_log(events, base)
+    assigned = [f"{out}/dt=2024-01-{d:02d}" for d in range(5, 10)]
+    part = spark.read.parquet(*assigned)
+    return part.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_keys"),
+        F.min("event_id").alias("min_offset"),
+        F.max("event_id").alias("max_offset"),
+    )
+
+
 _DIM_ROWS = [
     ("signup", "engagement"),
     ("click", "engagement"),
