@@ -28,8 +28,17 @@ def main() -> None:
     specs = all_queries()
     bench_names = sorted(n for n, s in specs.items() if s.bench)
 
-    # Warmup: prime codegen/JIT with the flagship (not timed).
-    specs["q1_pricing_summary"].fn(spark, SF_DIR).count()
+    # Warmup: compile every bench plan once against the smallest fixture
+    # (codegen/JIT/Arrow init amortize in steady state; data stays cold
+    # for the timed sf runs below).
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = SF_DIR
+    for name in bench_names:
+        try:
+            specs[name].fn(spark, warm_dir).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in bench_names:

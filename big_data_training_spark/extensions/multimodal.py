@@ -85,6 +85,64 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_extract_features, schema=MM_SCHEMA)
 
 
+_FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_sha string, frame_bytes bigint"
+
+
+def sample_frames(payload: bytes) -> list[bytes]:
+    """STUB — real video decode needs ffmpeg (not in this container).
+
+    Deterministic fake: derive (len % 4) + 1 "frames" as byte slices so
+    frame-count logic, explode shape and downstream joins are testable.
+    """
+    n_frames = (len(payload) % 4) + 1
+    step = max(len(payload) // n_frames, 1)
+    return [payload[i * step : (i + 1) * step] for i in range(n_frames)]
+
+
+def _explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        rows = {"doc_id": [], "frame_idx": [], "frame_sha": [], "frame_bytes": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for i, fr in enumerate(sample_frames(payload)):
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(i)
+                rows["frame_sha"].append(hashlib.sha256(bytes(fr)).hexdigest())
+                rows["frame_bytes"].append(len(fr))
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "mm_frame_sample",
+    """
+    SELECT doc_id,
+           CAST((octet_length(encode(text)) % 4) + 1 AS BIGINT) AS n_frames,
+           CAST(greatest(octet_length(encode(text))
+                         // ((octet_length(encode(text)) % 4) + 1), 1)
+                AS BIGINT) AS frame_bytes_0
+    FROM documents
+    """,
+    doc="multimodal: frame sampling — 1 binary row → n frame rows (mapInPandas)",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: mapInPandas explodes each payload into
+    frame rows (1→n, the multimodal flatMap), then per-doc stats. The
+    oracle recomputes the deterministic stub arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    frames = payloads.mapInPandas(_explode_frames, schema=_FRAME_SCHEMA)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.max(F.when(F.col("frame_idx") == 0, F.col("frame_bytes"))).alias(
+                "frame_bytes_0"
+            ),
+        )
+    )
+
+
 @register(
     "mm_modality_stats",
     """

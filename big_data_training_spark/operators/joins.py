@@ -95,6 +95,81 @@ def j2_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j_semi_join_exists",
+    """
+    SELECT c.c_mktsegment AS mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 50000)
+    GROUP BY c.c_mktsegment
+    """,
+    doc="left-semi join (EXISTS): customers with a large order",
+)
+def j_semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS = left_semi: probes stop at first match, output never
+    duplicates the left side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "j_anti_join_not_exists",
+    """
+    SELECT c.c_mktsegment AS mktsegment, count(*) AS n_inactive
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+    doc="left-anti join (NOT EXISTS): customers with no event activity",
+)
+def j_anti_join_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS = left_anti — the other half of the DLQ/diff algebra."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "events")
+    return (
+        c.join(o, c.c_custkey == o.user_id, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n_inactive"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    f"""
+    WITH avg_qty AS (
+        SELECT l_partkey AS pk, avg(l_quantity) AS aq
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {sql_dsum('l.l_extendedprice', 'total_revenue')}, count(*) AS n
+    FROM lineitem l JOIN avg_qty a ON l.l_partkey = a.pk
+    WHERE l.l_quantity < 0.5 * a.aq
+    """,
+    doc="scalar-subquery join (TPC-H Q17 shape): below half the part's avg qty",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate decorrelated by hand into agg + self-join —
+    the plan Catalyst produces for the subquery form, stated explicitly.
+    Per-part avg compares in plain double on both engines (sum of ≤~30
+    doubles per part; /count): equality holds at the 0.5× comparison
+    except for razor-edge ties, which the fixture's 2-decimal values
+    make impossible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("aq")
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == avg_qty.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg(dsum("l_extendedprice", "total_revenue"), F.count("*").alias("n"))
+    )
+
+
+@register(
     "q3_shipping_priority",
     f"""
     SELECT l.l_orderkey AS l_orderkey,
