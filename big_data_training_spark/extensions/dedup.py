@@ -117,13 +117,18 @@ def dd_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dd_ngram_jaccard_pairs",
     _SQL_SHINGLES_CTE
     + f"""
-    , inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    , hsh AS (
+        SELECT doc_id,
+               list_distinct([{sql_hash60('s')} for s in shingles]) AS hs
+        FROM sh
+    ),
+    inv AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
     common AS (
         SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS c
-        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
-    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+    sizes AS (SELECT doc_id, len(hs) AS n FROM hsh)
     SELECT doc_i, doc_j,
            round(c::DOUBLE / (si.n + sj.n - c), 4) AS jaccard
     FROM common
@@ -135,21 +140,32 @@ def dd_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact shingle-set Jaccard: explode to an inverted index, self-join
-    on the shingle (blocking — only co-occurring docs pair up), count
-    intersections, Jaccard from |A|+|B|-|A∩B|."""
-    sh = _shingled(spark, sf_dir).cache()
-    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
+    """Exact shingle-set Jaccard: explode to an inverted index keyed on
+    the 60-bit shingle hash (8-byte shuffle keys instead of ~20-byte
+    strings), self-join on the hash (blocking — only co-occurring docs
+    pair up), count intersections, Jaccard from |A|+|B|-|A∩B|."""
+    sh = (
+        _shingled(spark, sf_dir)
+        .withColumn(
+            "hs",
+            F.expr(
+                f"array_distinct(transform(shingles, s -> {hash60_expr('s')}))"
+            ),
+        )
+        .select("doc_id", "hs")
+        .cache()
+    )
+    inv = sh.select("doc_id", F.explode("hs").alias("h"))
     a = inv.alias("a")
     b = inv.alias("b")
     common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
         )
         .agg(F.count("*").alias("c"))
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    sizes = sh.select("doc_id", F.size("hs").alias("n"))
     si = sizes.alias("si")
     sj = sizes.alias("sj")
     jac = F.col("c") / (F.col("si.n") + F.col("sj.n") - F.col("c"))

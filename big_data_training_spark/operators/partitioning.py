@@ -114,6 +114,72 @@ def f6_hash_partition_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p3_custom_partitioner",
+    """
+    SELECT user_id % 8 AS partition_id, count(*) AS n,
+           count(DISTINCT user_id) AS n_keys
+    FROM events GROUP BY 1
+    """,
+    doc="P3/U2: user-defined partitioner via the RDD escape hatch",
+)
+def p3_custom_partitioner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's `implements Partitioner` (kafka/README.md:24):
+    an arbitrary Python key→partition function through RDD partitionBy —
+    the one operator family where we drop below the DataFrame API.
+    Used only when hash/range partitioning genuinely can't express the
+    placement policy; everything else in this engine stays declarative."""
+    events = load_table(spark, sf_dir, "events")
+    pairs = events.select("user_id").rdd.map(lambda r: (r.user_id, 1))
+    parted = pairs.partitionBy(8, lambda key: key % 8)
+
+    def per_partition(idx: int, it):
+        n = 0
+        keys = set()
+        for k, _ in it:
+            n += 1
+            keys.add(k)
+        yield (idx, n, len(keys))
+
+    out = parted.mapPartitionsWithIndex(per_partition)
+    return spark.createDataFrame(
+        out, "partition_id int, n bigint, n_keys bigint"
+    ).select(F.col("partition_id").cast("bigint").alias("partition_id"), "n", "n_keys")
+
+
+@register(
+    "p_skew_salted_agg",
+    """
+    SELECT event_type, count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="skew strategy: salted two-stage aggregation (same result, bounded keys)",
+)
+def p_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key mitigation for when AQE isn't enough: salt the key into 16
+    sub-keys, aggregate partials per (key, salt), then merge partials per
+    key. The oracle checks it equals the plain aggregation — salting must
+    never change semantics. The 5-key event_type domain is exactly the
+    shape that melts a 1000-executor cluster without this."""
+    events = load_table(spark, sf_dir, "events")
+    salted = events.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = (
+        salted.groupBy("event_type", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("pv"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.round(F.sum("pv").cast("double"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
     "p5_rekey_counts",
     """
     SELECT CAST(value >= 100 AS VARCHAR) AS high_value, event_type,

@@ -1,0 +1,108 @@
+"""Scale-strategy behaviors: bucketed co-located joins (J3), multi-batch
+incremental streaming, salted-agg equivalence."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from big_data_training_spark.data import load_table
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_j3_bucketed_join_skips_exchange(spark, sf_dir):
+    """J3 (kafka/README.md:352): co-partitioned topics join without a
+    re-shuffle. Bucketing both tables on the join key removes the
+    Exchange from the join plan entirely."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+    )
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+    )
+    bl = spark.table("b_lineitem")
+    bo = spark.table("b_orders")
+    # disable broadcast so the co-located strategy is what gets planned
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # and it computes the same result as the unbucketed join
+        expected = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_multi_batch_incremental_streaming(spark, sf_dir):
+    """The micro-batch loop consumes a growing log incrementally
+    (poll-loop semantics, kafka/README.md:131-157): with
+    maxFilesPerTrigger=2 the bounded log arrives over several batches,
+    and the final aggregate still equals the batch answer."""
+    events = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="bdts_mb_")
+    # split the log into 6 segment files
+    events.select("event_id", "user_id", "value").repartition(6).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, value double")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    agg = stream.groupBy("user_id").agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("mb_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    got = {(r.user_id, r.n) for r in spark.table("mb_out").collect()}
+    want = {
+        (r.user_id, r.n)
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+    assert n_batches >= 3, f"expected incremental batches, got {n_batches}"
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    from big_data_training_spark.operators.partitioning import p_skew_salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    plain = {
+        (r.event_type, r.n)
+        for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    salted = {
+        (r.event_type, r.n) for r in p_skew_salted_agg(spark, sf_dir).collect()
+    }
+    assert salted == plain
