@@ -159,6 +159,96 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PROBE = 2
+
+# Rounded decimal-exact centroids: identical on both engines, so probe
+# ranking can't flip on float noise.
+_SQL_CENTROIDS = """
+    cent AS (
+        SELECT label, list(c ORDER BY pos) AS cv
+        FROM (
+            SELECT label, i - 1 AS pos,
+                   round(CAST(sum(CAST(embedding[i] AS DECIMAL(38,12))) AS DOUBLE)
+                         / count(*), 6) AS c
+            FROM embeddings, generate_series(1, 64) AS g(i)
+            GROUP BY label, i
+        ) GROUP BY label
+    )
+"""
+
+
+@register(
+    "sim_ivf_topk",
+    f"""
+    WITH {_SQL_CENTROIDS},
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    probe AS (
+        SELECT cent.label,
+               {_sql_dot('cent.cv', 'q.qv')} /
+               (sqrt({_sql_dot('cent.cv', 'cent.cv')}) *
+                sqrt({_sql_dot('q.qv', 'q.qv')})) AS ccos
+        FROM cent, q
+        ORDER BY ccos DESC, cent.label ASC LIMIT {N_PROBE}
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label,
+               {_sql_dot('e.embedding', 'q.qv')} /
+               (sqrt({_sql_dot('e.embedding', 'e.embedding')}) *
+                sqrt({_sql_dot('q.qv', 'q.qv')})) AS cos
+        FROM embeddings e, q
+        WHERE e.label IN (SELECT label FROM probe)
+          AND e.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT vec_id, label, round(cos, 6) AS cosine
+    FROM scored ORDER BY cos DESC, vec_id ASC LIMIT {TOP_K}
+    """,
+    doc="IVF ANN: coarse-quantizer centroids → probe top cells → exact rescore",
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF scale path: per-cell centroids (label as the cell id — a
+    trained k-means drops in the same slot), the query probes the
+    N_PROBE nearest cells, exact cosine runs only inside those cells.
+    At 100 TB the candidate scan touches nprobe/k of the corpus;
+    centroids are rounded decimal-exact so cell routing is deterministic
+    across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,12)")).cast("double") / F.count("*"),
+                6,
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
+            ).alias("cv")
+        )
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    probe = (
+        cent.join(F.broadcast(q))
+        .withColumn("ccos", F.expr(_cos_expr("cv", "qv")))
+        .orderBy(F.desc("ccos"), F.asc("label"))
+        .limit(N_PROBE)
+        .select("label")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(probe), "label")
+        .join(F.broadcast(q))
+        .withColumn("cos", F.expr(_cos_expr("embedding", "qv")))
+        .select("vec_id", "label", F.round("cos", 6).alias("cosine"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 NEARDUP_TAU = 0.2
 
 

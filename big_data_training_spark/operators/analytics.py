@@ -164,6 +164,33 @@ def agg_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_unpivot_daily",
+    f"""
+    WITH wide AS (
+        SELECT date_trunc('day', ts) AS day,
+               {_PIVOT_SQL_COLS}
+        FROM events GROUP BY 1
+    )
+    SELECT day, kind, n FROM (
+        {' UNION ALL '.join(
+            f"SELECT day, '{t}' AS kind, n_{t} AS n FROM wide" for t in EVENT_TYPES
+        )}
+    )
+    """,
+    doc="unpivot/melt: wide daily matrix back to long (stack)",
+)
+def agg_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse of pivot via the stack() generator — wide → long
+    without N scans (one pass, row-expanding projection)."""
+    wide = agg_pivot_daily_types(spark, sf_dir)
+    stack_expr = "stack({}, {}) as (kind, n)".format(
+        len(EVENT_TYPES),
+        ", ".join(f"'{t}', n_{t}" for t in EVENT_TYPES),
+    )
+    return wide.select("day", F.expr(stack_expr))
+
+
+@register(
     "agg_exact_distinct",
     """
     SELECT event_type, count(DISTINCT user_id) AS n_users,

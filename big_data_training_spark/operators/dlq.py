@@ -100,6 +100,58 @@ def e1_ok_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e1_permissive_corrupt_records",
+    """
+    SELECT CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corrupt,
+           CAST(sum(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_good,
+           max(CASE WHEN event_id % 7 <> 0 THEN event_id END) AS max_good_offset
+    FROM events WHERE event_id < 2000
+    """,
+    doc="E1 parse path: PERMISSIVE JSON read routes corrupt rows to _corrupt_record",
+)
+def e1_permissive_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real schema-on-read failure mechanism: write a JSON-lines
+    topic where every 7th payload is truncated mid-object, read it back
+    PERMISSIVE with a ``_corrupt_record`` column, and split good rows
+    from dead letters — no exceptions, per-record routing
+    (kafka/README.md:202-264 without the try/catch)."""
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    lines = events.select(
+        F.when(
+            F.col("event_id") % 7 == 0,
+            # truncated JSON — unparseable on read
+            F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string"), F.lit(', "user_i')),
+        )
+        .otherwise(
+            F.to_json(F.struct("event_id", "user_id", "event_type"))
+        )
+        .alias("value")
+    )
+    out = tempfile.mkdtemp(prefix="bdts_perm_") + "/topic"
+    lines.write.mode("overwrite").text(out)
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(out)
+    return back.agg(
+        F.sum((F.col("_corrupt_record").isNotNull()).cast("int"))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum((F.col("_corrupt_record").isNull()).cast("int"))
+        .cast("bigint")
+        .alias("n_good"),
+        F.max(
+            F.when(F.col("_corrupt_record").isNull(), F.col("event_id"))
+        ).alias("max_good_offset"),
+    )
+
+
+@register(
     "e3_retry_redrive",
     f"""
     SELECT event_type, count(*) AS n_recovered,

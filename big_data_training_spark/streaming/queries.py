@@ -119,6 +119,73 @@ def st4_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_c3_stream_dedup",
+    """
+    SELECT event_type, count(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+    doc="C3 streaming form: dropDuplicates over the replayed at-least-once log",
+)
+def st_c3_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on the offset key: dropDuplicates keeps per-key
+    seen-state in the state store (bound it with a watermark in
+    production); counts equal exactly-once consumption."""
+    events = read_stream_table(spark, sf_dir, "events")
+    deduped = events.select("event_id", "event_type").dropDuplicates(["event_id"])
+    counts = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    return run_to_completion(counts, "complete")
+
+
+@register(
+    "st_e1_dual_sink",
+    f"""
+    SELECT event_type, count(*) AS n_dlq
+    FROM events WHERE event_type = 'error'
+    GROUP BY event_type
+    """,
+    doc="E1 streaming form: foreachBatch dual-sink split (ok + DLQ topics)",
+)
+def st_e1_dual_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per micro-batch, foreachBatch writes the valid branch to the ok
+    topic and the failing branch to the DLQ topic — two sinks, one
+    scan per batch (the reference's DLQ forwarder, kafka/README.md:202).
+    Returns the DLQ-side counts read back from its sink."""
+    import tempfile
+    import uuid
+
+    events = read_stream_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="bdts_dual_")
+    ok_dir, dlq_dir = base + "/ok", base + "/dlq"
+
+    def route(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.filter(F.col("event_type") != "error").write.mode(
+                "append"
+            ).parquet(ok_dir)
+            batch_df.filter(F.col("event_type") == "error").write.mode(
+                "append"
+            ).parquet(dlq_dir)
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        events.writeStream.foreachBatch(route)
+        .queryName(f"dual_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(dlq_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_dlq"))
+    )
+
+
+@register(
     "st_j1_stream_static",
     f"""
     SELECT c.c_mktsegment AS mktsegment, count(*) AS n_events,
