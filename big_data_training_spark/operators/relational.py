@@ -15,7 +15,7 @@ pruning reach the Parquet scan; no Python crosses the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
@@ -164,6 +164,169 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.round("o_totalprice", 2).alias("o_totalprice"),
             "sum_qty",
+        )
+    )
+
+
+@register(
+    "q12_shipmode_case_agg",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_finished,
+           CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_other
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+    doc="conditional (CASE) aggregation after join (TPC-H Q12 shape)",
+)
+def q12_shipmode_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-split counters inside one grouped aggregate — one pass, no
+    per-branch scans."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_finished"),
+            F.sum(F.when(F.col("o_orderstatus") != "F", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_other"),
+        )
+    )
+
+
+@register(
+    "q14_conditional_ratio",
+    """
+    SELECT round(
+             100.0 * CAST(sum(CAST(CASE WHEN p_type LIKE 'STANDARD%'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                   AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(38,6))) AS DOUBLE), 4) AS standard_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-07-01'
+    """,
+    doc="conditional revenue ratio (TPC-H Q14 shape)",
+)
+def q14_conditional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio of two conditional aggregates in a single pass; the part
+    dimension broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = F.when(F.col("p_type").startswith("STANDARD"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(cond.cast("decimal(38,6)")).cast("double")
+                / F.sum(rev.cast("decimal(38,6)")).cast("double"),
+                4,
+            ).alias("standard_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    f"""
+    SELECT {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}, count(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 20 AND l_quantity >= 5)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 20)
+    """,
+    doc="disjunctive multi-attribute predicates over a join (TPC-H Q19 shape)",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicate spanning both join sides — Catalyst pushes
+    the common join key, evaluates the disjunction post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 20) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & (F.col("l_quantity") >= 20))
+    )
+    return j.filter(cond).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "win_rank_suite",
+    """
+    SELECT o_orderkey,
+           dense_rank() OVER w AS drk,
+           round(percent_rank() OVER w, 6) AS prk,
+           ntile(4) OVER w AS quartile,
+           round(coalesce(lead(o_totalprice) OVER w - o_totalprice, 0), 2)
+               AS gap_to_next
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="ranking-window suite: dense_rank/percent_rank/ntile/lead",
+)
+def win_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function surface over one deterministic window
+    (tiebreak on the key, so ntile buckets are stable)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.dense_rank().over(w).alias("drk"),
+        F.round(F.percent_rank().over(w), 6).alias("prk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(
+            F.coalesce(
+                F.lead("o_totalprice").over(w) - F.col("o_totalprice"), F.lit(0)
+            ),
+            2,
+        ).alias("gap_to_next"),
+    )
+
+
+@register(
+    "f_date_parts",
+    """
+    SELECT CAST(extract(year FROM o_orderdate) AS INT) AS y,
+           CAST(extract(month FROM o_orderdate) AS INT) AS m,
+           count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS total_price
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="date-part extraction + calendar aggregation",
+)
+def f_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"), 2
+            ).alias("total_price"),
         )
     )
 

@@ -25,6 +25,20 @@ from big_data_training_spark.registry import register
 RETENTION_CUTOFF = "2024-01-15"
 
 
+def kafka_source_available(spark: SparkSession) -> bool:
+    """S1's native Kafka form needs the spark-sql-kafka package on the
+    classpath; absent in this container, so the Parquet-log topic layout
+    stands in (same S1-S5 semantics). The reader would be:
+    ``spark.readStream.format("kafka").option("subscribe", topic)``."""
+    try:
+        spark.readStream.format("kafka").option("subscribe", "probe").option(
+            "kafka.bootstrap.servers", "localhost:9092"
+        ).load()
+        return True
+    except Exception:
+        return False
+
+
 def write_topic_log(events: DataFrame, base: str) -> str:
     """S5: append the event stream to a date-partitioned Parquet log —
     the durable-topic layout (kafka/README.md:9-10,29). Partition column

@@ -368,6 +368,71 @@ def w5_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "append")
 
 
+def _tws_processor():
+    """W6/ST4 on the Spark 4 API: StatefulProcessor with explicit state
+    handles (and timer support — the Flink ProcessFunction surface,
+    flink/README.md:28). Built lazily so import of this module never
+    depends on the newer API being present."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStatsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("agg", "n BIGINT, mx DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx = (0, float("-inf"))
+            if self._state.exists():
+                n, mx = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "max_value": [round(mx, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return UserStatsProcessor()
+
+
+def transform_with_state_available() -> bool:
+    """transformWithStateInPandas needs the google.protobuf wheel for its
+    state-server protocol; absent in this container. Callers (and the
+    test suite) use this gate — the working ProcessFunction surface here
+    is applyInPandasWithState (st4_stateful_user_counts)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def w6_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6/ST4 on the Spark 4 API: explicit ValueState per key, timer
+    registration via the handle (unused on bounded replay). Supersedes
+    applyInPandasWithState as the ProcessFunction analog. NOT registered
+    as a driver query: requires transform_with_state_available()."""
+    events = read_stream_table(spark, sf_dir, "events")
+    result = (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_tws_processor(),
+            outputStructType="user_id BIGINT, n_events BIGINT, max_value DOUBLE",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    return run_to_completion(result, "update")
+
+
 _COMPACT_STATE = "last_offset BIGINT, last_ts_us BIGINT, last_type STRING"
 _COMPACT_OUT = "user_id BIGINT, last_offset BIGINT, last_type STRING"
 

@@ -76,3 +76,9 @@ def test_compaction_one_row_per_key(spark, sf_dir):
     n_keys = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
     assert df.count() == n_keys
     assert df.groupBy("user_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_kafka_source_gate(spark):
+    from big_data_training_spark.operators.sources import kafka_source_available
+
+    assert kafka_source_available(spark) in (True, False)

@@ -29,6 +29,79 @@ def test_stream_batch_equivalence_counts(spark, sf_dir):
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
 
 
+def test_watermark_drops_late_data(spark):
+    """W5 (kafka/README.md:334): an event arriving after the watermark
+    passed its window is dropped, not aggregated. Two micro-batches:
+    batch 1 advances the watermark past 10:00-11:00; batch 2 delivers a
+    late 10:30 event (beyond the 10-minute bound) plus an on-time one."""
+    import os
+    import time
+
+    src = tempfile.mkdtemp(prefix="bdts_late_")
+    schema = "ts timestamp, k string"
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        path = os.path.join(src, name)
+        df.write.mode("overwrite").parquet(path)
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (mtime, mtime))
+        os.utime(path, (mtime, mtime))
+
+    import datetime as dt
+
+    t = lambda h, m: dt.datetime(2024, 6, 1, h, m)
+    now = time.time()
+    # batch 1: on-time data; batch 2: advances the watermark past the
+    # 10:00 window (evicts + emits it); batch 3: a 10:45 straggler —
+    # beyond the bound, must be dropped, never re-opening the window.
+    write_file("f1", [(t(10, 30), "a"), (t(12, 30), "a")], now - 100)
+    write_file("f2", [(t(12, 40), "a")], now - 50)
+    write_file("f3", [(t(10, 45), "late"), (t(12, 50), "a")], now - 10)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        dropped = sum(
+            p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            if p.get("stateOperators")
+        )
+    finally:
+        q.stop()
+    got = {(r.ws.hour, r.n) for r in spark.table("late_out").collect()}
+    # the 10:00 window finalized with ONLY the on-time 10:30 event
+    assert (10, 1) in got, got
+    assert (10, 2) not in got, got
+    assert dropped >= 1, f"late row not dropped (dropped={dropped}, got={got})"
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_transform_with_state_gate(spark, sf_dir):
+    """The Spark 4 stateful API degrades loudly, not silently."""
+    from big_data_training_spark.streaming.queries import (
+        transform_with_state_available,
+    )
+
+    assert transform_with_state_available() in (True, False)
+
+
 def test_checkpoint_recovery_resumes_not_reprocesses(spark, sf_dir):
     """ST3: restart from checkpoint must not re-emit processed offsets
     (kafka/README.md:357-358 changelog-restore analog)."""
