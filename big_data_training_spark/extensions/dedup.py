@@ -321,6 +321,46 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_PAIRS_SQL_BODY = f"""
+    , bands AS (
+        SELECT doc_id, b,
+               md5(array_to_string(sig[b * {ROWS_PER_BAND} + 1 : (b + 1) * {ROWS_PER_BAND}], ',')) AS band_key,
+               sig
+        FROM sig, generate_series(0, {N_BANDS - 1}) AS t(b)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j,
+               a.sig AS sig_i, b.sig AS sig_j
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), scored AS (
+        SELECT doc_i, doc_j,
+               (SELECT count(*) FROM generate_series(1, {N_HASHES}) AS g(i)
+                WHERE sig_i[i] = sig_j[i])::DOUBLE / {N_HASHES} AS est_jaccard
+        FROM cand
+    )
+"""
+
+
+@register(
+    "dd_droplist",
+    _SQL_SIG_CTE
+    + _LSH_PAIRS_SQL_BODY
+    + f"""
+    SELECT DISTINCT doc_j AS drop_doc_id
+    FROM scored WHERE est_jaccard >= {MINHASH_TAU}
+    """,
+    doc="dedup decision: materialized drop-list (keep lowest doc_id per near-dup pair)",
+)
+def dd_droplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's actionable output: every doc that loses a near-dup
+    comparison to a lower doc_id is dropped (anti-join this list against
+    the corpus to materialize the deduped set). Greedy keep-lowest is
+    order-deterministic and needs no connected components for
+    pair-shaped duplicate clusters."""
+    pairs = dd_minhash_lsh_pairs(spark, sf_dir)
+    return pairs.select(F.col("doc_j").alias("drop_doc_id")).distinct()
+
+
 @register(
     "dd_simhash",
     f"""

@@ -125,6 +125,145 @@ def tx_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap
+
+
+@register(
+    "tx_chunking",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {SQL_TOKENS.format(col='text')} AS ws FROM documents
+    )
+    SELECT doc_id, CAST(i // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+           array_to_string(ws[i + 1 : i + {CHUNK_TOKENS}], ' ') AS chunk,
+           CAST(least({CHUNK_TOKENS}, len(ws) - i) AS INT) AS chunk_len
+    FROM t, (SELECT unnest(range(0, 100000, {CHUNK_STRIDE})) AS i)
+    WHERE i < len(ws)
+    """,
+    doc="document chunking: fixed-size token windows with overlap",
+)
+def tx_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining chunker: stride-{CHUNK_STRIDE} windows of
+    {CHUNK_TOKENS} tokens (overlap keeps boundary context). Pure array
+    ops — sequence + slice + explode, no Python; rows expand ~len/stride
+    but never materialize outside the pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens("text")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("ws") - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
+    return (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") > 0)
+        .select("doc_id", "ws", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            (F.col("i") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(F.col("ws"), F.col("i") + 1, F.lit(CHUNK_TOKENS))
+            ).alias("chunk"),
+            F.least(F.lit(CHUNK_TOKENS), F.size("ws") - F.col("i"))
+            .cast("int")
+            .alias("chunk_len"),
+        )
+    )
+
+
+@register(
+    "tx_pii_scrub",
+    """
+    WITH synth AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+                   AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9()\\-\\. ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(raw,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_emails
+    FROM synth
+    """,
+    doc="PII scrubbing: email/phone redaction with counts",
+)
+def tx_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety filter for training corpora: regex redaction of emails and
+    phone-shaped spans (synthetic PII appended so the operator has real
+    work on the fixture). JVM regexp — no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+?[0-9][0-9()\-\. ]{7,}[0-9]"
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(raw, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("scrubbed"),
+        F.size(F.regexp_extract_all(raw, F.lit(email_re), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+    )
+
+
+@register(
+    "tx_repetition",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {SQL_TOKENS.format(col='text')} AS ws FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               [array_to_string(ws[i:i+2], ' ')
+                for i in generate_series(1, len(ws) - 2)] AS gs
+        FROM t WHERE len(ws) >= 3
+    ), freq AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+        GROUP BY doc_id, g
+    )
+    SELECT doc_id, max(c) AS max_trigram_count,
+           round(max(c)::DOUBLE / sum(c), 4) AS repetition_ratio
+    FROM freq GROUP BY doc_id
+    """,
+    doc="repetition scoring: dominant trigram frequency ratio",
+)
+def tx_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/repetition quality signal: how dominant is the most
+    frequent 3-gram. High ratio = templated/spammy text — a standard
+    pretraining filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens("text")
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(ws) - 2, 0)),"
+        " i -> concat_ws(' ', slice(ws, i, 3)))"
+    )
+    return (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("max_trigram_count"),
+            F.round(F.max("c") / F.sum("c"), 4).alias("repetition_ratio"),
+        )
+    )
+
+
 @register(
     "tx_token_count_bpe",
     r"""

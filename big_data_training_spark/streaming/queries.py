@@ -118,6 +118,44 @@ def st4_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(result, "update")
 
 
+from big_data_training_spark.extensions.dedup import _SQL_SIG_CTE as _SIG_ORACLE_CTE
+
+
+@register(
+    "st_minhash_stream",
+    _SIG_ORACLE_CTE
+    + """
+    SELECT doc_id, array_to_string(sig, ',') AS signature FROM sig
+    """,
+    doc="extension ops run in streaming: MinHash signatures over a document stream",
+)
+def st_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup extension as a streaming map: signatures computed
+    per micro-batch with the same higher-order expressions — map-only,
+    no state, fully pipelined; equals the batch signatures."""
+    from big_data_training_spark.extensions.dedup import (
+        _BASE,
+        _SHINGLES,
+        _SIGNATURE,
+    )
+
+    docs = read_stream_table(spark, sf_dir, "documents")
+    sigs = (
+        docs.withColumn("ws", F.expr("filter(split(text, '\\\\s+'), w -> w != '')"))
+        .filter(F.size("ws") >= 3)
+        .withColumn("shingles", F.expr(_SHINGLES))
+        .withColumn("hs", F.expr(_BASE))
+        .withColumn("sig", F.expr(_SIGNATURE))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                ",", F.expr("transform(sig, x -> cast(x as string))")
+            ).alias("signature"),
+        )
+    )
+    return run_to_completion(sigs, "append")
+
+
 @register(
     "st_c3_stream_dedup",
     """

@@ -36,19 +36,30 @@ def run_to_completion(
     """Start result → memory sink, process all available input, stop, and
     return the sink contents. Bounded input arrives as one micro-batch
     (file source picks up every available file at the first trigger), so
-    complete/update-mode output is deterministic."""
+    complete/update-mode output is deterministic.
+
+    Streaming state operators get one task (and for Python-state ops one
+    Python worker) per shuffle partition with no AQE coalescing — under
+    an untuned session's default 200 that is pure startup overhead, so
+    pin a sane count for the query's lifetime and restore after.
+    """
     spark = result.sparkSession
     qname = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="bdts_ckpt_")
-    query = (
-        result.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(qname)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        query.processAllAvailable()
+        query = (
+            result.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
     finally:
-        query.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname)
