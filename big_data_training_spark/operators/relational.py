@@ -272,6 +272,114 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q13_customer_order_dist",
+    """
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+    doc="left-outer join + double aggregation (TPC-H Q13 shape)",
+)
+def q13_customer_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution: LEFT JOIN keeps order-less
+    customers (count(col) skips their nulls → 0 bucket), then a second
+    aggregation over the first."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """
+    WITH avg_bal AS (
+        SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_mktsegment AS mktsegment, count(*) AS n_customers,
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+    doc="scalar subquery + anti-join (TPC-H Q22 shape)",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Above-average-balance customers with no event activity: the
+    scalar aggregate broadcasts as a 1-row cross join; the NOT EXISTS is
+    a left_anti. Note avg() in plain double on both engines — the
+    strict > comparison sits far from any ulp boundary for fixture data."""
+    c = load_table(spark, sf_dir, "customer")
+    e = load_table(spark, sf_dir, "events")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(e, c.c_custkey == e.user_id, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double"), 2
+            ).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "win_first_last",
+    """
+    SELECT o_orderkey,
+           round(first_value(o_totalprice) OVER w, 2) AS cheapest_in_status,
+           round(last_value(o_totalprice) OVER
+               (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+               AS priciest_in_status,
+           round(nth_value(o_totalprice, 2) OVER
+               (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+               AS second_cheapest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="first_value/last_value/nth_value over deterministic frames",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-position window functions; last/nth use the full-partition
+    frame explicitly (the default running frame would make last_value ==
+    current row)."""
+    o = load_table(spark, sf_dir, "orders")
+    running = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    full = running.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(running), 2).alias(
+            "cheapest_in_status"
+        ),
+        F.round(F.last("o_totalprice").over(full), 2).alias("priciest_in_status"),
+        F.round(F.nth_value("o_totalprice", 2).over(full), 2).alias(
+            "second_cheapest"
+        ),
+    )
+
+
+@register(
     "win_rank_suite",
     """
     SELECT o_orderkey,
