@@ -59,6 +59,22 @@ _SQL_SHINGLES_CTE = f"""
 """
 
 
+# Caches from earlier invocations are unpersisted before a new one is
+# created: the driver runs every registered query in one long-lived
+# session, and leaked InMemoryRelations would pin storage memory.
+_live_caches: list[DataFrame] = []
+
+
+def _cache_tracked(df: DataFrame) -> DataFrame:
+    while _live_caches:
+        try:
+            _live_caches.pop().unpersist()
+        except Exception:
+            pass
+    _live_caches.append(df.cache())
+    return df
+
+
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     return (
@@ -153,8 +169,8 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .select("doc_id", "hs")
-        .cache()
     )
+    sh = _cache_tracked(sh)
     inv = sh.select("doc_id", F.explode("hs").alias("h"))
     a = inv.alias("a")
     b = inv.alias("b")
@@ -280,7 +296,7 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only LSH collisions are compared, then estimate Jaccard from
     signature agreement."""
     # cache: the signature scan feeds both sides of the band self-join
-    sig = _signatures(spark, sf_dir).cache()
+    sig = _cache_tracked(_signatures(spark, sf_dir))
     bands = sig.select(
         "doc_id",
         "sig",

@@ -287,12 +287,17 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS with a cross-table predicate: left-semi join on
-    the key, the correlation condition evaluated inside the join."""
+    the key, the correlation condition evaluated inside the join. The
+    lineitem pre-filter is implied by the join (l_shipdate > o_orderdate
+    >= 1997-01-01) but not derivable by Catalyst across a non-equi
+    predicate, so it's stated explicitly to reach the Parquet scan."""
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
     )
-    l = load_table(spark, sf_dir, "lineitem")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
     return (
         o.join(
             l,
@@ -329,10 +334,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
+    # no cache: both consumers sit in one plan, so ReuseExchange serves
+    # the aggregation output to the max branch and the probe branch
+    # (caching here would pin storage memory for the session lifetime).
     revenue = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
-        .cache()
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     s = load_table(spark, sf_dir, "supplier")
