@@ -11,7 +11,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -115,7 +115,16 @@ def st4_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return run_to_completion(result, "update")
+    sink = run_to_completion(result, "update")
+    # update mode emits once per key per micro-batch; keep only the final
+    # (cumulative) emission so a multi-file replay is equivalent to the
+    # single-batch case — running counts are monotone in n_events.
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
 
 
 from big_data_training_spark.extensions.dedup import _SQL_SIG_CTE as _SIG_ORACLE_CTE
@@ -525,7 +534,15 @@ def st_c1_stream_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    return run_to_completion(result, "update")
+    sink = run_to_completion(result, "update")
+    # final emission per key (offsets are monotone in event time, so the
+    # max last_offset row is the terminal state) — multi-batch safe.
+    w = Window.partitionBy("user_id").orderBy(F.desc("last_offset"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
 
 
 @register(
