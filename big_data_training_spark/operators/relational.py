@@ -271,6 +271,35 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REGION_REVENUE_SQL = """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+"""
+
+
+@register(
+    "s9_sql_api_region_revenue",
+    _REGION_REVENUE_SQL,
+    doc="S9: warehouse surface — registered views queried through spark.sql",
+)
+def s9_sql_api_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text interface over the registered warehouse views
+    (data.register_views) — same Catalyst plan as the DataFrame form;
+    the identical statement runs on both engines."""
+    from big_data_training_spark.data import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REGION_REVENUE_SQL)
+
+
 @register(
     "q4_order_priority_exists",
     """
