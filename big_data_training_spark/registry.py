@@ -46,27 +46,44 @@ def register(
     return deco
 
 
+_OPERATOR_MODULES = (
+    "operators.relational",
+    "operators.events",
+    "operators.joins",
+    "operators.compaction",
+    "operators.dlq",
+    "operators.partitioning",
+    "operators.analytics",
+    "operators.sources",
+    "operators.cdc",
+    "functions.udfs",
+    "functions.text",
+    "functions.json_codec",
+    "extensions.dedup",
+    "extensions.similarity",
+    "extensions.multimodal",
+    "extensions.textstats",
+    "streaming.queries",
+)
+
+import_errors: dict[str, str] = {}
+
+
 def all_queries() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration) and return
-    the full name → QuerySpec map."""
-    # Imports are deferred so a failure in one extension module can be
-    # diagnosed without hiding the whole registry.
-    import big_data_training_spark.operators.relational  # noqa: F401
-    import big_data_training_spark.operators.events  # noqa: F401
-    import big_data_training_spark.operators.joins  # noqa: F401
-    import big_data_training_spark.operators.compaction  # noqa: F401
-    import big_data_training_spark.operators.dlq  # noqa: F401
-    import big_data_training_spark.operators.partitioning  # noqa: F401
-    import big_data_training_spark.operators.analytics  # noqa: F401
-    import big_data_training_spark.operators.sources  # noqa: F401
-    import big_data_training_spark.operators.cdc  # noqa: F401
-    import big_data_training_spark.functions.udfs  # noqa: F401
-    import big_data_training_spark.functions.text  # noqa: F401
-    import big_data_training_spark.functions.json_codec  # noqa: F401
-    import big_data_training_spark.extensions.dedup  # noqa: F401
-    import big_data_training_spark.extensions.similarity  # noqa: F401
-    import big_data_training_spark.extensions.multimodal  # noqa: F401
-    import big_data_training_spark.extensions.textstats  # noqa: F401
-    import big_data_training_spark.streaming.queries  # noqa: F401
+    the full name → QuerySpec map.
+
+    Imports are isolated per module: one broken module forfeits its own
+    queries (recorded in ``import_errors``, asserted empty by the test
+    suite) instead of zeroing the whole registry for the driver.
+    """
+    import importlib
+    import traceback
+
+    for mod in _OPERATOR_MODULES:
+        try:
+            importlib.import_module(f"big_data_training_spark.{mod}")
+        except Exception:
+            import_errors[mod] = traceback.format_exc()
 
     return dict(_REGISTRY)

@@ -40,3 +40,12 @@ def test_contract_shape():
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 50
+
+
+def test_no_registry_import_errors():
+    """One broken module forfeits only its queries — but in a healthy
+    tree there must be none."""
+    from big_data_training_spark import registry
+
+    registry.all_queries()
+    assert registry.import_errors == {}, registry.import_errors
