@@ -56,6 +56,36 @@ def c1_compaction_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c1_materialized_compact_topic",
+    _LATEST_SQL
+    + """
+    SELECT event_type AS last_type, count(*) AS n_keys,
+           max(event_id) AS max_offset
+    FROM ranked WHERE rn = 1
+    GROUP BY event_type
+    """,
+    doc="C1 end-to-end: compact the topic, persist it, re-consume the compact log",
+)
+def c1_materialized_compact_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Kafka as a long-term table' (kafka/README.md:27): the compaction
+    query materializes a compacted topic (Parquet write), and consumers
+    read the compact log — verified by aggregating the re-read copy."""
+    import tempfile
+
+    compacted = c1_compaction_latest_per_key(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="bdts_compact_") + "/topic"
+    compacted.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("last_type")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.max("last_offset").alias("max_offset"),
+        )
+    )
+
+
+@register(
     "c2_compaction_tombstone",
     _LATEST_SQL
     + """

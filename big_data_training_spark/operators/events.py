@@ -145,7 +145,9 @@ def w1_tumbling_6h_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a7_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded ROWS-frame moving average per key; deterministic ordering
-    via (ts, event_id) tiebreak."""
+    via (ts, event_id) tiebreak. Parallelism = key cardinality (the
+    reference's per-symbol stream, kafka/README.md:326 — symbols scale
+    out; the fixture's 5-type key is the floor, not the design)."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")

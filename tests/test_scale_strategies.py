@@ -106,3 +106,25 @@ def test_salted_agg_equals_plain(spark, sf_dir):
         (r.event_type, r.n) for r in p_skew_salted_agg(spark, sf_dir).collect()
     }
     assert salted == plain
+
+
+def test_concurrent_queries_share_session(spark, sf_dir):
+    """Multiple jobs submitted concurrently against one session — the
+    FAIR/FIFO scheduler interleaves them (the reference's multi-threaded
+    consumer analog); results must match serial execution."""
+    import concurrent.futures
+
+    from big_data_training_spark.operators.events import a6_count_per_type
+    from big_data_training_spark.operators.relational import q1_pricing_summary
+
+    def run_a6():
+        return {(r.event_type, r.n) for r in a6_count_per_type(spark, sf_dir).collect()}
+
+    def run_q1():
+        return q1_pricing_summary(spark, sf_dir).count()
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        futs = [ex.submit(run_a6), ex.submit(run_q1), ex.submit(run_a6), ex.submit(run_q1)]
+        results = [f.result(timeout=120) for f in futs]
+    assert results[0] == results[2]
+    assert results[1] == results[3] and results[1] > 0
