@@ -26,7 +26,8 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     WITH o AS (
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                     OR date_diff('second', lag(ts) OVER w, ts) >= {SESSION_GAP_S}
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        >= {SESSION_GAP_S} * 1000000
                     THEN 1 ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -46,12 +47,16 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 def w2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows in batch: a session breaks when the per-key gap
     reaches the 30-min threshold — one shuffle on the key, two window
-    passes, no Python. (Gap ≥ threshold starts a new session, matching
-    session_window's half-open [start, last+gap) interval.)"""
+    passes, no Python. Gaps compare in exact microseconds so the split
+    decision matches session_window's half-open [start, last+gap)
+    interval (second-truncated gaps would split 1799.3s apart events
+    that streaming merges)."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_s = F.when(gap.isNull() | (gap >= SESSION_GAP_S), 1).otherwise(0)
+    # microsecond-exact gaps: whole-second truncation would split a
+    # 1799.3s gap that session_window (exact event time) merges
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_s = F.when(gap_us.isNull() | (gap_us >= SESSION_GAP_S * 1_000_000), 1).otherwise(0)
     return (
         events.withColumn("new_s", new_s)
         .withColumn(

@@ -360,7 +360,7 @@ def st_k1_foreachbatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                     OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
                     THEN 1 ELSE 0 END AS new_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
