@@ -273,8 +273,8 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _REGION_REVENUE_SQL = """
     SELECT r.r_name AS region, n.n_name AS nation,
-           round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                 AS DECIMAL(38,6))) AS DOUBLE), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
            count(DISTINCT o.o_orderkey) AS n_orders
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
