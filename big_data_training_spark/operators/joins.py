@@ -265,6 +265,48 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8_market_share",
+    """
+    SELECT CAST(extract(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(round(sum(CAST(CASE WHEN n.n_name = 'NATION_1'
+                     THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END
+                 AS DECIMAL(38,6))), 2) AS DOUBLE) AS nation_volume,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(38,6))), 2) AS DOUBLE) AS total_volume
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY extract(year FROM o.o_orderdate)
+    """,
+    doc="market-share numerator/denominator per year (TPC-H Q8 shape)",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share = conditional volume over total volume in one grouped pass
+    (the ratio is left to the consumer so both legs stay decimal-exact)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("n_name") == "NATION_1", vol).otherwise(F.lit(0.0))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(nation_vol.cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("nation_volume"),
+            F.round(F.sum(vol.cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("total_volume"),
+        )
+    )
+
+
+@register(
     "q9_product_profit",
     f"""
     SELECT n.n_name AS nation,

@@ -303,6 +303,63 @@ def st_j2_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_j2_outer_stream_stream",
+    """
+    WITH s AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'),
+         p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         wm AS (SELECT least((SELECT max(ts) FROM s), (SELECT max(ts) FROM p))
+                       - INTERVAL 1 HOUR AS w),
+         matched AS (
+            SELECT s.event_id AS signup_id, p.event_id AS purchase_id, s.user_id AS user_id
+            FROM s JOIN p ON s.user_id = p.user_id
+             AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 30 MINUTE),
+         unmatched AS (
+            SELECT s.event_id AS signup_id, CAST(NULL AS BIGINT) AS purchase_id,
+                   s.user_id AS user_id
+            FROM s, wm
+            WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = s.user_id
+                              AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 30 MINUTE)
+              AND s.ts + INTERVAL 30 MINUTE <= wm.w)
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+    doc="J2 outer streaming form: left-outer stream-stream join, null-padded after watermark",
+)
+def st_j2_outer_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: matches emit immediately; an
+    unmatched left row emits null-padded only once the (min-of-streams)
+    watermark passes its last possible match time (s_ts + window) — the
+    oracle states exactly that emission rule. Signups younger than the
+    final watermark stay in state, never emitted on bounded replay."""
+    s = (
+        read_stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"), "user_id", F.col("ts").alias("s_ts")
+        )
+        .withWatermark("s_ts", "1 hour")
+    )
+    p = (
+        read_stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = s.join(
+        p,
+        F.expr(
+            "user_id = p_user AND p_ts > s_ts"
+            " AND p_ts <= s_ts + INTERVAL 30 MINUTES"
+        ),
+        "left_outer",
+    ).select("signup_id", "purchase_id", "user_id")
+    return run_to_completion(joined, "append")
+
+
+@register(
     "st_k1_foreachbatch_topk",
     f"""
     SELECT date_trunc('day', ts) AS day, event_type,
