@@ -87,3 +87,47 @@ def test_sessionization_invariants(spark, events):
             if prev_end is not None:
                 assert (row["start"] - prev_end).total_seconds() >= SESSION_GAP_S
             prev_end = row["end"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            # 2-decimal values like the fixtures — the class that lands
+            # on exact x.xxxx5 half boundaries after sum/count
+            st.integers(1, 50_000).map(lambda c: c / 100.0),
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_decimal_rounding_helpers_match_oracle(spark, groups):
+    """dsum/davg must match their DuckDB twins bit-for-bit on arbitrary
+    2-decimal inputs — including sums/averages landing exactly on round()
+    half boundaries, where naive double rounding diverges by engine."""
+    import pandas as pd
+
+    from big_data_training_spark.functions.numeric import (
+        davg,
+        dsum,
+        sql_davg,
+        sql_dsum,
+    )
+
+    pdf = pd.DataFrame(groups, columns=["k", "v"])
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        (r.k, r.s, r.a)
+        for r in sdf.groupBy("k").agg(dsum("v", "s"), davg("v", "a")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"SELECT k, {sql_dsum('v', 's')}, {sql_davg('v', 'a')} FROM t GROUP BY k"
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
