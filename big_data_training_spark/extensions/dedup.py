@@ -337,6 +337,89 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_CTE = f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKENS.format(col='text')} AS ws FROM documents
+    ), tok AS (
+        SELECT doc_id, {{h}} AS h
+        FROM (SELECT doc_id, unnest(ws) AS w FROM toks) AS t
+    ), bits AS (
+        SELECT doc_id, j,
+               CASE WHEN sum(2 * ((h >> j) & 1) - 1) > 0 THEN 1 ELSE 0 END AS bit
+        FROM tok, generate_series(0, 31) AS g(j)
+        GROUP BY doc_id, j
+    ), sims AS (
+        SELECT doc_id, sum(bit * (CAST(1 AS BIGINT) << j)) AS simhash
+        FROM bits GROUP BY doc_id
+    )
+"""
+
+HAMMING_MAX = 2
+
+
+@register(
+    "dd_simhash_neardup_pairs",
+    _SIMHASH_CTE.format(h=sql_hash60("t.w"))
+    + f"""
+    , segs AS (
+        SELECT doc_id, simhash, seg, CASE seg
+                 WHEN 0 THEN simhash & 2047
+                 WHEN 1 THEN (simhash >> 11) & 2047
+                 ELSE simhash >> 22 END AS seg_val
+        FROM sims, generate_series(0, 2) AS s(seg)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j,
+               a.simhash AS h_i, b.simhash AS h_j
+        FROM segs a JOIN segs b
+          ON a.seg = b.seg AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_i, doc_j, CAST(bit_count(xor(h_i, h_j)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(h_i, h_j)) <= {HAMMING_MAX}
+    """,
+    doc="SimHash Hamming-neighbor pairs via bit-segment pigeonhole bucketing",
+)
+def dd_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dups by SimHash: any pair within Hamming distance ≤ 2 of a
+    32-bit sketch must agree exactly on one of 3 bit segments
+    (pigeonhole), so candidates come from equi-joins on (segment,
+    value) — never an all-pairs product. Exact Hamming check rescored
+    with bit_count(xor)."""
+    sims = dd_simhash(spark, sf_dir)
+    segs = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "array(struct(0 as seg, simhash & 2047 as seg_val),"
+                " struct(1 as seg, shiftright(simhash, 11) & 2047 as seg_val),"
+                " struct(2 as seg, shiftright(simhash, 22) as seg_val))"
+            )
+        ).alias("sv"),
+    ).select("doc_id", "simhash", F.col("sv.seg").alias("seg"), F.col("sv.seg_val").alias("seg_val"))
+    a = segs.alias("a")
+    b = segs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_i"),
+            F.col("b.doc_id").alias("doc_j"),
+            F.col("a.simhash").alias("h_i"),
+            F.col("b.simhash").alias("h_j"),
+        )
+        .dropDuplicates(["doc_i", "doc_j"])
+    )
+    hamming = F.expr("bit_count(h_i ^ h_j)")
+    return (
+        cand.filter(hamming <= HAMMING_MAX)
+        .select("doc_i", "doc_j", hamming.cast("int").alias("hamming"))
+    )
+
+
 _LSH_PAIRS_SQL_BODY = f"""
     , bands AS (
         SELECT doc_id, b,
