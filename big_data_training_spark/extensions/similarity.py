@@ -249,6 +249,76 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_l2_normalize",
+    f"""
+    SELECT vec_id,
+           round(CAST(sqrt({_sql_dot('embedding', 'embedding')}) AS DOUBLE), 6)
+               AS norm,
+           round(CAST(embedding[1] AS DOUBLE)
+                 / sqrt({_sql_dot('embedding', 'embedding')}), 6) AS unit_dim0
+    FROM embeddings
+    """,
+    doc="embedding L2 normalization (higher-order array arithmetic)",
+)
+def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalize vectors so cosine reduces to a dot product —
+    the standard pre-index transform; pure JVM array math (verified via
+    the norm and the first unit coordinate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.expr(f"sqrt({_DOT.format(a='embedding', b='embedding')})")
+    return emb.select(
+        "vec_id",
+        F.round(norm, 6).alias("norm"),
+        F.round(F.col("embedding").getItem(0).cast("double") / norm, 6).alias(
+            "unit_dim0"
+        ),
+    )
+
+
+@register(
+    "emb_int8_quantize",
+    """
+    WITH scaled AS (
+        SELECT vec_id, embedding,
+               (SELECT max(abs(CAST(embedding[i] AS DOUBLE)))
+                FROM generate_series(1, 64) AS g(i)) AS maxabs
+        FROM embeddings
+    )
+    SELECT vec_id, round(maxabs, 6) AS scale_factor,
+           CAST(round(CAST(embedding[1] AS DOUBLE) / maxabs * 127) AS INT) AS q0,
+           CAST(round(CAST(embedding[64] AS DOUBLE) / maxabs * 127) AS INT) AS q63,
+           (SELECT CAST(sum(abs(CAST(round(CAST(embedding[i] AS DOUBLE) / maxabs * 127) AS INT))) AS BIGINT)
+            FROM generate_series(1, 64) AS g(i)) AS l1_quantized
+    FROM scaled
+    """,
+    doc="embedding int8 quantization (4x storage cut for the 100 TB index)",
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization with a per-vector scale — the storage
+    layout an ANN index uses at scale (4 bytes → 1 byte per dim).
+    Verified via the scale factor, two quantized coordinates, and the L1
+    mass of the quantized vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    maxabs = F.expr(
+        "aggregate(embedding, cast(0 as double),"
+        " (m, x) -> greatest(m, abs(cast(x as double))))"
+    )
+    q = emb.withColumn("maxabs", maxabs)
+    qexpr = "cast(round(cast(embedding[{i}] as double) / maxabs * 127) as int)"
+    l1 = F.expr(
+        "aggregate(embedding, cast(0 as bigint),"
+        " (s, x) -> s + abs(cast(round(cast(x as double) / maxabs * 127) as bigint)))"
+    )
+    return q.select(
+        "vec_id",
+        F.round("maxabs", 6).alias("scale_factor"),
+        F.expr(qexpr.format(i=0)).alias("q0"),
+        F.expr(qexpr.format(i=63)).alias("q63"),
+        l1.alias("l1_quantized"),
+    )
+
+
 NEARDUP_TAU = 0.2
 
 
