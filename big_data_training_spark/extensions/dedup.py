@@ -172,6 +172,12 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = _cache_tracked(sh)
     inv = sh.select("doc_id", F.explode("hs").alias("h"))
+    # Semantics-preserving pre-filter: a shingle seen in only one doc
+    # cannot produce a pair, and unique shingles are the long tail of
+    # any real corpus — dropping them before the self-join removes the
+    # bulk of the join input (decisive at large scale, measurable here).
+    shared = inv.groupBy("h").count().filter(F.col("count") >= 2).select("h")
+    inv = inv.join(shared, "h")
     a = inv.alias("a")
     b = inv.alias("b")
     common = (
