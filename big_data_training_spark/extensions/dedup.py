@@ -467,6 +467,42 @@ def dd_droplist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dd_pipeline_end2end",
+    _SQL_SIG_CTE
+    + _LSH_PAIRS_SQL_BODY
+    + f"""
+    , droplist AS (
+        SELECT DISTINCT doc_j AS doc_id
+        FROM scored WHERE est_jaccard >= {MINHASH_TAU}
+    )
+    SELECT count(*) AS n_docs_kept,
+           CAST(sum(len({SQL_TOKENS.format(col='text')})) AS BIGINT) AS n_tokens_kept,
+           count(DISTINCT lang) AS n_langs
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM droplist x WHERE x.doc_id = d.doc_id)
+    """,
+    doc="end-to-end dedup pipeline: corpus → MinHash-LSH droplist → kept-corpus stats",
+)
+def dd_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data pass composed from the registered stages:
+    near-dup droplist (MinHash-LSH) anti-joined against the corpus,
+    then size accounting over what survives — the shape of every
+    pretraining dedup job."""
+    docs = load_table(spark, sf_dir, "documents")
+    drop = dd_droplist(spark, sf_dir).select(
+        F.col("drop_doc_id").alias("doc_id")
+    )
+    kept = docs.join(drop, "doc_id", "left_anti")
+    return kept.agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum(F.size(F.expr("filter(split(text, '\\\\s+'), w -> w != '')")))
+        .cast("bigint")
+        .alias("n_tokens_kept"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@register(
     "dd_simhash",
     f"""
     WITH toks AS (

@@ -166,6 +166,37 @@ def st_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_q1_pricing_stream",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="the flagship relational query running unchanged on a stream",
+)
+def st_q1_pricing_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-batch unification: the same filter→groupBy→agg plan that
+    answers q1 in batch runs incrementally over the replayed lineitem
+    log — no operator changes, only the source and sink differ (the
+    table/stream duality of kafka/README.md:319)."""
+    li = read_stream_table(spark, sf_dir, "lineitem")
+    agg = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(38,6)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return run_to_completion(agg, "complete")
+
+
+@register(
     "st_c3_stream_dedup",
     """
     SELECT event_type, count(DISTINCT event_id) AS n_unique
