@@ -159,6 +159,78 @@ def a7_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a7_trailing_window_avg",
+    """
+    WITH framed AS (
+        SELECT event_id,
+               CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w * 1000000 AS BIGINT)
+                   AS su,
+               count(*) OVER w AS n_in_window
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id,
+           floor((su + n_in_window * 50) / (n_in_window * 100)) / 10000.0
+               AS trail_1h_avg,
+           n_in_window
+    FROM framed
+    """,
+    doc="A7 time-range form: trailing 1-hour RANGE window per key",
+)
+def a7_trailing_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving aggregate over a TIME range, not a row count — the frame
+    is [t−1h, t] in integer microseconds, identical on both engines
+    (ties in epoch_us share a frame, so no ordering tiebreak needed).
+    The average rounds via the exact integer HALF_UP of
+    functions/numeric.davg — windowed double avg() hits the same
+    cross-engine half-boundary divergence the grouped form does."""
+    events = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    su = (F.sum(F.col("value").cast("decimal(38,6)")).over(w) * F.lit(1_000_000)).cast(
+        "long"
+    )
+    n = F.count("*").over(w)
+    return events.select(
+        "event_id",
+        (F.floor((su + n * 50) / (n * 100)) / F.lit(10_000)).alias("trail_1h_avg"),
+        n.alias("n_in_window"),
+    )
+
+
+@register(
+    "agg_stats_moments",
+    """
+    SELECT event_type,
+           round(stddev_samp(value), 4) AS sd,
+           round(var_samp(value), 4) AS var,
+           round(corr(value, try_cast(json_extract_string(props, '$.k') AS INT)), 4)
+               AS corr_vk
+    FROM events GROUP BY event_type
+    """,
+    doc="statistical moments: stddev / variance / correlation per key",
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates — single-pass co-moment accumulation,
+    partial/final merge like any hash aggregate."""
+    events = _events(spark, sf_dir)
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 4).alias("sd"),
+            F.round(F.var_samp("value"), 4).alias("var"),
+            F.round(F.corr("value", F.col("k")), 4).alias("corr_vk"),
+        )
+    )
+
+
+@register(
     "a10_k1_daily_top10",
     f"""
     SELECT date_trunc('day', ts) AS day, event_type,

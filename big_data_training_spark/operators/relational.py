@@ -380,6 +380,32 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand AS p_brand, p.p_type AS p_type,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size >= 10
+    GROUP BY p.p_brand, p.p_type
+    """,
+    doc="distinct-supplier counts per part attribute (TPC-H Q16 shape)",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated dim filter + exact distinct over the bridge join (no
+    partsupp table in the fixtures; lineitem is the part↔supplier
+    bridge)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") >= 10)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
     "q13_customer_order_dist",
     """
     SELECT n_orders, count(*) AS n_customers
