@@ -598,3 +598,243 @@ def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "total_price"),
         )
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eur AS (
+        SELECT c.l_partkey, c.l_suppkey, c.unit_cost
+        FROM cost c
+        JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT round(s.s_acctbal, 2) AS s_acctbal, s.s_name AS s_name,
+           n.n_name AS n_name, p.p_partkey AS p_partkey,
+           p.p_name AS p_name, e.unit_cost AS unit_cost
+    FROM part p
+    JOIN eur e ON e.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = e.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'
+      AND e.unit_cost = (SELECT min(e2.unit_cost) FROM eur e2
+                         WHERE e2.l_partkey = p.p_partkey)
+    """,
+    doc="min-cost supplier per part via correlated min (TPC-H Q2 shape)",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost European supplier for each qualifying part (no partsupp
+    fixture: lineitem is the part↔supplier bridge, unit cost =
+    min(extendedprice/quantity) per pair — IEEE-deterministic on both
+    engines, so the double equality join is exact).
+
+    The correlated min subquery is decorrelated by hand into a per-part
+    min aggregate joined back on (partkey, unit_cost) — the same plan
+    Catalyst derives for the SQL form. All dimension sides broadcast;
+    the only big shuffle is the lineitem groupBy(partkey, suppkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur_sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eur = cost.join(F.broadcast(eur_sup), cost.l_suppkey == eur_sup.s_suppkey)
+    min_cost = eur.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    )
+    return (
+        eur.join(
+            min_cost,
+            (eur.l_partkey == min_cost.mc_partkey)
+            & (eur.unit_cost == min_cost.min_cost),
+        )
+        .join(F.broadcast(p), eur.l_partkey == p.p_partkey)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "unit_cost",
+        )
+    )
+
+
+@register(
+    "q11_important_parts",
+    """
+    WITH val AS (
+        SELECT l.l_partkey AS partkey,
+               sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(38,6))) AS v
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY l.l_partkey
+    )
+    SELECT partkey, round(CAST(v AS DOUBLE), 2) AS part_value
+    FROM val
+    WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) * 0.002 FROM val)
+    """,
+    doc="parts above a fraction of national value (TPC-H Q11 shape)",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped value per part for one nation's suppliers, kept only
+    where it exceeds a scalar-subquery fraction of the national total.
+    The per-part value aggregates in DECIMAL(38,6) (order-independent);
+    the global total is a 1-row broadcast, so the HAVING-style filter
+    costs no extra shuffle. At 100 TB the val aggregate reuses the
+    single lineitem shuffle for both branches (ReuseExchange)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nat_sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    val = (
+        li.join(F.broadcast(nat_sup), li.l_suppkey == nat_sup.s_suppkey, "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("v")
+        )
+    )
+    total = val.agg((F.sum("v").cast("double") * F.lit(0.002)).alias("threshold"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("v").cast("double") > F.col("threshold"))
+        .select("partkey", F.round(F.col("v"), 2).cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q20_excess_shippers",
+    """
+    SELECT s.s_name AS s_name, n.n_name AS n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE 'red%')
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING sum(l.l_quantity) > 60
+    )
+    """,
+    doc="suppliers with heavy shipments of matching parts (TPC-H Q20 shape)",
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-subquery semi-join chain (no partsupp availqty fixture:
+    'excess' = shipped > 60 units of one red part in 1997). Inner part
+    filter broadcasts as a semi-join into the date-pruned lineitem scan;
+    the grouped HAVING runs partial/final; the outer IN is a left_semi
+    against the 100-row supplier dim."""
+    p_red = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(F.broadcast(p_red), li.l_partkey == p_red.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+@register(
+    "q21_last_shipper_wait",
+    """
+    SELECT s.s_name AS s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    """,
+    doc="strictly-last shipper in multi-supplier orders (TPC-H Q21 shape)",
+)
+def q21_last_shipper_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS double correlation (no receipt/commit dates
+    in the fixture: the 'waiting' supplier is the strictly-last shipper
+    among multi-supplier finalized orders). Both correlated subqueries
+    become orderkey-equi semi/anti joins with residual predicates, so
+    all three lineitem branches shuffle on l_orderkey and the exchange
+    is reused across them; supplier and the 1-col orders filter stay
+    broadcast-side."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l1 = li.alias("l1").join(o, F.col("l1.l_orderkey") == o.o_orderkey).select(
+        "l1.l_orderkey", "l1.l_suppkey", "l1.l_shipdate"
+    )
+    l2 = li.alias("l2")
+    l3 = li.alias("l3")
+    waiting = (
+        l1.alias("l1")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .alias("l1")
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey"))
+            & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+            "left_anti",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
