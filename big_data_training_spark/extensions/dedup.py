@@ -129,8 +129,9 @@ def dd_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dd_ngram_jaccard_pairs",
+# CTE chain ending in `pairs(doc_i, doc_j, jaccard)` — shared by the
+# pair query and the connected-components clustering oracle below.
+_SQL_JACCARD_PAIRS_CTES = (
     _SQL_SHINGLES_CTE
     + f"""
     , hsh AS (
@@ -144,14 +145,22 @@ def dd_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
-    sizes AS (SELECT doc_id, len(hs) AS n FROM hsh)
-    SELECT doc_i, doc_j,
-           round(c::DOUBLE / (si.n + sj.n - c), 4) AS jaccard
-    FROM common
-    JOIN sizes si ON si.doc_id = doc_i
-    JOIN sizes sj ON sj.doc_id = doc_j
-    WHERE c::DOUBLE / (si.n + sj.n - c) >= {JACCARD_TAU}
-    """,
+    sizes AS (SELECT doc_id, len(hs) AS n FROM hsh),
+    pairs AS (
+        SELECT doc_i, doc_j,
+               round(c::DOUBLE / (si.n + sj.n - c), 4) AS jaccard
+        FROM common
+        JOIN sizes si ON si.doc_id = doc_i
+        JOIN sizes sj ON sj.doc_id = doc_j
+        WHERE c::DOUBLE / (si.n + sj.n - c) >= {JACCARD_TAU}
+    )
+"""
+)
+
+
+@register(
+    "dd_ngram_jaccard_pairs",
+    _SQL_JACCARD_PAIRS_CTES + "SELECT doc_i, doc_j, jaccard FROM pairs",
     doc="n-gram Jaccard near-dup pairs via inverted-index self-join",
     bench=True,
 )
@@ -538,3 +547,76 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hs", F.expr(f"transform(ws, w -> {hash60_expr('w')})"))
         .select("doc_id", F.expr(expr).alias("simhash"))
     )
+
+
+@register(
+    "dd_cluster_components",
+    _SQL_JACCARD_PAIRS_CTES.replace("WITH toks", "WITH RECURSIVE toks")
+    + """
+    , e AS (
+        SELECT doc_i AS src, doc_j AS dst FROM pairs
+        UNION
+        SELECT doc_j AS src, doc_i AS dst FROM pairs
+    ),
+    closure(node, comp) AS (
+        SELECT DISTINCT src, src FROM e
+        UNION
+        SELECT e.dst, c.comp FROM closure c JOIN e ON e.src = c.node
+    )
+    SELECT node AS doc_id, min(comp) AS component_id FROM closure GROUP BY node
+    """,
+    doc="near-dup cluster assignment: connected components over Jaccard pairs",
+)
+def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group near-duplicate pairs into clusters (the step after pair
+    mining in a real dedup pipeline: keep one doc per component).
+
+    Iterative min-label propagation over the symmetric pair graph:
+    every node starts as its own component, each round adopts the
+    minimum label among itself and its neighbors, until a round changes
+    nothing. Near-dup components are short-diameter (duplicates of one
+    source document), so rounds ≈ 2-3; the oracle is the transitive
+    closure as a recursive CTE.
+
+    Scale: each round is one shuffle keyed on node id over a graph
+    already reduced to near-dup pairs (≪ corpus size). For adversarial
+    long-chain graphs swap in alternating large-star/small-star
+    (O(log d) rounds) — the per-round DataFrame shape is identical.
+    Convergence is checked with a count on the labels that changed,
+    which adds one cheap job per round."""
+    pairs = dd_ngram_jaccard_pairs(spark, sf_dir)
+    half = pairs.select(F.col("doc_i").alias("src"), F.col("doc_j").alias("dst"))
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("comp", F.col("node"))
+        .cache()
+    )
+    for _ in range(50):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component_id"))

@@ -287,3 +287,131 @@ def tx_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_bpe_tokens"),
         F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_tokens_est"),
     )
+
+
+@register(
+    "tx_split_assign",
+    """
+    SELECT doc_id,
+           CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                      1, 15)) AS BIGINT) % 100 AS b
+          FROM documents)
+    """,
+    doc="deterministic train/val/test split by salted content-key hash",
+)
+def tx_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split assignment: a salted md5 of the
+    document key buckets each row, so membership is stable across runs,
+    machines and engines (no rand(), no global sort or count needed —
+    the property that matters when the corpus is rewritten incrementally
+    at 100 TB: previously assigned docs never migrate splits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "tx_stratified_sample",
+    """
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15)) AS BIGINT) % 1000 AS b
+        FROM documents)
+    WHERE b < (CASE WHEN lang = 'en' THEN 100 ELSE 300 END)
+    """,
+    doc="stratified per-language sampling via deterministic hash buckets",
+)
+def tx_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified downsampling (10% of the dominant 'en'
+    stratum, 30% of the rest — the rebalancing move of a multilingual
+    corpus build). Hash-bucket membership instead of rand() keeps the
+    sample deterministic and join-stable; the filter is a pure map, so
+    the sample never materializes the full corpus anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    rate = F.when(F.col("lang") == "en", 100).otherwise(300)
+    return docs.select("doc_id", "lang", b.alias("b"), rate.alias("rate")).filter(
+        F.col("b") < F.col("rate")
+    ).select("doc_id", "lang")
+
+
+@register(
+    "tx_table_profile",
+    """
+    SELECT 'doc_id' AS column_name, count(doc_id) AS n_nonnull,
+           count(DISTINCT doc_id) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_value,
+           CAST(max(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'text', count(text), count(DISTINCT text),
+           CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(lang), count(DISTINCT lang),
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(source), count(DISTINCT source),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(n_chars), count(DISTINCT n_chars),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+    doc="one-pass table profile: null/distinct/min/max per column",
+)
+def tx_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (the first query run against any new corpus
+    drop): per-column non-null count, exact distinct count, min and max
+    — computed in ONE scan as a wide aggregate, then unpivoted to one
+    row per column with stack(). The oracle spells it as five scans;
+    Spark executes ours as a single pass, which is the difference that
+    matters when the table is 100 TB. min/max compare in native type
+    and cast to string only for display."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.countDistinct(c).alias(f"{c}__d"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__d, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nonnull, n_distinct, min_value, max_value)"
+        )
+    )

@@ -689,9 +689,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE n.n_name = 'NATION_3'
         GROUP BY l.l_partkey
     )
-    SELECT partkey, round(CAST(v AS DOUBLE), 2) AS part_value
+    SELECT partkey, CAST(round(v, 2) AS DOUBLE) AS part_value
     FROM val
-    WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) * 0.002 FROM val)
+    WHERE CAST(v AS DOUBLE) > (SELECT CAST(sum(v) AS DOUBLE) * 0.0002 FROM val)
     """,
     doc="parts above a fraction of national value (TPC-H Q11 shape)",
 )
@@ -719,7 +719,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v")
         )
     )
-    total = val.agg((F.sum("v").cast("double") * F.lit(0.002)).alias("threshold"))
+    total = val.agg((F.sum("v").cast("double") * F.lit(0.0002)).alias("threshold"))
     return (
         val.join(F.broadcast(total))
         .filter(F.col("v").cast("double") > F.col("threshold"))
