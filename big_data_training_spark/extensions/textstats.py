@@ -415,3 +415,97 @@ def tx_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(column_name, n_nonnull, n_distinct, min_value, max_value)"
         )
     )
+
+
+@register(
+    "tx_token_pack",
+    """
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(ceil(len(text) / 4.0) AS BIGINT) AS n_tok
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT source, CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS pack_id,
+           count(*) AS n_docs, sum(n_tok) AS n_tokens
+    FROM c GROUP BY 1, 2
+    """,
+    doc="sequence packing: fixed 2048-token bins per source shard",
+)
+def tx_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~2048-token training sequences: a running
+    token total per source shard (window cumsum), bin = the budget
+    multiple the PREVIOUS cumulative total sits in, so a document that
+    crosses a boundary starts its own bin (deterministic sequential
+    packing — the streaming-friendly approximation of bin packing that
+    real pretraining pipelines use; greedy best-fit would need global
+    state). One shuffle on source; the window sort is per-shard, which
+    is exactly how a 100 TB corpus is physically laid out anyway."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.withColumn(
+            "pack_id",
+            F.floor((F.col("cum") - F.col("n_tok")) / 2048.0).cast("bigint"),
+        )
+        .groupBy("source", "pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+
+
+@register(
+    "tx_mixture_rebalance",
+    """
+    WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    m AS (SELECT min(n) AS mn FROM cnt)
+    SELECT d.doc_id AS doc_id, d.lang AS lang
+    FROM documents d JOIN cnt ON d.lang = cnt.lang, m
+    WHERE CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+                               1, 15)) AS BIGINT) % 1000000
+          < CAST(m.mn AS DOUBLE) / cnt.n * 1000000
+    """,
+    doc="dataset mixture rebalance: hash-downsample each language to the smallest stratum",
+)
+def tx_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equalize the language mixture by downsampling every stratum to
+    the size of the smallest one (expected-count equality via hash
+    buckets — deterministic, no rand(), no per-stratum limit/sort).
+    The per-stratum counts are one aggregate broadcast back onto the
+    scan, so the whole rebalance is a single full pass regardless of
+    corpus size; changing the target mixture only changes the keep-rate
+    expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    mn = cnt.agg(F.min("n").alias("mn"))
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    return (
+        docs.join(F.broadcast(cnt), "lang")
+        .join(F.broadcast(mn))
+        .filter(b < F.col("mn").cast("double") / F.col("n") * 1000000)
+        .select("doc_id", "lang")
+    )
