@@ -131,3 +131,67 @@ def test_decimal_rounding_helpers_match_oracle(spark, groups):
     }
     con.close()
     assert got == want
+
+
+def test_cluster_components_invariants(spark, sf_dir):
+    """Connected components over the near-dup pair graph: both ends of
+    every pair share a component, the component id is the minimum
+    member id, and docs outside the pair graph don't appear."""
+    from big_data_training_spark.extensions.dedup import (
+        dd_cluster_components,
+        dd_ngram_jaccard_pairs,
+    )
+
+    pairs = dd_ngram_jaccard_pairs(spark, sf_dir).collect()
+    comp = {
+        r.doc_id: r.component_id
+        for r in dd_cluster_components(spark, sf_dir).collect()
+    }
+    nodes = {d for r in pairs for d in (r.doc_i, r.doc_j)}
+    assert set(comp) == nodes
+    for r in pairs:
+        assert comp[r.doc_i] == comp[r.doc_j], (r.doc_i, r.doc_j)
+    members: dict[int, list[int]] = {}
+    for node, c in comp.items():
+        members.setdefault(c, []).append(node)
+    for c, ms in members.items():
+        assert c == min(ms), (c, ms)
+
+
+def test_token_pack_partitions_corpus(spark, sf_dir):
+    """Packing is a partition of the corpus: per-source doc counts and
+    token totals are preserved, and every pack except a shard's last
+    stays under budget + its own overflow document."""
+    from big_data_training_spark.extensions.textstats import tx_token_pack
+
+    packs = tx_token_pack(spark, sf_dir).collect()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.ceil(F.length("text") / 4.0).cast("bigint")).alias("tok"),
+        )
+        .collect()
+    )
+    want = {r.source: (r.n, r.tok) for r in docs}
+    got: dict[str, list[int]] = {}
+    for p in packs:
+        n, tok = got.setdefault(p.source, [0, 0])
+        got[p.source] = [n + p.n_docs, tok + p.n_tokens]
+    assert {s: tuple(v) for s, v in got.items()} == want
+
+
+def test_split_assign_deterministic_and_partitioning(spark, sf_dir):
+    """The split assignment is a total function of doc_id: stable across
+    invocations, every doc in exactly one split, ratios near 80/10/10."""
+    from big_data_training_spark.extensions.textstats import tx_split_assign
+
+    a = {r.doc_id: r.split for r in tx_split_assign(spark, sf_dir).collect()}
+    b = {r.doc_id: r.split for r in tx_split_assign(spark, sf_dir).collect()}
+    assert a == b
+    n = len(a)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert n == n_docs
+    train = sum(1 for s in a.values() if s == "train") / n
+    assert 0.6 < train < 0.95
