@@ -16,7 +16,7 @@ All arithmetic is cast to double before aggregation on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
@@ -396,4 +396,56 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid"),
             F.count("*").alias("n"),
         )
+    )
+
+
+N_QUERIES_KNN = 5
+KNN_K = 3
+
+
+@register(
+    "sim_knn_join",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < {N_QUERIES_KNN}),
+    corpus AS (SELECT vec_id, label, embedding FROM embeddings
+               WHERE vec_id >= {N_QUERIES_KNN}),
+    scored AS (
+        SELECT q.query_id, c.vec_id, c.label,
+               {_sql_dot('c.embedding', 'q.qv')} /
+               (sqrt({_sql_dot('c.embedding', 'c.embedding')}) *
+                sqrt({_sql_dot('q.qv', 'q.qv')})) AS cos
+        FROM corpus c, q
+    ), ranked AS (
+        SELECT query_id, vec_id, label, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id ASC) AS rk
+        FROM scored
+    )
+    SELECT query_id, vec_id, label, round(cos, 6) AS cosine
+    FROM ranked WHERE rk <= {KNN_K}
+    """,
+    doc="k-NN join: per-query top-k cosine neighbors (batched exact kNN)",
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact k-NN: broadcast the (small) query batch against the
+    corpus scan — a nested-loop scored product with NO shuffle of the
+    corpus — then per-query top-k via row_number (WindowGroupLimit
+    prunes to k rows per query before the final exchange). This is the
+    reranking primitive: at 100 TB the IVF/LSH variants shrink the
+    candidate product, and this same plan shape scores the survivors.
+    Ranking compares raw doubles (bit-identical in both engines);
+    rounding happens only at output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES_KNN).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES_KNN)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        corpus.join(F.broadcast(q))
+        .withColumn("cos", F.expr(_cos_expr("embedding", "qv")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_K)
+        .select("query_id", "vec_id", "label", F.round("cos", 6).alias("cosine"))
     )

@@ -307,3 +307,107 @@ def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s_ts").cast("long") - F.col("p_ts").cast("long")).alias("age_s"),
         )
     )
+
+
+@register(
+    "ev_funnel_steps",
+    """
+    WITH a AS (
+        SELECT user_id, min(ts) AS ta FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), b AS (
+        SELECT e.user_id, min(e.ts) AS tb
+        FROM events e JOIN a ON e.user_id = a.user_id
+        WHERE e.event_type = 'click' AND e.ts > a.ta
+        GROUP BY e.user_id
+    ), c AS (
+        SELECT e.user_id, min(e.ts) AS tc
+        FROM events e JOIN b ON e.user_id = b.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > b.tb
+        GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'view' AS stage, count(*) AS n_users FROM a
+    UNION ALL
+    SELECT 2, 'view>click', count(*) FROM b
+    UNION ALL
+    SELECT 3, 'view>click>purchase', count(*) FROM c
+    """,
+    doc="ordered conversion funnel: view → click → purchase per user",
+)
+def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (each stage strictly after the previous one for
+    the same user): stage N is a per-user min-timestamp aggregate joined
+    back into the event scan of stage N+1. Every stage shuffles on
+    user_id, so the three aggregations co-partition and AQE plans the
+    stage-to-stage joins without extra exchanges; per-user state never
+    leaves the executors."""
+    ev = load_table(spark, sf_dir, "events")
+    a = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ta"))
+    )
+    b = (
+        ev.filter(F.col("event_type") == "click")
+        .join(a, "user_id")
+        .filter(F.col("ts") > F.col("ta"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tb"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(b, "user_id")
+        .filter(F.col("ts") > F.col("tb"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    def stage(df: DataFrame, step: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_users"),
+        )
+    return (
+        stage(a, 1, "view")
+        .unionByName(stage(b, 2, "view>click"))
+        .unionByName(stage(c, 3, "view>click>purchase"))
+    )
+
+
+@register(
+    "ev_retention_cohorts",
+    """
+    WITH first_seen AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day AS cohort_day,
+           datediff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    doc="retention cohorts: first-seen day × activity-day offset matrix",
+)
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: cohort = first active day per user (one
+    user_id-keyed aggregate), joined back onto the event stream and
+    re-aggregated by (cohort, day offset) with an exact distinct-user
+    count. Both aggregations and the join share the user_id
+    partitioning; the second groupBy re-keys once. At 100 TB the exact
+    countDistinct is the only expensive step — swap for
+    approx_count_distinct when ±2% is acceptable."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
