@@ -670,3 +670,30 @@ def st5_reprocess_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_v2", F.lit(0)).alias("n_v2"),
         (F.coalesce("n_v1", F.lit(0)) - F.coalesce("n_v2", F.lit(0))).alias("diff"),
     )
+
+
+@register(
+    "st_w2_sliding_counts",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) - k * INTERVAL 1 HOUR
+               AS window_start,
+           event_type, count(*) AS n
+    FROM events, (VALUES (0), (1)) AS o(k)
+    GROUP BY 1, 2
+    """,
+    doc="W2 sliding-window streaming form: 2h windows sliding by 1h",
+)
+def st_w2_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding-window count (size 2 h, slide 1 h): each event
+    lands in exactly two windows — Spark expands the window set per
+    row, state holds one aggregate per (window, type). The oracle
+    replicates the expansion with an explicit 2-row offset join. Sliding
+    windows multiply state by size/slide, so at scale keep the ratio
+    small and let the watermark evict closed windows."""
+    events = read_stream_table(spark, sf_dir, "events")
+    agg = (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return run_to_completion(agg, "complete")
