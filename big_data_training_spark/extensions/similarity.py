@@ -426,6 +426,7 @@ KNN_K = 3
     FROM ranked WHERE rk <= {KNN_K}
     """,
     doc="k-NN join: per-query top-k cosine neighbors (batched exact kNN)",
+    bench=True,
 )
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched exact k-NN: broadcast the (small) query batch against the

@@ -435,6 +435,7 @@ def tx_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c GROUP BY 1, 2
     """,
     doc="sequence packing: fixed 2048-token bins per source shard",
+    bench=True,
 )
 def tx_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into ~2048-token training sequences: a running

@@ -388,6 +388,7 @@ def ev_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     doc="retention cohorts: first-seen day × activity-day offset matrix",
+    bench=True,
 )
 def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: cohort = first active day per user (one

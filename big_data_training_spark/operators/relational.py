@@ -795,6 +795,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s.s_name
     """,
     doc="strictly-last shipper in multi-supplier orders (TPC-H Q21 shape)",
+    bench=True,
 )
 def q21_last_shipper_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS + NOT EXISTS double correlation (no receipt/commit dates
