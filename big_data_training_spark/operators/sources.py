@@ -216,3 +216,44 @@ def s8_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("user_id").agg(
         F.count("*").alias("n"), F.max("event_id").alias("max_offset")
     )
+
+
+@register(
+    "s_schema_evolution",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(count(props) AS BIGINT) AS n_with_props
+    FROM (
+        SELECT event_type, NULL AS props FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_type, props FROM events WHERE event_id % 2 = 1
+    )
+    GROUP BY event_type
+    """,
+    doc="schema evolution: old segments lack a column; mergeSchema unifies",
+)
+def s_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across log segments (the registry-compatibility
+    story of kafka/README.md:294-296 realized on the Parquet log): v1
+    segments were written before the ``props`` column existed, v2
+    segments carry it. ``mergeSchema`` resolves the union schema at
+    read; v1 rows surface NULL props — exactly backward-compatible
+    reader behavior. The aggregate proves no rows were lost and only v2
+    rows carry the new column. At 100 TB schema merging reads footers,
+    not data, and per-segment pruning still applies."""
+    ev = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="bdts_evo_")
+    v1 = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type")
+    v2 = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "props"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(base, "seg=v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "seg=v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "seg=v1"), os.path.join(base, "seg=v2")
+    )
+    return merged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count("props").cast("bigint").alias("n_with_props"),
+    )
