@@ -82,3 +82,46 @@ def test_kafka_source_gate(spark):
     from big_data_training_spark.operators.sources import kafka_source_available
 
     assert kafka_source_available(spark) in (True, False)
+
+
+def test_q21_semi_anti_join_structure(spark, sf_dir):
+    """Q21's EXISTS/NOT EXISTS must plan as orderkey-equi semi + anti
+    joins (never a cartesian/BNL product) with the shipdate inequality
+    as a residual condition."""
+    from big_data_training_spark.operators.relational import q21_last_shipper_wait
+
+    plan = physical_plan(q21_last_shipper_wait(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_broadcasts_dimensions(spark, sf_dir):
+    """Q2's dims (supplier/nation/region/part) must broadcast; the only
+    shuffle aggregates lineitem by (partkey, suppkey)."""
+    from big_data_training_spark.operators.relational import q2_min_cost_supplier
+
+    plan = physical_plan(q2_min_cost_supplier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_join_no_corpus_shuffle(spark, sf_dir):
+    """The kNN join must broadcast the query batch: the corpus side is
+    scanned pipelined, shuffled only by the tiny per-query window."""
+    from big_data_training_spark.extensions.similarity import sim_knn_join
+
+    plan = physical_plan(sim_knn_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_token_pack_single_shuffle(spark, sf_dir):
+    """Sequence packing = one exchange on the shard key, then window +
+    partial/final agg; no Python, no extra shuffles on the data path."""
+    from big_data_training_spark.extensions.textstats import tx_token_pack
+
+    plan = physical_plan(tx_token_pack(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg
+    assert "Python" not in plan
