@@ -95,14 +95,23 @@ _Z_SCHEMA = "event_id bigint, event_type string, zscore double"
 
 
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """U1/A3 grouped aggregate-then-transform: standardize within key."""
+    """U1/A3 grouped aggregate-then-transform: standardize within key.
+
+    Degenerate groups (single row → std is NaN; zero variance → std 0)
+    emit NaN, matching the oracle's stddev_samp semantics (NULL for
+    n=1, 0/0 for constant groups) instead of a fake 0.0 — and avoiding
+    the scalar-0.0 `.round` crash on valid inputs.
+    """
     std = pdf["value"].std()
-    z = (pdf["value"] - pdf["value"].mean()) / std if std > 0 else 0.0
+    if pd.notna(std) and std > 0:
+        z = ((pdf["value"] - pdf["value"].mean()) / std).round(4)
+    else:
+        z = pd.Series([float("nan")] * len(pdf), index=pdf.index)
     return pd.DataFrame(
         {
             "event_id": pdf["event_id"],
             "event_type": pdf["event_type"],
-            "zscore": z.round(4),
+            "zscore": z,
         }
     )
 

@@ -228,22 +228,31 @@ def st_e1_dual_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     topic and the failing branch to the DLQ topic — two sinks, one
     scan per batch (the reference's DLQ forwarder, kafka/README.md:202).
     Returns the DLQ-side counts read back from its sink."""
-    import tempfile
+    import os
     import uuid
 
+    from big_data_training_spark.streaming.replay import (
+        cleanup_scratch,
+        materialize,
+        scratch_dir,
+    )
+
     events = read_stream_table(spark, sf_dir, "events")
-    base = tempfile.mkdtemp(prefix="bdts_dual_")
+    base = scratch_dir("bdts_dual_")
     ok_dir, dlq_dir = base + "/ok", base + "/dlq"
 
     def route(batch_df: DataFrame, epoch_id: int) -> None:
+        # One partition dir per epoch, overwritten: a retried micro-batch
+        # rewrites its own output instead of double-appending (idempotent
+        # sink — the foreachBatch contract is at-least-once per epoch).
         batch_df.persist()
         try:
             batch_df.filter(F.col("event_type") != "error").write.mode(
-                "append"
-            ).parquet(ok_dir)
+                "overwrite"
+            ).parquet(f"{ok_dir}/epoch={epoch_id}")
             batch_df.filter(F.col("event_type") == "error").write.mode(
-                "append"
-            ).parquet(dlq_dir)
+                "overwrite"
+            ).parquet(f"{dlq_dir}/epoch={epoch_id}")
         finally:
             batch_df.unpersist()
 
@@ -256,11 +265,18 @@ def st_e1_dual_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return (
+    if not os.path.isdir(dlq_dir):
+        # No error events in the stream → the DLQ branch never wrote;
+        # an empty result, not a read failure.
+        cleanup_scratch()
+        return spark.createDataFrame([], "event_type string, n_dlq bigint")
+    out = materialize(
         spark.read.parquet(dlq_dir)
         .groupBy("event_type")
         .agg(F.count("*").alias("n_dlq"))
     )
+    cleanup_scratch()
+    return out
 
 
 @register(
@@ -407,14 +423,18 @@ def st_k1_foreachbatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation in the stream and the top-k in foreachBatch over each
     micro-batch's complete state — the exact two-topic split of the
     reference, with the intermediate topic replaced by the state store."""
-    import tempfile
+    from big_data_training_spark.streaming.replay import (
+        cleanup_scratch,
+        materialize,
+        scratch_dir,
+    )
 
     events = read_stream_table(spark, sf_dir, "events")
     agg = (
         events.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
         .agg(dsum("value", "total_value"))
     )
-    out_dir = tempfile.mkdtemp(prefix="bdts_topk_") + "/out"
+    out_dir = scratch_dir("bdts_topk_") + "/out"
     spark_ref = spark
 
     def emit_topk(batch_df: DataFrame, epoch_id: int) -> None:
@@ -439,7 +459,9 @@ def st_k1_foreachbatch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark_ref.read.parquet(out_dir)
+    out = materialize(spark_ref.read.parquet(out_dir))
+    cleanup_scratch()
+    return out
 
 
 @register(
@@ -569,7 +591,9 @@ def w6_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COMPACT_STATE = "last_offset BIGINT, last_ts_us BIGINT, last_type STRING"
-_COMPACT_OUT = "user_id BIGINT, last_offset BIGINT, last_type STRING"
+_COMPACT_OUT = (
+    "user_id BIGINT, last_offset BIGINT, last_ts_us BIGINT, last_type STRING"
+)
 
 
 def _latest_per_key_state(
@@ -590,7 +614,12 @@ def _latest_per_key_state(
             off, ts_us, typ = int(top["event_id"]), r_us, str(top["event_type"])
     state.update((off, ts_us, typ))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "last_offset": [off], "last_type": [typ]}
+        {
+            "user_id": [key[0]],
+            "last_offset": [off],
+            "last_ts_us": [ts_us],
+            "last_type": [typ],
+        }
     )
 
 
@@ -623,13 +652,16 @@ def st_c1_stream_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = run_to_completion(result, "update")
-    # final emission per key (offsets are monotone in event time, so the
-    # max last_offset row is the terminal state) — multi-batch safe.
-    w = Window.partitionBy("user_id").orderBy(F.desc("last_offset"))
+    # Final emission per key, ordered by the state's OWN ordering
+    # (ts_us, then offset) — not by offset alone, which would pick a
+    # stale emission if a later-ts record carried a smaller event_id.
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("last_ts_us"), F.desc("last_offset")
+    )
     return (
         sink.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .drop("rn")
+        .drop("rn", "last_ts_us")
     )
 
 
