@@ -23,6 +23,8 @@ bucket. The signature computation itself is a pure map — linear scan.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -59,19 +61,29 @@ _SQL_SHINGLES_CTE = f"""
 """
 
 
-# Caches from earlier invocations are unpersisted before a new one is
-# created: the driver runs every registered query in one long-lived
-# session, and leaked InMemoryRelations would pin storage memory.
+# Caches from earlier invocations are evicted once enough newer ones
+# exist: the driver runs every registered query in one long-lived
+# session, and leaked InMemoryRelations would pin storage memory. The
+# tracker is thread-safe and keeps the most recent few caches live, so
+# a driver that *interleaves* dedup queries on separate threads never
+# has its working cache unpersisted out from under it (unpersist is a
+# perf event, not a correctness one — but thrashing is still waste).
+_CACHE_SLOTS = 4
 _live_caches: list[DataFrame] = []
+_cache_lock = threading.Lock()
 
 
 def _cache_tracked(df: DataFrame) -> DataFrame:
-    while _live_caches:
+    cached = df.cache()
+    with _cache_lock:
+        _live_caches.append(cached)
+        evicted = _live_caches[: -_CACHE_SLOTS]
+        del _live_caches[: -_CACHE_SLOTS]
+    for old in evicted:
         try:
-            _live_caches.pop().unpersist()
+            old.unpersist()
         except Exception:
             pass
-    _live_caches.append(df.cache())
     return df
 
 
@@ -326,29 +338,35 @@ def dd_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "sig", F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key"))
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_i"),
-            F.col("b.doc_id").alias("doc_j"),
-            F.col("a.sig").alias("sig_i"),
-            F.col("b.sig").alias("sig_j"),
-        )
-        .dropDuplicates(["doc_i", "doc_j"])
-    )
+    # Score est-Jaccard *inside* the band join, before deduplicating
+    # multi-band collisions: the dedup shuffle then carries only
+    # (bigint, bigint, double) rows — a HashAggregate — instead of
+    # dragging the 16-element signature arrays through a SortAggregate.
+    # The estimate is deterministic per pair, so scoring commutes with
+    # the dedup; filtering early also shrinks the dedup input.
     est = (
-        F.size(F.expr("filter(zip_with(sig_i, sig_j, (x, y) -> x = y), v -> v)"))
+        F.size(
+            F.filter(
+                F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
         / F.lit(N_HASHES)
     )
+    cand = a.join(
+        b,
+        (F.col("a.b") == F.col("b.b"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_i"),
+        F.col("b.doc_id").alias("doc_j"),
+        est.alias("est_jaccard"),
+    )
     return (
-        cand.withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= MINHASH_TAU)
-        .select("doc_i", "doc_j", F.round("est_jaccard", 4).alias("est_jaccard"))
+        cand.filter(F.col("est_jaccard") >= MINHASH_TAU)
+        .groupBy("doc_i", "doc_j")
+        .agg(F.round(F.max("est_jaccard"), 4).alias("est_jaccard"))
     )
 
 
@@ -551,9 +569,12 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dd_cluster_components",
-    _SQL_JACCARD_PAIRS_CTES.replace("WITH toks", "WITH RECURSIVE toks")
-    + """
-    , e AS (
+    (_SQL_SIG_CTE + _LSH_PAIRS_SQL_BODY).replace("WITH toks", "WITH RECURSIVE toks")
+    + f"""
+    , pairs AS (
+        SELECT doc_i, doc_j FROM scored WHERE est_jaccard >= {MINHASH_TAU}
+    ),
+    e AS (
         SELECT doc_i AS src, doc_j AS dst FROM pairs
         UNION
         SELECT doc_j AS src, doc_i AS dst FROM pairs
@@ -565,58 +586,26 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT node AS doc_id, min(comp) AS component_id FROM closure GROUP BY node
     """,
-    doc="near-dup cluster assignment: connected components over Jaccard pairs",
+    doc="near-dup cluster assignment: connected components over MinHash-LSH pairs",
 )
 def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group near-duplicate pairs into clusters (the step after pair
     mining in a real dedup pipeline: keep one doc per component).
 
-    Iterative min-label propagation over the symmetric pair graph:
-    every node starts as its own component, each round adopts the
-    minimum label among itself and its neighbors, until a round changes
-    nothing. Near-dup components are short-diameter (duplicates of one
-    source document), so rounds ≈ 2-3; the oracle is the transitive
-    closure as a recursive CTE.
-
-    Scale: each round is one shuffle keyed on node id over a graph
-    already reduced to near-dup pairs (≪ corpus size). For adversarial
-    long-chain graphs swap in alternating large-star/small-star
-    (O(log d) rounds) — the per-round DataFrame shape is identical.
-    Convergence is checked with a count on the labels that changed,
-    which adds one cheap job per round."""
-    pairs = dd_ngram_jaccard_pairs(spark, sf_dir)
-    half = pairs.select(F.col("doc_i").alias("src"), F.col("doc_j").alias("dst"))
-    edges = half.union(
-        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("comp", F.col("node"))
-        .cache()
+    The pair source is the MinHash-LSH path — the only pair miner that
+    exists at 100 TB (the exact Jaccard join is the quadratic baseline
+    you cannot run there). Clustering is alternating large-star/
+    small-star (extensions/components.py): O(log² n) shuffle rounds
+    independent of cluster diameter, per-round lineage truncated with
+    localCheckpoint, and a hard error — never silently-wrong labels —
+    if the edge set has not reached its fixed point. The oracle is the
+    transitive closure over the same LSH pair set as a recursive CTE."""
+    from big_data_training_spark.extensions.components import (
+        connected_components,
     )
-    for _ in range(50):
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("comp").alias("ncomp"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"),
-            )
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()
-    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("component_id"))
+
+    pairs = dd_minhash_lsh_pairs(spark, sf_dir)
+    labels = connected_components(pairs, src="doc_i", dst="doc_j")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
+    )

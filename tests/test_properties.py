@@ -139,10 +139,10 @@ def test_cluster_components_invariants(spark, sf_dir):
     member id, and docs outside the pair graph don't appear."""
     from big_data_training_spark.extensions.dedup import (
         dd_cluster_components,
-        dd_ngram_jaccard_pairs,
+        dd_minhash_lsh_pairs,
     )
 
-    pairs = dd_ngram_jaccard_pairs(spark, sf_dir).collect()
+    pairs = dd_minhash_lsh_pairs(spark, sf_dir).collect()
     comp = {
         r.doc_id: r.component_id
         for r in dd_cluster_components(spark, sf_dir).collect()
@@ -156,6 +156,67 @@ def test_cluster_components_invariants(spark, sf_dir):
         members.setdefault(c, []).append(node)
     for c, ms in members.items():
         assert c == min(ms), (c, ms)
+
+
+def test_components_chain_graph_converges(spark):
+    """Adversarial chain 0-1-2-…-N: diameter N defeats naive min-label
+    propagation round caps; large-star/small-star must still converge
+    (O(log² n) rounds) and label every node with the chain minimum."""
+    from big_data_training_spark.extensions.components import (
+        connected_components,
+    )
+
+    n = 300
+    chain = [(i, i + 1) for i in range(n)]
+    # a second component plus an isolated-pair component, shuffled ids
+    extra = [(1000 + i, 1000 + (i + 1) % 7) for i in range(7)] + [(5000, 4999)]
+    edges = spark.createDataFrame(chain + extra, "doc_i bigint, doc_j bigint")
+    got = {
+        r.node: r.comp
+        for r in connected_components(edges, max_rounds=12).collect()
+    }
+    assert {r for r in got} == set(range(n + 1)) | {1000 + i for i in range(7)} | {4999, 5000}
+    assert all(got[i] == 0 for i in range(n + 1))
+    assert all(got[1000 + i] == 1000 for i in range(7))
+    assert got[4999] == 4999 and got[5000] == 4999
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_components_match_union_find(spark, pairs):
+    """Star-algorithm labels equal a reference union-find on arbitrary
+    small graphs (self-loops and duplicate edges included)."""
+    from big_data_training_spark.extensions.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(pairs, "doc_i bigint, doc_j bigint")
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in pairs:
+        if a == b:
+            continue
+        nodes |= {a, b}
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in nodes}
+    assert got == want
 
 
 def test_token_pack_partitions_corpus(spark, sf_dir):
