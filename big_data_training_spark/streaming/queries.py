@@ -525,6 +525,70 @@ def w5_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "append")
 
 
+_SESS_EVICT_STATE = "n BIGINT, start_us BIGINT, last_us BIGINT"
+_SESS_EVICT_OUT = (
+    "user_id BIGINT, n_events BIGINT, session_start TIMESTAMP,"
+    " session_end TIMESTAMP"
+)
+SESSION_EVICT_GAP_MS = 10 * 60 * 1000
+
+
+def _session_evict_state(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """W6 ProcessFunction-with-timers (flink/README.md:28): accumulate a
+    session per key, register an event-time timer at last-event + gap,
+    and emit the completed session ONLY when the watermark passes the
+    timer (``state.hasTimedOut``) — the timer-driven eviction the
+    reference's ProcessFunction demonstrates. Data calls emit nothing."""
+    if state.hasTimedOut:
+        n, start_us, last_us = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+        return
+    n, start_us, last_us = state.get if state.exists else (0, None, None)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        us = (
+            pd.to_datetime(pdf["ts"]).astype("datetime64[us]").astype("int64")
+        )
+        n += len(pdf)
+        lo, hi = int(us.min()), int(us.max())
+        start_us = lo if start_us is None else min(start_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+    if last_us is None:
+        return
+    state.update((n, start_us, last_us))
+    # event-time timer: fire once the watermark passes last event + gap
+    state.setTimeoutTimestamp(last_us // 1000 + SESSION_EVICT_GAP_MS)
+
+
+def w6_session_timeout(stream: DataFrame) -> DataFrame:
+    """W6: timer-evicted sessionization over any (user_id, ts) stream.
+    Sessions are emitted exclusively by firing timers, never by data —
+    exercised multi-batch in tests/test_streaming.py."""
+    return (
+        stream.withWatermark("ts", "0 seconds")
+        .select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_evict_state,
+            outputStructType=_SESS_EVICT_OUT,
+            stateStructType=_SESS_EVICT_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def _tws_processor():
     """W6/ST4 on the Spark 4 API: StatefulProcessor with explicit state
     handles (and timer support — the Flink ProcessFunction surface,

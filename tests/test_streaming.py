@@ -93,6 +93,65 @@ def test_watermark_drops_late_data(spark):
     shutil.rmtree(src, ignore_errors=True)
 
 
+def test_w6_event_time_timer_evicts_session(spark):
+    """W6 (flink/README.md:28): a registered event-time timer actually
+    FIRES — the session row is emitted by the timeout path
+    (state.hasTimedOut), not by any data-carrying call. Three
+    micro-batches: batch 1 opens sessions for users 1 and 2; batch 2
+    extends user 2 and advances the watermark past user 1's
+    last-event+gap timer; batch 3 runs the fired timer, evicting user
+    1's session. User 2's timer (not yet passed) must NOT fire."""
+    import datetime as dt
+    import time
+
+    from big_data_training_spark.streaming.queries import w6_session_timeout
+
+    src = tempfile.mkdtemp(prefix="bdts_timer_")
+    schema = "user_id bigint, ts timestamp"
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        path = os.path.join(src, name)
+        df.write.mode("overwrite").parquet(path)
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (mtime, mtime))
+        os.utime(path, (mtime, mtime))
+
+    t = lambda h, m: dt.datetime(2024, 6, 1, h, m)
+    now = time.time()
+    write_file("f1", [(1, t(0, 0)), (1, t(0, 1)), (2, t(0, 1))], now - 100)
+    write_file("f2", [(2, t(1, 0))], now - 50)
+    write_file("f3", [(3, t(2, 0))], now - 10)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = (
+        w6_session_timeout(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("timer_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(spark.table("timer_out").collect(), key=lambda r: r.user_id)
+    # user 1's timer (00:01+10m = 00:11) fires once the watermark passes
+    # it (batch 3, watermark 01:00); user 2's (01:10) fires in the
+    # closing no-data micro-batch after the watermark reaches 02:00.
+    # user 3's (02:10) never passes the final watermark — no eviction,
+    # proving rows come from fired timers, not stream shutdown.
+    assert [(r.user_id, r.n_events) for r in rows] == [(1, 2), (2, 2)], rows
+    assert (rows[0].session_start, rows[0].session_end) == (t(0, 0), t(0, 1))
+    assert (rows[1].session_start, rows[1].session_end) == (t(0, 1), t(1, 0))
+    spark.catalog.dropTempView("timer_out")
+    shutil.rmtree(src, ignore_errors=True)
+
+
 def test_transform_with_state_gate(spark, sf_dir):
     """The Spark 4 stateful API degrades loudly, not silently."""
     from big_data_training_spark.streaming.queries import (
