@@ -219,6 +219,56 @@ def s8_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s9_warehouse_saveastable",
+    """
+    SELECT o_orderpriority AS priority, count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS total_price
+    FROM orders GROUP BY 1
+    """,
+    doc="S9: warehouse storage — bucketed saveAsTable, read back via catalog",
+)
+def s9_warehouse_saveastable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse write-through (README.md:20 table-storage story): persist
+    orders as a catalog table — bucketed by o_custkey so later joins on
+    the key can skip their Exchange (tests/test_scale_strategies.py
+    proves that plan) — then read it back through ``spark.table`` and
+    aggregate. The table is external (explicit path) so the scratch dir,
+    not a global warehouse, owns the files; metadata round-trips through
+    the session catalog, which is this container's stand-in for a Hive
+    metastore."""
+    import shutil
+
+    from big_data_training_spark.streaming.replay import materialize
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="bdts_wh_") + "/orders_tbl"
+    name = "bdts_s9_orders"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        orders.write.mode("overwrite")
+        .option("path", d)
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable(name)
+    )
+    out = materialize(
+        spark.table(name)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"),
+                2,
+            ).alias("total_price"),
+        )
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+    return out
+
+
+@register(
     "s_schema_evolution",
     """
     SELECT event_type,

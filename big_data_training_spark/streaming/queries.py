@@ -525,6 +525,37 @@ def w5_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "append")
 
 
+@register(
+    "s7_console_sink",
+    """
+    SELECT event_type, count(*) AS n FROM events GROUP BY 1
+    """,
+    doc="S7: console/print sink — streaming aggregate to stdout, verified twin",
+)
+def s7_console_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The print/console sink (kafka/README.md console consumer, Flink
+    ``print()``): a real ``format("console")`` streaming query runs to
+    completion — the sink itself is stdout, so a second identical
+    pipeline into a memory sink produces the oracle-checkable result."""
+    events = read_stream_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("console")
+        .option("numRows", 5)
+        .option("truncate", True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    events2 = read_stream_table(spark, sf_dir, "events")
+    return run_to_completion(
+        events2.groupBy("event_type").agg(F.count("*").alias("n")), "complete"
+    )
+
+
 _SESS_EVICT_STATE = "n BIGINT, start_us BIGINT, last_us BIGINT"
 _SESS_EVICT_OUT = (
     "user_id BIGINT, n_events BIGINT, session_start TIMESTAMP,"

@@ -161,6 +161,53 @@ def test_transform_with_state_gate(spark, sf_dir):
     assert transform_with_state_available() in (True, False)
 
 
+def test_u4_query_listener_lifecycle(spark, sf_dir):
+    """U4 (kafka/README.md rebalance-listener analog): a registered
+    StreamingQueryListener observes the consumer lifecycle — start,
+    per-batch progress with row counts and the source's offset range,
+    and termination."""
+    import time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    seen: dict[str, object] = {"rows": 0}
+
+    class Lifecycle(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            seen["started"] = str(event.id)
+
+        def onQueryProgress(self, event):
+            seen["rows"] += event.progress.numInputRows
+            srcs = event.progress.sources
+            if srcs and srcs[0].endOffset is not None:
+                seen["end_offset"] = srcs[0].endOffset
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            seen["terminated"] = str(event.id)
+
+    listener = Lifecycle()
+    spark.streams.addListener(listener)
+    try:
+        stream = read_stream_table(spark, sf_dir, "events")
+        run_to_completion(
+            stream.groupBy("event_type").agg(F.count("*").alias("n")),
+            "complete",
+        )
+        # listener events post asynchronously on the listener bus
+        deadline = time.time() + 15
+        while time.time() < deadline and "terminated" not in seen:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(listener)
+    assert seen.get("started") is not None
+    assert seen.get("terminated") == seen["started"]
+    assert seen["rows"] > 0
+    assert "end_offset" in seen
+
+
 def test_checkpoint_recovery_resumes_not_reprocesses(spark, sf_dir):
     """ST3: restart from checkpoint must not re-emit processed offsets
     (kafka/README.md:357-358 changelog-restore analog)."""
