@@ -75,6 +75,7 @@ def _window_apply(pdf: pd.DataFrame) -> pd.DataFrame:
     FROM events GROUP BY user_id, date_trunc('day', ts)
     """,
     doc="W3: full-window apply (arbitrary per-window logic) via applyInPandas",
+    bench=True,
 )
 def w3_window_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WindowFunction (flink/README.md:27): aggregate all elements of a

@@ -53,6 +53,7 @@ def st_stream_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY 1, 2
     """,
     doc="A11/W1 streaming form: tumbling 1-hour windowed counts",
+    bench=True,
 )
 def st_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling-window aggregation, complete mode — the
