@@ -54,6 +54,8 @@ _OPERATOR_MODULES = (
     "operators.dlq",
     "operators.partitioning",
     "operators.analytics",
+    "operators.temporal",
+    "operators.multidim",
     "operators.sources",
     "operators.cdc",
     "functions.udfs",
