@@ -1,0 +1,304 @@
+"""Distributed sketches: KMV distinct-count estimation and a bloom-
+filter membership pipeline — the approximate-counting / compact-filter
+layer a 100 TB engine needs where exact distinct or a full join is too
+expensive (the role HyperLogLog / bloom indexes play in the reference's
+ecosystem; SURVEY.md §2 A-family at scale).
+
+Why KMV and not HLL here: the queries must verify bit-for-bit against
+the DuckDB oracle, and Spark's `approx_count_distinct` HLL++ sketch is
+engine-private. K-Minimum-Values over the portable md5-derived hash
+(functions/hashing.py) is deterministic in *any* engine: the sketch is
+literally "the k smallest distinct hashes", and the estimator
+(k-1)·M/h_k uses only exactly-representable doubles plus one
+round-to-nearest bigint→double cast that IEEE 754 fixes identically
+everywhere. Same operator family, exact cross-engine parity.
+
+Scale design:
+
+* The per-group k-smallest runs as a row_number window — Spark plans
+  WindowGroupLimit, which pre-filters each map partition to its local
+  top-k BEFORE the shuffle, so the exchange carries O(groups · k) rows
+  no matter how many billions of inputs.
+* KMV sketches merge by set-union + re-truncate (any hash in the
+  global k-smallest is in its group's k-smallest), which is exactly a
+  re-run of the same window over the tiny union — demonstrated and
+  asserted by ``sk_kmv_merge_global``. That mergeability is what a
+  1000-executor partial aggregate relies on.
+* The bloom filter is 65 words × 63 bits (63 so no set bit ever lands
+  on the sign bit — bigint shifts then behave identically in every
+  engine). Build = one bit_or aggregate over exploded probe positions;
+  probe = equi-join against the 65-row word table (broadcast), never a
+  key-to-key join. Replacing a 100 TB semi-join with a kilobyte of
+  broadcast state is the entire point of the operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_training_spark.data import load_table
+from big_data_training_spark.functions.hashing import hash60, sql_hash60
+from big_data_training_spark.registry import register
+
+KMV_K = 16
+_M_DOUBLE = float(2**60)  # hash60 range; (KMV_K-1)*M is an exact double
+
+
+def _kmv_est(kth: str, n_sketch: str):
+    """KMV estimator: exact when the sketch is unsaturated, else
+    (k-1)·M / h_k floored to bigint (deterministic: see module doc)."""
+    return F.when(F.col(n_sketch) < KMV_K, F.col(n_sketch)).otherwise(
+        F.floor(F.lit((KMV_K - 1) * _M_DOUBLE) / F.col(kth).cast("double"))
+    )
+
+
+def _sql_kmv_est(kth: str, n_sketch: str) -> str:
+    return (
+        f"CASE WHEN {n_sketch} < {KMV_K} THEN {n_sketch} ELSE CAST(floor("
+        f"{float(KMV_K - 1)} * {_M_DOUBLE!r} / CAST({kth} AS DOUBLE)) AS BIGINT)"
+        f" END"
+    )
+
+
+_SQL_KMV_PER_TYPE_CTE = f"""
+    WITH dh AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), hashed AS (
+        SELECT event_type, {sql_hash60("CAST(user_id AS VARCHAR)")} AS h FROM dh
+    ), ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed
+    ), sk AS (
+        SELECT event_type, max(h) AS kth_hash, count(*) AS n_sketch
+        FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type
+    ), ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY event_type
+    )
+"""
+
+
+@register(
+    "sk_kmv_distinct_per_type",
+    _SQL_KMV_PER_TYPE_CTE
+    + f"""
+    SELECT sk.event_type, sk.n_sketch, sk.kth_hash,
+           {_sql_kmv_est('sk.kth_hash', 'sk.n_sketch')} AS est_distinct,
+           ex.exact_distinct
+    FROM sk JOIN ex ON ex.event_type = sk.event_type
+    """,
+    doc="KMV distinct-count sketch per key (k smallest portable hashes;"
+    " engine-exact estimator), with the exact count alongside",
+)
+def sk_kmv_distinct_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-size distinct estimation: the shuffle after the local
+    WindowGroupLimit carries at most k rows per group regardless of
+    input size. The exact count rides along to exhibit sketch error."""
+    ev = load_table(spark, sf_dir, "events")
+    hashed = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type", hash60(F.col("user_id").cast("string")).alias("h")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("kth_hash"), F.count("*").alias("n_sketch"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return (
+        sk.join(exact, "event_type")
+        .withColumn("est_distinct", _kmv_est("kth_hash", "n_sketch"))
+        .select(
+            "event_type", "n_sketch", "kth_hash", "est_distinct", "exact_distinct"
+        )
+    )
+
+
+@register(
+    "sk_kmv_merge_global",
+    _SQL_KMV_PER_TYPE_CTE
+    + f"""
+    , merged AS (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM ranked WHERE rn <= {KMV_K})
+    ), msk AS (
+        SELECT max(h) AS kth_hash, count(*) AS n_sketch
+        FROM merged WHERE rn <= {KMV_K}
+    ), direct AS (
+        SELECT max(h) AS kth_hash, count(*) AS n_sketch FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS rn
+            FROM (SELECT DISTINCT {sql_hash60("CAST(user_id AS VARCHAR)")} AS h
+                  FROM events)
+        ) WHERE rn <= {KMV_K}
+    ), exg AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
+    SELECT {_sql_kmv_est('msk.kth_hash', 'msk.n_sketch')} AS est_merged,
+           {_sql_kmv_est('direct.kth_hash', 'direct.n_sketch')} AS est_direct,
+           exg.exact_distinct
+    FROM msk, direct, exg
+    """,
+    doc="KMV mergeability: union of per-key sketches re-truncated equals"
+    " the sketch built directly over the whole log",
+)
+def sk_kmv_merge_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge path vs direct path: the global k-smallest is a subset of
+    the union of per-group k-smallest, so merging sketches (tiny) gives
+    the same estimate as sketching the full log — the invariant that
+    lets partial aggregates combine across 1000 executors."""
+    ev = load_table(spark, sf_dir, "events")
+    hashed = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type", hash60(F.col("user_id").cast("string")).alias("h")
+        )
+    )
+    wg = Window.partitionBy("event_type").orderBy("h")
+    per_group = (
+        hashed.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= KMV_K)
+        .select("h")
+        .distinct()
+    )
+    wglob = Window.orderBy("h")
+    merged = (
+        per_group.withColumn("rn", F.row_number().over(wglob))
+        .filter(F.col("rn") <= KMV_K)
+        .agg(F.max("h").alias("kth_hash"), F.count("*").alias("n_sketch"))
+        .withColumn("est_merged", _kmv_est("kth_hash", "n_sketch"))
+        .select("est_merged")
+    )
+    direct = (
+        ev.select(hash60(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(wglob))
+        .filter(F.col("rn") <= KMV_K)
+        .agg(F.max("h").alias("kth_hash"), F.count("*").alias("n_sketch"))
+        .withColumn("est_direct", _kmv_est("kth_hash", "n_sketch"))
+        .select("est_direct")
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return merged.crossJoin(direct).crossJoin(exact)
+
+
+# Bloom geometry: 63 usable bits per word keeps every shift below the
+# sign bit (engine-identical bigint semantics); 65 words ≈ 4095 bits for
+# ~657 build keys at 3 probes -> ~5% false-positive rate, visible in the
+# confusion counts without drowning them.
+BLOOM_WORDS = 65
+BLOOM_BITS = BLOOM_WORDS * 63
+BLOOM_PROBES = 3
+BLOOM_ACCTBAL_MIN = 5000.0
+
+
+def _bloom_positions_spark(key_col: str):
+    """The BLOOM_PROBES hash positions of a bigint key, as (word, bit)."""
+    return [
+        F.pmod(
+            hash60(F.concat(F.lit(f"bloom{i}:"), F.col(key_col).cast("string"))),
+            F.lit(BLOOM_BITS),
+        ).alias(f"pos{i}")
+        for i in range(BLOOM_PROBES)
+    ]
+
+
+def _sql_bloom_pos(i: int, key_expr: str) -> str:
+    salted = "'bloom" + str(i) + ":' || CAST(" + key_expr + " AS VARCHAR)"
+    return f"{sql_hash60(salted)} % {BLOOM_BITS}"
+
+
+_SQL_BLOOM_CTE = f"""
+    WITH build_keys AS (
+        SELECT c_custkey AS key FROM customer WHERE c_acctbal > {BLOOM_ACCTBAL_MIN}
+    ), build_pos AS (
+        {" UNION ALL ".join(f"SELECT key, {_sql_bloom_pos(i, 'key')} AS pos FROM build_keys" for i in range(BLOOM_PROBES))}
+    ), words AS (
+        SELECT pos // 63 AS word, bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS w
+        FROM build_pos GROUP BY 1
+    ), probe_keys AS (
+        SELECT DISTINCT o_custkey AS key FROM orders
+    ), probe_pos AS (
+        {" UNION ALL ".join(f"SELECT key, {_sql_bloom_pos(i, 'key')} AS pos FROM probe_keys" for i in range(BLOOM_PROBES))}
+    ), probe_hits AS (
+        SELECT p.key,
+               min(CASE WHEN ((coalesce(w.w, 0) >> CAST(p.pos % 63 AS INT)) & 1) = 1
+                        THEN 1 ELSE 0 END) AS all_set
+        FROM probe_pos p LEFT JOIN words w ON w.word = p.pos // 63
+        GROUP BY p.key
+    ), flags AS (
+        SELECT h.key, h.all_set = 1 AS maybe_member,
+               b.key IS NOT NULL AS is_member
+        FROM probe_hits h LEFT JOIN build_keys b ON b.key = h.key
+    )
+"""
+
+
+@register(
+    "sk_bloom_membership",
+    _SQL_BLOOM_CTE
+    + """
+    SELECT maybe_member, is_member, count(*) AS n
+    FROM flags GROUP BY maybe_member, is_member
+    """,
+    doc="Bloom-filter membership: kilobyte bit array replaces a key join;"
+    " confusion counts show FPs but never FNs",
+)
+def sk_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a 65-word bloom filter over high-balance customers with one
+    bit_or aggregate, probe every distinct order customer against the
+    broadcast word table, and tally (maybe, actual) — no row of which
+    may be (maybe=false, actual=true), the no-false-negative guarantee.
+    At 100 TB the words table is still 65 rows: the probe side scales
+    linearly with zero shuffle before the final 4-row aggregate."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build_keys = customer.filter(F.col("c_acctbal") > BLOOM_ACCTBAL_MIN).select(
+        F.col("c_custkey").alias("key")
+    )
+    pos_cols = _bloom_positions_spark("key")
+    build_pos = (
+        build_keys.select("key", *pos_cols)
+        .selectExpr(
+            "key", f"explode(array({', '.join(f'pos{i}' for i in range(BLOOM_PROBES))})) AS pos"
+        )
+    )
+    words = build_pos.groupBy((F.col("pos") / 63).cast("bigint").alias("word")).agg(
+        F.bit_or(F.expr("shiftleft(1L, cast(pos % 63 as int))")).alias("w")
+    )
+    probe_keys = orders.select(F.col("o_custkey").alias("key")).distinct()
+    probe_pos = (
+        probe_keys.select("key", *pos_cols)
+        .selectExpr(
+            "key", f"explode(array({', '.join(f'pos{i}' for i in range(BLOOM_PROBES))})) AS pos"
+        )
+    )
+    hits = (
+        probe_pos.join(
+            F.broadcast(words),
+            (F.col("pos") / 63).cast("bigint") == F.col("word"),
+            "left",
+        )
+        .select(
+            "key",
+            F.when(
+                F.expr("(shiftright(coalesce(w, 0L), cast(pos % 63 as int)) & 1) = 1"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("hit"),
+        )
+        .groupBy("key")
+        .agg((F.min("hit") == 1).alias("maybe_member"))
+    )
+    flags = hits.join(
+        F.broadcast(build_keys.withColumn("is_member", F.lit(True))), "key", "left"
+    ).select("maybe_member", F.coalesce("is_member", F.lit(False)).alias("is_member"))
+    return flags.groupBy("maybe_member", "is_member").agg(F.count("*").alias("n"))

@@ -8,7 +8,7 @@ parallel scans — no shuffle except the final aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
@@ -509,4 +509,71 @@ def tx_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(mn))
         .filter(b < F.col("mn").cast("double") / F.col("n") * 1000000)
         .select("doc_id", "lang")
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "tx_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({SQL_TOKENS.format(col='text')}) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM tf
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * ((n.n_docs - df.df + 0.5) / (df.df + 0.5)) AS score
+        FROM tf JOIN df ON df.term = tf.term, n
+    )
+    SELECT doc_id, term, tf, df, score FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+        FROM scored
+    ) WHERE rn <= {TFIDF_TOP_K}
+    """,
+    doc="TF-IDF top terms per document (rational BM25-style idf — "
+    "engine-exact; keyword extraction for corpus curation)",
+)
+def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: term frequency joined with document frequency
+    and ranked per doc. The idf is the rational BM25 form
+    (N - df + 0.5)/(df + 0.5) rather than a log — same monotonicity,
+    but every arithmetic step is IEEE-identical across engines, so the
+    scores (not just the ranks) verify exactly.
+
+    Scale: tf is one shuffle on (doc, term); df one on term; the join
+    back is term-keyed (broadcastable when the vocabulary is small);
+    the per-doc top-k plans WindowGroupLimit, so the rank shuffle
+    carries at most k rows per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * ((F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .drop("rn")
     )

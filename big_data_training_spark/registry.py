@@ -63,6 +63,7 @@ _OPERATOR_MODULES = (
     "functions.json_codec",
     "extensions.dedup",
     "extensions.similarity",
+    "extensions.sketches",
     "extensions.multimodal",
     "extensions.textstats",
     "streaming.queries",
