@@ -61,6 +61,7 @@ _OPERATOR_MODULES = (
     "functions.udfs",
     "functions.text",
     "functions.json_codec",
+    "functions.wire_codecs",
     "extensions.dedup",
     "extensions.similarity",
     "extensions.sketches",
