@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from big_data_training_spark.data import load_table
+from big_data_training_spark.data import load_table, repartition_for_compute
 from big_data_training_spark.registry import register
 
 MM_SCHEMA = (
@@ -81,7 +81,13 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracted in Arrow batches via mapInPandas (the real multimodal
     plumbing), with the decode step a deterministic stub."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    # CPU-heavy decode wants full fan-out; the single-file fixture is one
+    # input split (→ one Python worker) without this. At 100 TB the scan
+    # already has thousands of splits and a real pipeline would skip the
+    # exchange rather than shuffle raw payload bytes.
+    payloads = repartition_for_compute(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
     return payloads.mapInPandas(_extract_features, schema=MM_SCHEMA)
 
 
@@ -130,7 +136,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame rows (1→n, the multimodal flatMap), then per-doc stats. The
     oracle recomputes the deterministic stub arithmetic."""
     docs = load_table(spark, sf_dir, "documents")
-    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    payloads = repartition_for_compute(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
     frames = payloads.mapInPandas(_explode_frames, schema=_FRAME_SCHEMA)
     return (
         frames.groupBy("doc_id")

@@ -307,3 +307,75 @@ def s_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.count("props").cast("bigint").alias("n_with_props"),
     )
+
+
+# Exact output schema of Spark's native Kafka source (structured
+# streaming guide, spark.apache.org): downstream code written against
+# ``format("kafka")`` sees these seven columns.
+KAFKA_SOURCE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset bigint, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def to_kafka_envelope(events: DataFrame, topic: str = "events") -> DataFrame:
+    """Producer side of S1's native-Kafka form (kafka/README.md:69-84):
+    wrap records in the exact wire envelope the Kafka source emits —
+    StringSerializer key (user_id), JSON value bytes, sticky
+    partition = hash(key) % 8, offset = event_id, CreateTime
+    timestampType. Swapping the stand-in for a real broker changes one
+    format string; every consumer downstream is schema-identical."""
+    return events.select(
+        F.encode(F.col("user_id").cast("string"), "UTF-8").alias("key"),
+        F.encode(
+            F.to_json(F.struct("event_id", "event_type", "value")), "UTF-8"
+        ).alias("value"),
+        F.lit(topic).alias("topic"),
+        F.pmod("user_id", F.lit(8)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.lit(0).alias("timestampType"),  # CreateTime
+    )
+
+
+@register(
+    "s1_kafka_envelope_consume",
+    """
+    SELECT CAST(user_id % 8 AS INT) AS partition, count(*) AS n,
+           max(event_id) AS max_offset,
+           count(DISTINCT user_id) AS n_keys,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS total_value
+    FROM events GROUP BY 1
+    """,
+    doc="S1 native form: Kafka wire envelope produce + consumer decode",
+)
+def s1_kafka_envelope_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip through the Kafka source contract: produce the
+    seven-column envelope, then the consumer side deserializes key
+    (string) and value (JSON bytes with explicit schema) and computes
+    per-partition offsets/counts — the consumer-group bookkeeping of
+    kafka/README.md:131-157. All JVM expressions: encode/decode and
+    from_json stay inside whole-stage codegen."""
+    events = load_table(spark, sf_dir, "events")
+    env = to_kafka_envelope(events)
+    assert dict(env.dtypes) == dict(
+        spark.createDataFrame([], KAFKA_SOURCE_SCHEMA).dtypes
+    )
+    parsed = env.select(
+        "partition",
+        "offset",
+        F.decode("key", "UTF-8").cast("bigint").alias("key_id"),
+        F.from_json(
+            F.decode("value", "UTF-8"),
+            "event_id bigint, event_type string, value double",
+        ).alias("rec"),
+    )
+    return parsed.groupBy("partition").agg(
+        F.count("*").alias("n"),
+        F.max("offset").alias("max_offset"),
+        F.countDistinct("key_id").alias("n_keys"),
+        F.round(
+            F.sum(F.col("rec.value").cast("decimal(38,6)")).cast("double"), 2
+        ).alias("total_value"),
+    )
