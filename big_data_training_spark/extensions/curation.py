@@ -1,0 +1,287 @@
+"""Corpus curation for LLM training data: benchmark decontamination,
+incremental dedup against an existing corpus index, and vocabulary-
+coverage quality scoring.
+
+These are the operations a 100 TB training-data pipeline runs *between*
+crawling and training:
+
+* **Decontamination** — remove training documents that share word
+  n-grams with an evaluation benchmark (the published GPT-3/PaLM
+  methodology: exact n-gram collision, not fuzzy match). Scale shape:
+  the benchmark side is tiny (MBs) → build its shingle set once and
+  **broadcast** it; the corpus is scanned linearly and never shuffles.
+* **Incremental dedup** — yesterday's corpus already has MinHash
+  signatures; today's batch must dedup against it without re-pairing
+  the whole corpus. Scale shape: the corpus band index is precomputed
+  (here: the signature map reused), the new batch is small → the join
+  is new-batch × matching band buckets only, never corpus × corpus.
+* **Vocabulary coverage** — fraction of a document's tokens found in
+  the corpus's top-K vocabulary: a cheap quality prior (gibberish and
+  non-prose score low). All-integer arithmetic until the final ratio,
+  so the oracle matches exactly. The vocab table is tiny → broadcast.
+
+Shingling/tokenization conventions are shared with extensions/dedup.py
+so the oracles compose the same CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_training_spark.data import load_table, repartition_for_compute
+from big_data_training_spark.extensions.dedup import (
+    MINHASH_TAU,
+    N_BANDS,
+    N_HASHES,
+    ROWS_PER_BAND,
+    _signatures,
+    _SQL_SIG_CTE,
+)
+from big_data_training_spark.registry import register
+
+# Stand-in split predicates (stable across scale factors): the
+# "benchmark" is every 20th document; the "new batch" every 10th.
+EVAL_PRED = "doc_id % 20 = 0"
+NEW_PRED = "doc_id % 10 = 7"
+
+# Decontamination uses longer n-grams than near-dup shingling: the
+# published methodology is ~13-gram collision (3-grams collide on
+# common phrases and would flag most of any corpus). 8 fits the
+# fixture document lengths while keeping collisions meaningful.
+DECON_K = 8
+
+_DECON_SHINGLES = (
+    "array_distinct(transform("
+    "  sequence(1, greatest(size(ws) - {k} + 1, 0)),"
+    "  i -> concat_ws(' ', slice(ws, i, {k}))))"
+).format(k=DECON_K)
+
+_SQL_DECON_CTE = f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(ws[i:i+{DECON_K - 1}], ' ')
+                              for i in generate_series(1, len(ws) - {DECON_K} + 1)]) AS shingles
+        FROM toks WHERE len(ws) >= {DECON_K}
+    )
+"""
+
+
+def _decon_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.withColumn("ws", F.expr("filter(split(text, '\\\\s+'), w -> w != '')"))
+        .filter(F.size("ws") >= DECON_K)
+        .withColumn("shingles", F.expr(_DECON_SHINGLES))
+        .select("doc_id", "shingles")
+    )
+
+
+@register(
+    "dd_decontaminate_overlap",
+    _SQL_DECON_CTE
+    + f"""
+    SELECT t.doc_id AS doc_id,
+           count(DISTINCT s) AS n_hit_shingles,
+           count(DISTINCT e.doc_id) AS n_eval_docs
+    FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+          WHERE NOT ({EVAL_PRED})) AS t
+    JOIN (SELECT doc_id, unnest(shingles) AS s FROM sh
+          WHERE {EVAL_PRED}) AS e USING (s)
+    GROUP BY 1
+    """,
+    doc="decontamination: training docs sharing n-grams with the eval set",
+)
+def dd_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram collision against the benchmark shingle set. The
+    eval side is broadcast — a real benchmark is MBs against a 100 TB
+    corpus, so the corpus scan stays shuffle-free and the flagged set
+    is the only small output."""
+    sh = _decon_shingled(spark, sf_dir)
+    train = sh.filter(f"NOT ({EVAL_PRED})").select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    eval_sh = sh.filter(EVAL_PRED).select(
+        F.col("doc_id").alias("eval_doc_id"), F.explode("shingles").alias("s")
+    )
+    return (
+        train.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("s").alias("n_hit_shingles"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+    )
+
+
+@register(
+    "dd_decontaminated_stats",
+    _SQL_DECON_CTE
+    + f"""
+    , flagged AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+              WHERE NOT ({EVAL_PRED})) AS t
+        JOIN (SELECT doc_id, unnest(shingles) AS s FROM sh
+              WHERE {EVAL_PRED}) AS e USING (s)
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM documents d
+    WHERE NOT ({EVAL_PRED}) AND doc_id NOT IN (SELECT doc_id FROM flagged)
+    GROUP BY lang
+    """,
+    doc="decontamination end-to-end: drop flagged docs, surviving-corpus stats",
+)
+def dd_decontaminated_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal step: anti-join the contamination flags back onto the
+    corpus and report what survives, per language — the go/no-go view a
+    data pipeline publishes after each decontamination pass."""
+    docs = load_table(spark, sf_dir, "documents").filter(f"NOT ({EVAL_PRED})")
+    flagged = dd_decontaminate_overlap(spark, sf_dir).select("doc_id")
+    return (
+        docs.join(F.broadcast(flagged), "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "dd_incremental_lsh_probe",
+    _SQL_SIG_CTE
+    + f"""
+    , bands AS (
+        SELECT doc_id, b,
+               md5(array_to_string(sig[b * {ROWS_PER_BAND} + 1 : (b + 1) * {ROWS_PER_BAND}], ',')) AS band_key,
+               sig
+        FROM sig, generate_series(0, {N_BANDS - 1}) AS t(b)
+    ), cand AS (
+        SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id,
+               n.sig AS sig_n, c.sig AS sig_c
+        FROM (SELECT * FROM bands WHERE {NEW_PRED}) AS n
+        JOIN (SELECT * FROM bands WHERE NOT ({NEW_PRED})) AS c
+          ON n.b = c.b AND n.band_key = c.band_key
+    ), scored AS (
+        SELECT new_doc_id, corpus_doc_id,
+               (SELECT count(*) FROM generate_series(1, {N_HASHES}) AS g(i)
+                WHERE sig_n[i] = sig_c[i])::DOUBLE / {N_HASHES} AS est_jaccard
+        FROM cand
+    )
+    SELECT new_doc_id, corpus_doc_id, round(est_jaccard, 4) AS est_jaccard
+    FROM scored WHERE est_jaccard >= {MINHASH_TAU}
+    """,
+    doc="incremental dedup: probe a new batch against the corpus LSH index",
+)
+def dd_incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: band the new batch's signatures and equi-join
+    them against the standing corpus band index. No corpus self-join
+    ever happens — cost is new-batch size × bucket hit rate. At 100 TB
+    the corpus index is a persisted table bucketed by (b, band_key);
+    the probe is then an exchange-free bucket join."""
+    sig = _signatures(spark, sf_dir)
+    band_expr = F.explode(
+        F.expr(
+            f"transform(sequence(0, {N_BANDS - 1}),"
+            f" b -> struct(b as b, md5(concat_ws(',', transform("
+            f"   slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}),"
+            f"   x -> cast(x as string)))) as band_key))"
+        )
+    ).alias("bk")
+    bands = sig.select("doc_id", "sig", band_expr).select(
+        "doc_id", "sig", F.col("bk.b").alias("b"), F.col("bk.band_key").alias("band_key")
+    )
+    new = bands.filter(NEW_PRED).alias("n")
+    corpus = bands.filter(f"NOT ({NEW_PRED})").alias("c")
+    est = (
+        F.size(
+            F.filter(F.zip_with("n.sig", "c.sig", lambda x, y: x == y), lambda v: v)
+        )
+        / F.lit(N_HASHES)
+    )
+    return (
+        F.broadcast(new)
+        .join(
+            corpus,
+            (F.col("n.b") == F.col("c.b"))
+            & (F.col("n.band_key") == F.col("c.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("c.doc_id").alias("corpus_doc_id"),
+            est.alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= MINHASH_TAU)
+        .groupBy("new_doc_id", "corpus_doc_id")
+        .agg(F.round(F.max("est_jaccard"), 4).alias("est_jaccard"))
+    )
+
+
+VOCAB_TOP_K = 100
+
+
+@register(
+    "tx_vocab_coverage",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w FROM (
+            SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rk
+            FROM toks GROUP BY w
+        ) WHERE rk <= {VOCAB_TOP_K}
+    )
+    SELECT doc_id, count(*) AS n_tokens,
+           sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS n_in_vocab,
+           round(sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4) AS coverage
+    FROM toks t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY doc_id
+    """,
+    doc="quality prior: per-doc coverage of the corpus top-100 vocabulary",
+)
+def tx_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass vocabulary coverage: (1) aggregate the global top-K
+    vocabulary (tiny, ties broken deterministically by word); (2)
+    broadcast it back over the token stream. Integer counts throughout;
+    the only double is the final rounded ratio, so Spark and the oracle
+    agree bit-for-bit. At 100 TB pass 1 is a partial-agg word count
+    (A1) and pass 2 a broadcast hash join — no corpus shuffle."""
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), w -> w != '')")).alias("w"),
+    )
+    from pyspark.sql import Window
+
+    counts = toks.groupBy("w").agg(F.count("*").alias("n"))
+    vocab = (
+        counts.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), F.asc("w"))
+            ),
+        )
+        .filter(F.col("rk") <= VOCAB_TOP_K)
+        .select("w")
+    )
+    hit = F.when(F.col("v_w").isNotNull(), 1).otherwise(0)
+    return (
+        toks.join(
+            F.broadcast(vocab.withColumnRenamed("w", "v_w")),
+            toks["w"] == F.col("v_w"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(hit).alias("n_in_vocab"),
+            F.round(F.sum(hit) / F.count("*"), 4).alias("coverage"),
+        )
+    )

@@ -379,3 +379,62 @@ def s1_kafka_envelope_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("rec.value").cast("decimal(38,6)")).cast("double"), 2
         ).alias("total_value"),
     )
+
+
+def _read_manifest_snapshot(spark: SparkSession, base: str, version: int) -> DataFrame:
+    """Time-travel read: resolve the segment list from the version's
+    manifest (driver-side metadata, like any table format), then one
+    distributed read over exactly those segments."""
+    import json
+
+    with open(os.path.join(base, f"manifest-{version}.json")) as f:
+        segments = json.load(f)["segments"]
+    return spark.read.parquet(*[os.path.join(base, s) for s in segments])
+
+
+@register(
+    "s9_snapshot_time_travel",
+    f"""
+    SELECT 1 AS version, count(*) AS n, max(event_id) AS max_offset
+    FROM events WHERE ts < TIMESTAMP '{RETENTION_CUTOFF}'
+    UNION ALL
+    SELECT 2 AS version, count(*) AS n, max(event_id) AS max_offset
+    FROM events
+    """,
+    doc="S9+: manifest-versioned snapshots — read the log as of version N",
+)
+def s9_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse-style snapshot isolation on the parquet log (the
+    public Delta/Iceberg design: immutable data files + a versioned
+    manifest naming which files each snapshot comprises). Version 1
+    commits the pre-cutoff segments; an append commits version 2 with
+    both. Reading as-of v1 after the append still sees only v1's
+    files — time travel without copying data. At 100 TB the manifest
+    is KBs of metadata; snapshot reads prune to exactly the named
+    segments and appends never rewrite history."""
+    import json
+    import shutil
+
+    from big_data_training_spark.streaming.replay import materialize
+
+    events = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="bdts_snap_")
+    v1 = events.filter(F.col("ts") < F.lit(RETENTION_CUTOFF).cast("timestamp"))
+    v2_delta = events.filter(F.col("ts") >= F.lit(RETENTION_CUTOFF).cast("timestamp"))
+    v1.write.parquet(os.path.join(base, "seg-000"))
+    with open(os.path.join(base, "manifest-1.json"), "w") as f:
+        json.dump({"segments": ["seg-000"]}, f)
+    v2_delta.write.parquet(os.path.join(base, "seg-001"))
+    with open(os.path.join(base, "manifest-2.json"), "w") as f:
+        json.dump({"segments": ["seg-000", "seg-001"]}, f)
+
+    def stats(version: int) -> DataFrame:
+        return _read_manifest_snapshot(spark, base, version).agg(
+            F.lit(version).alias("version"),
+            F.count("*").alias("n"),
+            F.max("event_id").alias("max_offset"),
+        ).select("version", "n", "max_offset")
+
+    out = materialize(stats(1).unionAll(stats(2)))
+    shutil.rmtree(base, ignore_errors=True)
+    return out

@@ -63,6 +63,7 @@ _OPERATOR_MODULES = (
     "functions.json_codec",
     "functions.wire_codecs",
     "extensions.dedup",
+    "extensions.curation",
     "extensions.similarity",
     "extensions.sketches",
     "extensions.multimodal",
