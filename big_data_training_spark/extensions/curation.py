@@ -285,3 +285,69 @@ def tx_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(hit) / F.count("*"), 4).alias("coverage"),
         )
     )
+
+
+TITLE_LEN = 24
+FUZZY_ED = 1
+
+# Deletion variants of the title: the string itself plus every string
+# obtained by deleting one character. FastSS blocking theorem: if
+# ed(s, t) <= 1 then their variant sets intersect (equal strings share
+# s; a substitution shares the both-sides deletion; an insertion's
+# extra char deleted yields the other string). Collisions can
+# overgenerate, so candidates are re-checked with exact levenshtein.
+_DELETION_VARIANTS = (
+    "array_distinct(concat(array(title), transform("
+    "  sequence(1, length(title)),"
+    "  i -> concat(substring(title, 1, i - 1), substring(title, i + 1)))))"
+)
+
+
+@register(
+    "dd_fuzzy_title_pairs",
+    f"""
+    WITH titles AS (
+        SELECT doc_id, substring(text, 1, {TITLE_LEN}) AS title FROM documents
+    )
+    SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+           levenshtein(a.title, b.title) AS ed
+    FROM titles a JOIN titles b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.title, b.title) <= {FUZZY_ED}
+    """,
+    doc="fuzzy near-dup join: edit-distance<=1 titles via deletion blocking",
+)
+def dd_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-level near-dup: pairs of documents whose leading
+    {TITLE_LEN} chars are within edit distance 1, found WITHOUT the
+    quadratic all-pairs scan the oracle runs. Each title explodes into
+    ~{TITLE_LEN} deletion variants; an equi-join on the variant is the
+    candidate generator (sound for ed<=1 per FastSS), and the exact
+    levenshtein filter keeps only true matches. At 100 TB the variant
+    join is the same inverted-index shape as the shingle joins:
+    shuffle keyed on variant, bucket sizes bounded by title entropy."""
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    titles = docs.select(
+        "doc_id", F.substring("text", 1, TITLE_LEN).alias("title")
+    )
+    variants = titles.select(
+        "doc_id", "title", F.explode(F.expr(_DELETION_VARIANTS)).alias("v")
+    )
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_i"),
+            F.col("b.doc_id").alias("doc_j"),
+            F.col("a.title").alias("title_i"),
+            F.col("b.title").alias("title_j"),
+        )
+        .dropDuplicates(["doc_i", "doc_j"])
+    )
+    ed = F.levenshtein("title_i", "title_j")
+    return cand.filter(ed <= FUZZY_ED).select(
+        "doc_i", "doc_j", ed.alias("ed")
+    )

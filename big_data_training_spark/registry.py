@@ -64,6 +64,7 @@ _OPERATOR_MODULES = (
     "functions.wire_codecs",
     "extensions.dedup",
     "extensions.curation",
+    "extensions.graph",
     "extensions.similarity",
     "extensions.sketches",
     "extensions.multimodal",

@@ -256,3 +256,35 @@ def test_split_assign_deterministic_and_partitioning(spark, sf_dir):
     assert n == n_docs
     train = sum(1 for s in a.values() if s == "train") / n
     assert 0.6 < train < 0.95
+
+
+# --- FastSS deletion-variant blocking soundness -------------------------
+
+
+def _deletion_variants(s: str) -> set[str]:
+    return {s} | {s[:i] + s[i + 1 :] for i in range(len(s))}
+
+
+@given(
+    st.text(alphabet="abc", min_size=0, max_size=10),
+    st.integers(min_value=0, max_value=10),
+    st.sampled_from(["sub", "ins", "del", "same"]),
+    st.sampled_from("abc"),
+)
+@settings(max_examples=300, deadline=None)
+def test_deletion_blocking_sound_for_ed1(s, pos, op, ch):
+    """Any pair within edit distance 1 must share a deletion variant —
+    the soundness invariant dd_fuzzy_title_pairs' candidate join relies
+    on (overgeneration is fine; misses are not)."""
+    if op == "same":
+        t = s
+    elif op == "sub" and s:
+        i = pos % len(s)
+        t = s[:i] + ch + s[i + 1 :]
+    elif op == "del" and s:
+        i = pos % len(s)
+        t = s[:i] + s[i + 1 :]
+    else:
+        i = pos % (len(s) + 1)
+        t = s[:i] + ch + s[i:]
+    assert _deletion_variants(s) & _deletion_variants(t)
