@@ -94,6 +94,7 @@ def _decon_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     doc="decontamination: training docs sharing n-grams with the eval set",
+    bench=True,
 )
 def dd_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram collision against the benchmark shingle set. The

@@ -76,6 +76,7 @@ def _pagerank_oracle() -> str:
     "gr_pagerank_3iter",
     _pagerank_oracle(),
     doc="iterative PageRank, 3 rounds, integer-exact (oracle replays CTEs)",
+    bench=True,
 )
 def gr_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank over supplier→customer edges. Ranks are

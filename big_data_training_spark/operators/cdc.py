@@ -105,3 +105,53 @@ def set_reprocess_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("side")
         .agg(F.sum("c").cast("bigint").alias("n"))
     )
+
+
+@register(
+    "cdc_scd2_history",
+    """
+    WITH changes AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER w AS prev_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), versions AS (
+        SELECT user_id, ts AS valid_from, event_id, event_type,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM changes
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from, valid_to,
+           CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM versions
+    """,
+    doc="S10+: SCD Type 2 — versioned dimension rows with validity ranges",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension history (the warehouse-side consumer of
+    a CDC stream, kafka/README.md:332): collapse consecutive identical
+    states per key (lag), then derive [valid_from, valid_to) ranges
+    (lead) — NULL valid_to marks the current version. Two window passes
+    over the same (user_id, ts) sort order → Catalyst plans ONE
+    shuffle + sort reused by both Window operators. At 100 TB the
+    changelog is already partitioned by key-hash, so the single
+    exchange is the whole cost."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    versions = changes.withColumn("valid_to", F.lead("ts").over(w))
+    return versions.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        "valid_to",
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).alias("is_current"),
+    )

@@ -197,3 +197,56 @@ def p5_rekey_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("high_value", "event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+N_SALTS = 8
+
+
+@register(
+    "j_skew_salted_join",
+    """
+    SELECT e.event_type, count(*) AS n,
+           round(CAST(sum(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS total_value
+    FROM events e
+    JOIN (VALUES ('signup', 10), ('click', 1), ('view', 2),
+                 ('purchase', 50), ('error', 0)) AS w(event_type, weight)
+      ON e.event_type = w.event_type
+    WHERE w.weight > 0
+    GROUP BY e.event_type
+    """,
+    doc="skew strategy: salted replicate-join (hot keys spread over N_SALTS)",
+)
+def j_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-join mitigation when the small side is too big to broadcast
+    and AQE's skew split can't help (a single hot key): salt the fact
+    side into N_SALTS sub-keys and replicate each dimension row across
+    all salts, so the join shuffles on (key, salt) — every hot key's
+    rows spread across N_SALTS reducers instead of melting one. The
+    oracle verifies against the plain join: salting must never change
+    semantics. (Here the dim WOULD broadcast — the query disables that
+    deliberately to exercise the shuffle-path strategy; j1 covers the
+    broadcast answer.)"""
+    events = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("signup", 10), ("click", 1), ("view", 2), ("purchase", 50), ("error", 0)],
+        "event_type string, weight int",
+    ).filter(F.col("weight") > 0)
+    salted_facts = events.withColumn(
+        "salt", F.pmod(F.col("event_id"), F.lit(N_SALTS)).cast("int")
+    )
+    replicated_dim = (
+        dim.withColumn("salt", F.explode(F.expr(f"sequence(0, {N_SALTS - 1})")))
+        .withColumn("salt", F.col("salt").cast("int"))
+        .hint("SHUFFLE_HASH")
+    )
+    return (
+        salted_facts.join(replicated_dim, ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+    )
