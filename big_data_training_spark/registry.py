@@ -58,6 +58,7 @@ _OPERATOR_MODULES = (
     "operators.multidim",
     "operators.sources",
     "operators.cdc",
+    "operators.maintenance",
     "functions.udfs",
     "functions.text",
     "functions.json_codec",

