@@ -35,6 +35,7 @@ from big_data_training_spark.extensions.dedup import (
     N_BANDS,
     N_HASHES,
     ROWS_PER_BAND,
+    _LSH_PAIRS_SQL_BODY,
     _signatures,
     _SQL_SIG_CTE,
 )
@@ -351,4 +352,68 @@ def dd_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = F.levenshtein("title_i", "title_j")
     return cand.filter(ed <= FUZZY_ED).select(
         "doc_i", "doc_j", ed.alias("ed")
+    )
+
+
+@register(
+    "dd_keep_best_representative",
+    (_SQL_SIG_CTE + _LSH_PAIRS_SQL_BODY).replace(
+        "WITH toks", "WITH RECURSIVE toks"
+    )
+    + f"""
+    , pairs AS (
+        SELECT doc_i, doc_j FROM scored WHERE est_jaccard >= {MINHASH_TAU}
+    ), e AS (
+        SELECT doc_i AS src, doc_j AS dst FROM pairs
+        UNION
+        SELECT doc_j AS src, doc_i AS dst FROM pairs
+    ), closure(node, comp) AS (
+        SELECT DISTINCT src, src FROM e
+        UNION
+        SELECT e.dst, c.comp FROM closure c JOIN e ON e.src = c.node
+    ), labels AS (
+        SELECT node AS doc_id, min(comp) AS component_id
+        FROM closure GROUP BY node
+    ), ranked AS (
+        SELECT l.component_id, d.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY l.component_id
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rk
+        FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+    )
+    SELECT component_id, doc_id AS keeper_doc_id, n_chars AS keeper_chars,
+           (SELECT count(*) FROM labels x
+            WHERE x.component_id = ranked.component_id) AS n_docs
+    FROM ranked WHERE rk = 1
+    """,
+    doc="dedup keep-best: longest representative per near-dup cluster",
+)
+def dd_keep_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step a real pipeline runs after clustering: keep ONE doc per
+    near-dup component — the longest (ties → lowest id), not an
+    arbitrary min-id — because near-dups are usually truncations or
+    boilerplate-wrapped variants of the same content. Composes the LSH
+    pair miner → large-star/small-star components → a per-component
+    window. Docs in no pair are their own implicit cluster and pass
+    through untouched upstream; only clustered docs appear here."""
+    from pyspark.sql import Window
+
+    from big_data_training_spark.extensions.dedup import dd_cluster_components
+
+    labels = dd_cluster_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    sized = labels.join(docs, "doc_id")
+    counted = sized.groupBy("component_id").agg(F.count("*").alias("n_docs"))
+    return (
+        sized.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(F.broadcast(counted), "component_id")
+        .select(
+            "component_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("n_chars").alias("keeper_chars"),
+            "n_docs",
+        )
     )

@@ -302,3 +302,74 @@ def sk_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(build_keys.withColumn("is_member", F.lit(True))), "key", "left"
     ).select("maybe_member", F.coalesce("is_member", F.lit(False)).alias("is_member"))
     return flags.groupBy("maybe_member", "is_member").agg(F.count("*").alias("n"))
+
+
+CMS_D = 4  # hash rows
+CMS_W = 64  # counters per row
+
+
+@register(
+    "sk_cms_heavy_hitters",
+    f"""
+    WITH hashed AS (
+        SELECT user_id, r, {sql_hash60("concat(CAST(r AS VARCHAR), ':', CAST(user_id AS VARCHAR))")} % {CMS_W} AS bucket
+        FROM events, generate_series(0, {CMS_D - 1}) AS g(r)
+    ), cms AS (
+        SELECT r, bucket, count(*) AS c FROM hashed GROUP BY r, bucket
+    ), probes AS (
+        SELECT user_id, count(*) AS true_n FROM events
+        WHERE user_id % 25 = 0 GROUP BY user_id
+    ), est AS (
+        SELECT p.user_id, p.true_n, min(cms.c) AS cms_est
+        FROM probes p,
+             generate_series(0, {CMS_D - 1}) AS g(r)
+        JOIN cms ON cms.r = g.r
+               AND cms.bucket = {sql_hash60("concat(CAST(g.r AS VARCHAR), ':', CAST(p.user_id AS VARCHAR))")} % {CMS_W}
+        GROUP BY p.user_id, p.true_n
+    )
+    SELECT user_id, true_n, cms_est FROM est
+    """,
+    doc="count-min sketch: mergeable heavy-hitter counts, engine-exact",
+)
+def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the event key stream (Cormode &
+    Muthukrishnan's public construction): {CMS_D} portable-hash rows ×
+    {CMS_W} counters; point estimate = min over rows of the hit
+    counter, never under the true count. Engine-exact because the
+    hashes are the portable md5-60 family and counters are integers.
+    Scale shape: the sketch build is a map-side partial aggregate down
+    to d×w = 256 counters regardless of input size, the definition of
+    a mergeable summary (bit-identical to merging per-partition
+    sketches by cell-wise +); probes join a broadcast 256-row table."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("r")
+    bucket = (
+        F.pmod(
+            hash60(
+                F.concat(
+                    F.col("r").cast("string"), F.lit(":"), F.col("user_id").cast("string")
+                )
+            ),
+            F.lit(CMS_W),
+        )
+    ).alias("bucket")
+    cms = (
+        ev.select("user_id", rows)
+        .select("user_id", "r", bucket)
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    probes = (
+        ev.filter(F.col("user_id") % 25 == 0)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("true_n"))
+    )
+    probe_cells = probes.select("user_id", "true_n", rows).select(
+        "user_id", "true_n", "r", bucket
+    )
+    return (
+        probe_cells.join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").alias("cms_est"))
+        .select("user_id", "true_n", "cms_est")
+    )

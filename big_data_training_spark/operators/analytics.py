@@ -412,3 +412,52 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+SESSION_TTL_SEC = 300
+
+
+@register(
+    "ev_peak_concurrency",
+    f"""
+    WITH bounds AS (
+        SELECT date_trunc('day', ts) AS day, ts AS t, 1 AS delta FROM events
+        UNION ALL
+        SELECT date_trunc('day', ts), ts + INTERVAL {SESSION_TTL_SEC} SECOND, -1
+        FROM events
+    ), sweep AS (
+        SELECT day,
+               sum(delta) OVER (PARTITION BY day ORDER BY t, delta) AS conc
+        FROM bounds
+    )
+    SELECT day, max(conc) AS peak_concurrency FROM sweep GROUP BY day
+    """,
+    doc="interval sweep: peak concurrent in-flight events per day",
+)
+def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the +1/−1 boundary sweep: each event is an
+    in-flight interval [ts, ts+TTL); emit +1 at start and −1 at end,
+    running-sum in time order, take the max. Attribution is to the
+    start day, so the window PARTITIONs by day — no global sort, one
+    exchange keyed on day. Ties are handled identically in both
+    engines because a RANGE-framed running sum aggregates peer rows
+    together (and −1 sorts before +1, making intervals half-open).
+    At 100 TB this is the textbook replacement for a self-join
+    "count overlapping intervals" quadratic."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    starts = events.select(day, F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = events.select(
+        day,
+        (F.col("ts") + F.expr(f"INTERVAL {SESSION_TTL_SEC} SECONDS")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    bounds = starts.unionByName(ends)
+    w = Window.partitionBy("day").orderBy("t", "delta")
+    return (
+        bounds.withColumn("conc", F.sum("delta").over(w))
+        .groupBy("day")
+        .agg(F.max("conc").alias("peak_concurrency"))
+    )
