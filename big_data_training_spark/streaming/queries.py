@@ -825,3 +825,65 @@ def st_w2_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
     return run_to_completion(agg, "complete")
+
+
+@register(
+    "st_decontaminate_stream",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(ws[i:i+7], ' ')
+                              for i in generate_series(1, len(ws) - 7)]) AS shingles
+        FROM toks WHERE len(ws) >= 8
+    )
+    SELECT t.doc_id AS doc_id, count(DISTINCT s) AS n_hit_shingles
+    FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+          WHERE NOT (doc_id % 20 = 0)) AS t
+    JOIN (SELECT doc_id, unnest(shingles) AS s FROM sh
+          WHERE doc_id % 20 = 0) AS e USING (s)
+    GROUP BY 1
+    """,
+    doc="streaming decontamination: micro-batch docs vs broadcast eval shingles",
+)
+def st_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-time form of dd_decontaminate_overlap: documents
+    arrive as a stream, each micro-batch is shingled and joined against
+    the static benchmark shingle set (a stream-static join — the static
+    side is planned per micro-batch and broadcast). This is how a crawl
+    pipeline drops contaminated docs before they ever land in the
+    corpus. Same 8-gram collision semantics as the batch form, so the
+    oracle is identical."""
+    from big_data_training_spark.extensions.curation import (
+        DECON_K,
+        EVAL_PRED,
+        _DECON_SHINGLES,
+        _decon_shingled,
+    )
+
+    # distinct eval shingles up front: the train side's shingle arrays
+    # are already distinct per doc, so after this the join emits each
+    # (doc_id, shingle) hit at most once and a plain count(*) equals
+    # count(DISTINCT s) — which streaming aggregation doesn't allow.
+    eval_sh = (
+        _decon_shingled(spark, sf_dir)
+        .filter(EVAL_PRED)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    stream = read_stream_table(spark, sf_dir, "documents")
+    train = (
+        stream.filter(f"NOT ({EVAL_PRED})")
+        .withColumn("ws", F.expr("filter(split(text, '\\\\s+'), w -> w != '')"))
+        .filter(F.size("ws") >= DECON_K)
+        .withColumn("shingles", F.expr(_DECON_SHINGLES))
+        .select("doc_id", F.explode("shingles").alias("s"))
+    )
+    hits = (
+        train.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_shingles"))
+    )
+    return run_to_completion(hits, "complete")
