@@ -20,9 +20,11 @@ Scale design:
   top-k BEFORE the shuffle, so the exchange carries O(groups · k) rows
   no matter how many billions of inputs.
 * KMV sketches merge by set-union + re-truncate (any hash in the
-  global k-smallest is in its group's k-smallest), which is exactly a
-  re-run of the same window over the tiny union — demonstrated and
-  asserted by ``sk_kmv_merge_global``. That mergeability is what a
+  global k-smallest is in its group's k-smallest); both the merge and
+  the direct comparator take the global k-smallest via
+  ``orderBy().limit(k)`` — TakeOrderedAndProject, a parallel partial
+  top-k per partition plus a k-row driver merge, never a
+  single-partition Window funnel. That mergeability is what a
   1000-executor partial aggregate relies on.
 * The bloom filter is 65 words × 63 bits (63 so no set bit ever lands
   on the sign bit — bigint shifts then behave identically in every
@@ -168,10 +170,12 @@ def sk_kmv_merge_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("h")
         .distinct()
     )
-    wglob = Window.orderBy("h")
+    # Global k-smallest via orderBy().limit(): plans TakeOrderedAndProject
+    # (parallel per-partition top-k, then a k-row merge on one task) — never
+    # a single-partition Window funnel.
     merged = (
-        per_group.withColumn("rn", F.row_number().over(wglob))
-        .filter(F.col("rn") <= KMV_K)
+        per_group.orderBy("h")
+        .limit(KMV_K)
         .agg(F.max("h").alias("kth_hash"), F.count("*").alias("n_sketch"))
         .withColumn("est_merged", _kmv_est("kth_hash", "n_sketch"))
         .select("est_merged")
@@ -179,8 +183,8 @@ def sk_kmv_merge_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct = (
         ev.select(hash60(F.col("user_id").cast("string")).alias("h"))
         .distinct()
-        .withColumn("rn", F.row_number().over(wglob))
-        .filter(F.col("rn") <= KMV_K)
+        .orderBy("h")
+        .limit(KMV_K)
         .agg(F.max("h").alias("kth_hash"), F.count("*").alias("n_sketch"))
         .withColumn("est_direct", _kmv_est("kth_hash", "n_sketch"))
         .select("est_direct")

@@ -196,3 +196,18 @@ def test_pagerank_matches_networkx_free_reference(spark, sf_dir):
     # sinks keep exactly the damping base; sources got no in-edges
     assert ranks[1] == ranks[2] == ranks[3] == base
     assert ranks[10] == ranks[11] > base
+
+
+def test_kmv_global_paths_avoid_single_partition_window(spark, sf_dir):
+    """VERDICT r2 #2: the global k-smallest in sk_kmv_merge_global must
+    plan as TakeOrderedAndProject (parallel partial top-k), never a
+    row_number Window with an empty partitionBy (single-task funnel)."""
+    from big_data_training_spark.extensions.sketches import sk_kmv_merge_global
+
+    df = sk_kmv_merge_global(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # The only Window allowed is the per-group one (partitionBy event_type).
+    for line in plan.splitlines():
+        if "Window" in line and "windowgrouplimit" not in line.lower():
+            assert "event_type" in line, f"global window found: {line}"
