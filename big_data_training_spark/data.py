@@ -52,6 +52,12 @@ def canonicalize_ts(df: DataFrame) -> DataFrame:
 
 
 def _read_parquet_nanosafe(spark: SparkSession, path: str) -> DataFrame:
+    # Fixtures store naive timestamps (no isAdjustedToUTC); read them as
+    # session-local TIMESTAMP, not TIMESTAMP_NTZ, so downstream epoch
+    # casts (`cast(ts as bigint)`, unix_* functions) stay legal and the
+    # values match the DuckDB oracle's naive-UTC reading. Runtime-settable,
+    # so this holds under any externally-built SparkSession too.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     try:
         return spark.read.parquet(path)
     except Exception:
