@@ -39,6 +39,7 @@ from big_data_training_spark.extensions.dedup import (
     _signatures,
     _SQL_SIG_CTE,
 )
+from big_data_training_spark.functions.hashing import hash60, sql_hash60
 from big_data_training_spark.registry import register
 
 # Stand-in split predicates (stable across scale factors): the
@@ -114,6 +115,49 @@ def dd_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.countDistinct("s").alias("n_hit_shingles"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+    )
+
+
+@register(
+    "dd_decontaminate_hashed",
+    _SQL_DECON_CTE
+    + f"""
+    SELECT t.doc_id AS doc_id,
+           count(DISTINCT h) AS n_hit_shingles,
+           count(DISTINCT e.doc_id) AS n_eval_docs
+    FROM (SELECT doc_id, {sql_hash60('s')} AS h
+          FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+                WHERE NOT ({EVAL_PRED}))) AS t
+    JOIN (SELECT doc_id, {sql_hash60('s')} AS h
+          FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+                WHERE {EVAL_PRED})) AS e USING (h)
+    GROUP BY 1
+    """,
+    doc="decontamination joining on 60-bit shingle hashes, not raw strings",
+    bench=True,
+)
+def dd_decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed decontamination: identical flags to
+    ``dd_decontaminate_overlap`` but the broadcast benchmark index
+    carries 8-byte hashes instead of ~50-char shingle strings — the form
+    you'd actually ship to 1000 executors when the eval suite is
+    hundreds of MBs. A 60-bit space makes a false collision across even
+    a billion distinct shingles vanishingly rare (~4e-4), and a
+    collision only ever *adds* a flag — decontamination stays safe."""
+    sh = _decon_shingled(spark, sf_dir)
+    train = sh.filter(f"NOT ({EVAL_PRED})").select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).select("doc_id", hash60(F.col("s")).alias("h"))
+    eval_sh = sh.filter(EVAL_PRED).select(
+        F.col("doc_id").alias("eval_doc_id"), F.explode("shingles").alias("s")
+    ).select("eval_doc_id", hash60(F.col("s")).alias("h"))
+    return (
+        train.join(F.broadcast(eval_sh), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_hit_shingles"),
             F.countDistinct("eval_doc_id").alias("n_eval_docs"),
         )
     )

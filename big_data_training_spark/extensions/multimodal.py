@@ -33,13 +33,49 @@ MM_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes) -> tuple[int, int]:
-    """STUB — real image decode needs PIL/ffmpeg (not in this container).
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_SOF_MARKERS = frozenset({0xC0, 0xC1, 0xC2, 0xC3})  # baseline..progressive
 
-    Deterministic fake: derive a (width, height) from payload length so
-    the pipeline shape (schema, batching, downstream groupBy) is fully
-    testable. Replace with a real decoder in production.
-    """
+
+def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
+    """Pure-Python image header parser — magic bytes only, no codec libs.
+
+    PNG: IHDR is the mandatory first chunk after the 8-byte signature;
+    width/height are big-endian uint32 at byte offsets 16/20 (PNG spec
+    §5.2, §11.2.2). JPEG: walk the marker segments to the first SOFn
+    frame header; height/width are big-endian uint16 at +5/+7 within it
+    (ITU-T T.81 §B.2.2). Returns None for anything unrecognized."""
+    import struct
+
+    if payload[:8] == PNG_MAGIC and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return "png", w, h
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(payload) and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            if marker in _SOF_MARKERS:
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return "jpeg", w, h
+            if 0xD0 <= marker <= 0xD9:  # standalone markers, no length
+                i += 2
+                continue
+            (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            i += 2 + seg_len
+    return None
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """Header-parse real PNG/JPEG bytes; deterministic fake otherwise.
+
+    Full pixel decode needs PIL/ffmpeg (not in this container), but
+    dimensions come straight from the container format, so payloads with
+    real magic bytes get real metadata. Unrecognized payloads (the text
+    stand-ins in the fixtures) fall back to a length-derived fake that
+    keeps the pipeline shape testable."""
+    parsed = parse_image_header(payload)
+    if parsed is not None:
+        return parsed[1], parsed[2]
     n = len(payload)
     return (n % 640) + 1, (n % 480) + 1
 
@@ -89,6 +125,80 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     )
     return payloads.mapInPandas(_extract_features, schema=MM_SCHEMA)
+
+
+def synth_image(doc_id: int, n_chars: int, body: bytes) -> bytes:
+    """Wrap ``body`` in a structurally-valid PNG or JPEG container whose
+    header dimensions derive deterministically from the doc row — real
+    magic bytes, chunk/segment framing, and big-endian dimension fields,
+    so the header parser is exercised against the true wire formats."""
+    import struct
+
+    w = (n_chars % 640) + 1
+    h = (doc_id % 480) + 1
+    if doc_id % 2 == 0:
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+        return (
+            PNG_MAGIC
+            + struct.pack(">I", len(ihdr))
+            + b"IHDR"
+            + ihdr
+            + b"\x00\x00\x00\x00"  # CRC placeholder; parser reads dims only
+            + body
+        )
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03"
+        + bytes(9)
+    )
+    return b"\xff\xd8" + app0 + sof0 + body
+
+
+_HEADER_SCHEMA = "doc_id bigint, fmt string, width int, height int"
+
+
+def _synth_and_parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        parsed = [
+            parse_image_header(synth_image(d, n, bytes(b)))
+            for d, n, b in zip(pdf["doc_id"], pdf["n_chars"], pdf["body"])
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "fmt": [p[0] if p else None for p in parsed],
+                "width": [p[1] if p else None for p in parsed],
+                "height": [p[2] if p else None for p in parsed],
+            }
+        )
+
+
+@register(
+    "mm_image_header_parse",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+           CAST((n_chars % 640) + 1 AS INT) AS width,
+           CAST((doc_id % 480) + 1 AS INT) AS height
+    FROM documents
+    """,
+    doc="multimodal: real PNG/JPEG header parse (magic bytes → dimensions)",
+)
+def mm_image_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips every document through a structurally-valid PNG or
+    JPEG container and parses dimensions back out of the actual byte
+    format — the decode path VERDICT r2 #7 asked to exercise. The oracle
+    recomputes the deterministic header arithmetic, so a parser that
+    misreads offsets or endianness hash-mismatches immediately."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = repartition_for_compute(
+        docs.select("doc_id", "n_chars", F.encode("text", "UTF-8").alias("body"))
+    )
+    return payloads.mapInPandas(_synth_and_parse, schema=_HEADER_SCHEMA)
 
 
 _FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_sha string, frame_bytes bigint"

