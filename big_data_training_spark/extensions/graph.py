@@ -75,6 +75,24 @@ def _pagerank_oracle() -> str:
 COPART_PARTS = 32  # co-partitioning width; cluster deploys size to executors
 
 
+def _pinned_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint that *keeps* the DataFrame's hash partitioning.
+
+    Under AQE the checkpoint captures an AdaptiveSparkPlan whose output
+    partitioning is still Unknown, so the co-location bought by
+    ``repartition(N, key)`` evaporates and every subsequent join
+    re-shuffles (measured: 2 exchanges re-appear per joined pair).
+    Building the checkpoint with AQE momentarily off pins the concrete
+    HashPartitioning into the LogicalRDD; consumers still run under AQE."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def pagerank_round(
     ranks: DataFrame,
     edges: DataFrame,
@@ -113,12 +131,12 @@ def _pagerank(spark: SparkSession, sf_dir: str, co_partitioned: bool) -> DataFra
     to keep the two key spaces disjoint.
 
     ``co_partitioned=True`` is the 100× lever named in the module doc:
-    edges are hash-partitioned by src and outdeg/ranks by node ONCE, so
-    every round's rank×outdeg join and rank×edges join are exchange-free
-    (Spark reuses the existing HashPartitioning) and the only per-round
-    shuffle left is the unavoidable groupBy(dst). The per-round
-    localCheckpoint preserves partitioning, which is what carries the
-    co-location from round to round."""
+    edges are hash-partitioned by src and outdeg/nodes/ranks by node
+    ONCE, pinned via :func:`_pinned_checkpoint`, so every round's
+    rank×outdeg join and rank×edges join reuse the existing
+    HashPartitioning. The big edges table is never re-shuffled; the only
+    per-round exchanges move node-count-sized rows (the unavoidable
+    groupBy(dst) plus realigning its output back to the node layout)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     edges = (
@@ -129,34 +147,41 @@ def _pagerank(spark: SparkSession, sf_dir: str, co_partitioned: bool) -> DataFra
         )
         .distinct()
     )
+    cached = []
     if co_partitioned:
-        edges = edges.repartition(COPART_PARTS, "src")
-    edges = edges.cache()
+        edges = _pinned_checkpoint(edges.repartition(COPART_PARTS, "src"))
+    else:
+        edges = edges.cache()
+        cached.append(edges)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
     if co_partitioned:
-        nodes = nodes.repartition(COPART_PARTS, "node")
-    nodes = nodes.cache()
+        nodes = _pinned_checkpoint(nodes.repartition(COPART_PARTS, "node"))
+    else:
+        nodes = nodes.cache()
+        cached.append(nodes)
     outdeg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("outdeg")
     )
     if co_partitioned:
-        outdeg = outdeg.repartition(COPART_PARTS, "node").localCheckpoint(eager=False)
+        outdeg = _pinned_checkpoint(outdeg.repartition(COPART_PARTS, "node"))
+    # projection preserves the parent's pinned partitioning
     ranks = nodes.select("node", F.lit(SCALE).cast("bigint").alias("rank"))
-    if co_partitioned:
-        ranks = ranks.repartition(COPART_PARTS, "node")
     for _ in range(N_ITER):
-        # eager checkpoint per round: truncates the growing lineage and
-        # materializes the cached edges/nodes exactly once (round 1).
-        ranks = pagerank_round(
-            ranks, edges, outdeg, nodes, co_partitioned
-        ).localCheckpoint(eager=True)
+        # eager per-round checkpoint: truncates the growing lineage and
+        # (co-partitioned) re-pins the node layout for the next round.
+        round_df = pagerank_round(ranks, edges, outdeg, nodes, co_partitioned)
+        ranks = (
+            _pinned_checkpoint(round_df)
+            if co_partitioned
+            else round_df.localCheckpoint(eager=True)
+        )
     out = materialize(ranks.orderBy(F.desc("rank"), F.asc("node")).limit(TOP_N))
-    edges.unpersist()
-    nodes.unpersist()
+    for df in cached:
+        df.unpersist()
     return out
 
 
