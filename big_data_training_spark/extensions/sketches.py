@@ -377,3 +377,163 @@ def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("c").alias("cms_est"))
         .select("user_id", "true_n", "cms_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog (Flajolet et al. 2007): the KMV caveat above rules
+# out Spark's engine-private HLL++ bytes, not the *algorithm* — registers
+# built from the same md5-derived hash are bit-identical in any engine.
+# Layout: 60-bit hash → top 8 bits pick one of m=256 buckets, the low 52
+# bits w give rho = (#leading zeros in the 52-bit window) + 1 = 53 -
+# bitlength(w). Register = max(rho) per bucket: a partial-agg-mergeable
+# max, so a 1000-executor build ships 256 small ints per group, and
+# sketch union is elementwise max — the property that makes HLL the
+# standard distributed-distinct sketch. The harmonic-mean denominator is
+# kept as an exact BIGINT (sum of 2^(53-register) ≤ 256·2^53 < 2^63);
+# the estimate does a single IEEE division by it, deterministic across
+# engines. The small-range linear-counting correction needs ln(), whose
+# last-ulp behavior is libm-specific — so the 256 possible m·ln(m/V)
+# values are precomputed in Python and embedded as a literal lookup
+# table in both engines (see _HLL_LC_TABLE).
+# ---------------------------------------------------------------------------
+
+HLL_M = 256
+_HLL_W_MASK = (1 << 52) - 1
+_HLL_DENOM_SCALE = 1 << 53
+# alpha_m * m^2 * 2^53 precomputed once in Python; the literal is embedded
+# in both engines so neither re-derives it with its own float ops.
+_HLL_NUMERATOR = 0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * float(_HLL_DENOM_SCALE)
+# Small-range (linear counting) correction, applied when the raw estimate
+# is below 2.5m and empty buckets exist: m·ln(m/V). ln() is libm-specific
+# in its last ulp, so instead of evaluating it per engine the 256 possible
+# values (V = 1..m) are computed HERE once and embedded as literals — both
+# engines just index the table, bit-identical by construction.
+_HLL_LC_TABLE = tuple(
+    HLL_M * __import__("math").log(HLL_M / v) for v in range(1, HLL_M + 1)
+)
+_HLL_SMALL_RANGE = 2.5 * HLL_M
+_SQL_HLL_LC_LIST = "[" + ", ".join(repr(x) for x in _HLL_LC_TABLE) + "]"
+
+_SQL_HLL_REGS_CTE = f"""
+    WITH hashed AS (
+        SELECT event_type,
+               {sql_hash60("CAST(user_id AS VARCHAR)")} AS h
+        FROM events
+    ), parts AS (
+        SELECT event_type, h >> 52 AS bucket, h & {_HLL_W_MASK} AS w
+        FROM hashed
+    ), regs AS (
+        SELECT event_type, bucket,
+               max(CASE WHEN w = 0 THEN 53
+                        ELSE 53 - length(bin(w)) END) AS register
+        FROM parts GROUP BY 1, 2
+    )
+"""
+
+
+def _hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parts = ev.select(
+        "event_type", hash60(F.col("user_id").cast("string")).alias("h")
+    ).select(
+        "event_type",
+        F.shiftright("h", 52).alias("bucket"),
+        F.expr(f"h & {_HLL_W_MASK}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin("w"))
+    )
+    return (
+        parts.select("event_type", "bucket", rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").cast("int").alias("register"))
+    )
+
+
+@register(
+    "sk_hll_registers",
+    _SQL_HLL_REGS_CTE
+    + """
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(register AS INT) AS register
+    FROM regs
+    """,
+    doc="HyperLogLog register table per key (portable hash; integer-exact)",
+)
+def sk_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch itself: (key, bucket, register) rows — what executors
+    emit as partial aggregates and what sketch union merges by
+    elementwise max. Integer-exact, so oracle parity is bit-for-bit."""
+    return _hll_registers(spark, sf_dir).select(
+        "event_type", F.col("bucket").cast("bigint").alias("bucket"), "register"
+    )
+
+
+@register(
+    "sk_hll_estimate",
+    _SQL_HLL_REGS_CTE
+    + f"""
+    , denom AS (
+        SELECT event_type,
+               count(*) AS n_used,
+               CAST(sum(1::BIGINT << (53 - register)) AS BIGINT) AS used_scaled
+        FROM regs GROUP BY 1
+    ), ex AS (
+        SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY event_type
+    )
+    , raw AS (
+        SELECT d.event_type,
+               CAST({HLL_M} - d.n_used AS BIGINT) AS n_empty,
+               d.used_scaled + ({HLL_M} - d.n_used) * {_HLL_DENOM_SCALE} AS denom_scaled,
+               {_HLL_NUMERATOR!r} /
+                   CAST(d.used_scaled + ({HLL_M} - d.n_used) * {_HLL_DENOM_SCALE}
+                        AS DOUBLE) AS raw_est
+        FROM denom d
+    )
+    SELECT r.event_type, r.n_empty, r.denom_scaled,
+           round(CASE WHEN r.n_empty > 0 AND r.raw_est < {_HLL_SMALL_RANGE!r}
+                      THEN ({_SQL_HLL_LC_LIST})[r.n_empty]
+                      ELSE r.raw_est END, 2) AS est_distinct,
+           ex.exact_distinct
+    FROM raw r JOIN ex ON ex.event_type = r.event_type
+    """,
+    doc="HyperLogLog distinct estimate per key, exact integer denominator",
+)
+def sk_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator over the register table. Empty buckets contribute 2^0
+    to the harmonic mean, folded in as (m - n_used)·2^53 on the scaled
+    integer denominator — no float accumulation anywhere; the raw
+    estimate is one IEEE division, and the small-range branch indexes
+    the precomputed m·ln(m/V) literal table (see module constants)."""
+    ev = load_table(spark, sf_dir, "events")
+    regs = _hll_registers(spark, sf_dir)
+    denom = regs.groupBy("event_type").agg(
+        F.count("*").alias("n_used"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - register)"))
+        .cast("bigint")
+        .alias("used_scaled"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    denom_scaled = F.col("used_scaled") + (
+        (F.lit(HLL_M) - F.col("n_used")) * F.lit(_HLL_DENOM_SCALE)
+    )
+    n_empty = (F.lit(HLL_M) - F.col("n_used")).cast("bigint")
+    raw_est = F.lit(_HLL_NUMERATOR) / denom_scaled.cast("double")
+    lc_table = F.array(*[F.lit(x) for x in _HLL_LC_TABLE])
+    est = F.when(
+        (n_empty > 0) & (raw_est < F.lit(_HLL_SMALL_RANGE)),
+        F.element_at(lc_table, n_empty.cast("int")),
+    ).otherwise(raw_est)
+    return (
+        denom.join(exact, "event_type")
+        .select(
+            "event_type",
+            n_empty.alias("n_empty"),
+            denom_scaled.alias("denom_scaled"),
+            F.round(est, 2).alias("est_distinct"),
+            "exact_distinct",
+        )
+    )

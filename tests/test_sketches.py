@@ -64,3 +64,47 @@ def test_tfidf_topk_contract(spark, sf_dir):
         (F.col("score") <= 0) | (F.col("df") <= 0) | (F.col("tf") <= 0)
     ).count()
     assert bad == 0
+
+
+def test_hll_estimate_within_theoretical_error(spark, sf_dir):
+    """HLL with m=256 has relative standard error 1.04/sqrt(256) = 6.5%
+    (4-sigma bound here; the small-range branch is far tighter). Also:
+    sketches must merge by elementwise register max — merging the
+    per-type register tables must reproduce the union sketch exactly."""
+    from big_data_training_spark.extensions.sketches import (
+        sk_hll_estimate,
+        sk_hll_registers,
+    )
+
+    for row in sk_hll_estimate(spark, sf_dir).collect():
+        rel_err = abs(row.est_distinct - row.exact_distinct) / max(
+            row.exact_distinct, 1
+        )
+        assert rel_err < 4 * 1.04 / 16, (row.event_type, rel_err)
+
+    # union-merge property: max over per-type registers == registers of
+    # the retyped union stream
+    from big_data_training_spark.data import load_table
+
+    merged = (
+        sk_hll_registers(spark, sf_dir)
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    ev = load_table(spark, sf_dir, "events")
+    from big_data_training_spark.functions.hashing import hash60
+
+    parts = ev.select(hash60(F.col("user_id").cast("string")).alias("h")).select(
+        F.shiftright("h", 52).alias("bucket"),
+        F.expr("h & %d" % ((1 << 52) - 1)).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin("w"))
+    )
+    direct = (
+        parts.select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("int").alias("register"))
+    )
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
