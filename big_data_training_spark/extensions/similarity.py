@@ -450,3 +450,138 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= KNN_K)
         .select("query_id", "vec_id", "label", F.round("cos", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means (one Lloyd round) over the embedding corpus: the semantic-
+# clustering primitive behind topic bucketing / semantic dedup of
+# training data, and the trainer for the IVF coarse quantizer above.
+# Determinism contract: initial centroids are decimal-exact means of the
+# vec_id % k seed groups rounded to 6 dp (exact doubles in any engine);
+# distances to those rounded centroids are rounded to 6 dp before the
+# argmin, ties broken by cluster id — so the assignment is reproducible
+# bit-for-bit against the SQL oracle even though it is float math.
+# Scale shape: k×64 centroids broadcast to every executor; the corpus is
+# scanned once and never shuffles for assignment (the groupBy(vec_id)
+# argmin folds 8 candidate rows per vector); the update step shuffles
+# (cluster, pos) cells — k·64 groups regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+EMB_DIM = 64
+
+_SQL_KMEANS_CENT_CTE = f"""
+    WITH init AS (
+        SELECT vec_id % {KMEANS_K} AS cluster, i - 1 AS pos,
+               round(CAST(sum(CAST(embedding[i] AS DECIMAL(38,12))) AS DOUBLE)
+                     / count(*), 6) AS c
+        FROM embeddings, generate_series(1, {EMB_DIM}) AS g(i)
+        GROUP BY 1, 2
+    ), cent AS (
+        SELECT cluster, list(c ORDER BY pos) AS cv FROM init GROUP BY 1
+    ), scored AS (
+        SELECT e.vec_id, c.cluster,
+               round((SELECT sum((CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) *
+                                 (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))
+                      FROM generate_series(1, {EMB_DIM}) AS g(i)), 6) AS d
+        FROM embeddings e, cent c
+    ), assigned AS (
+        SELECT vec_id, cluster, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rk
+        FROM scored
+    )
+"""
+
+
+def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed centroids: decimal-exact elementwise mean per vec_id % k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = (
+        emb.select(
+            (F.col("vec_id") % KMEANS_K).alias("cluster"),
+            F.posexplode("embedding").alias("pos", "v"),
+        )
+        .groupBy("cluster", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,12)")).cast("double") / F.count("*"),
+                6,
+            ).alias("c")
+        )
+    )
+    return init.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+
+
+def _kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _kmeans_centroids(spark, sf_dir)
+    sqdist = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("cv"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cluster", F.round(sqdist, 6).alias("d")
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cluster")).alias("m"))
+        .select("vec_id", F.col("m.cluster").alias("cluster"), F.col("m.d").alias("dist"))
+    )
+    return best
+
+
+@register(
+    "sim_kmeans_assign",
+    _SQL_KMEANS_CENT_CTE
+    + """
+    SELECT vec_id, cluster, d AS dist FROM assigned WHERE rk = 1
+    """,
+    doc="k-means Lloyd assignment: nearest of k broadcast centroids",
+)
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment step: k×dim centroids broadcast, corpus scanned once,
+    argmin folded in a tiny groupBy(vec_id) over k candidate rows."""
+    return _kmeans_assignment(spark, sf_dir)
+
+
+@register(
+    "sim_kmeans_update",
+    _SQL_KMEANS_CENT_CTE
+    + f"""
+    SELECT a.cluster, i - 1 AS pos,
+           round(CAST(sum(CAST(e.embedding[i] AS DECIMAL(38,12))) AS DOUBLE)
+                 / count(*), 6) AS centroid,
+           count(*) AS n
+    FROM assigned a
+    JOIN embeddings e USING (vec_id), generate_series(1, {EMB_DIM}) AS g(i)
+    WHERE a.rk = 1
+    GROUP BY 1, 2
+    """,
+    doc="k-means Lloyd update: decimal-exact recentering from assignment",
+)
+def sim_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update step: new centroids from the fresh assignment. The shuffle
+    carries (cluster, pos) cells — k·dim groups, corpus-size-free."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = _kmeans_assignment(spark, sf_dir).select("vec_id", "cluster")
+    return (
+        emb.join(assigned, "vec_id")
+        .select("cluster", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,12)")).cast("double") / F.count("*"),
+                6,
+            ).alias("centroid"),
+            F.count("*").alias("n"),
+        )
+    )
