@@ -155,3 +155,69 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("total_value"),
     )
+
+
+def _skew_profile(df: DataFrame, table_key: str, key: str) -> DataFrame:
+    """Key-skew diagnostic — the report that tells you whether a join or
+    groupBy on ``key`` needs salting before it hits 1000 executors.
+    Stage 1 is a partial-agg-friendly per-key count (the only scan of
+    the base table); the per-key frame (|keys| rows, corpus-size-free)
+    folds to one stats row, and the heavy-key count compares each key
+    against the broadcast global average. All-integer outputs (avg
+    scaled ×100, floor div) keep the report engine-exact."""
+    per_key = df.groupBy(key).agg(F.count("*").alias("c"))
+    stats = per_key.agg(
+        F.sum("c").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("c").alias("max_key_rows"),
+    )
+    heavy = (
+        per_key.crossJoin(F.broadcast(stats))
+        .filter(F.col("c") * F.col("n_keys") > 2 * F.col("n_rows"))
+        .agg(F.count("*").alias("n_heavy_keys"))
+    )
+    return stats.crossJoin(F.broadcast(heavy)).select(
+        F.lit(table_key).alias("table_key"),
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.expr("(n_rows * 100) div n_keys").alias("avg_rows_x100"),
+        "n_heavy_keys",
+    )
+
+
+@register(
+    "dq_skew_profile",
+    """
+    WITH prof AS (
+        SELECT 'events.user_id' AS table_key, user_id AS k FROM events
+        UNION ALL
+        SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+    ), per_key AS (
+        SELECT table_key, k, count(*) AS c FROM prof GROUP BY 1, 2
+    ), stats AS (
+        SELECT table_key, sum(c) AS n_rows, count(*) AS n_keys,
+               max(c) AS max_key_rows
+        FROM per_key GROUP BY 1
+    ), heavy AS (
+        SELECT p.table_key, count(*) AS n_heavy_keys
+        FROM per_key p JOIN stats s USING (table_key)
+        WHERE p.c * s.n_keys > 2 * s.n_rows
+        GROUP BY 1
+    )
+    SELECT s.table_key, CAST(s.n_rows AS BIGINT) AS n_rows, s.n_keys,
+           CAST(s.max_key_rows AS BIGINT) AS max_key_rows,
+           CAST(s.n_rows * 100 AS BIGINT) // s.n_keys AS avg_rows_x100,
+           CAST(coalesce(h.n_heavy_keys, 0) AS BIGINT) AS n_heavy_keys
+    FROM stats s LEFT JOIN heavy h USING (table_key)
+    """,
+    doc="data quality: key-skew report (salt-before-you-shuffle diagnostic)",
+)
+def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics for the two hottest shuffle keys in the fixture
+    schema; heavy = a key holding more than 2× the average row share."""
+    events = load_table(spark, sf_dir, "events")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return _skew_profile(events, "events.user_id", "user_id").unionAll(
+        _skew_profile(lineitem, "lineitem.l_suppkey", "l_suppkey")
+    )

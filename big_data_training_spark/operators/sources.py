@@ -438,3 +438,52 @@ def s9_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = materialize(stats(1).unionAll(stats(2)))
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@register(
+    "s9_partitioned_layout_prune",
+    """
+    SELECT l_returnflag, count(*) AS n_items,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS total_price
+    FROM lineitem
+    WHERE l_returnflag IN ('R', 'A')
+    GROUP BY l_returnflag
+    """,
+    doc="S9/S11: hive-partitioned layout + partition-pruned scan",
+)
+def s9_partitioned_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-partitioned warehouse layout (the retention/pruning
+    lever S11 exploits): lineitem is rewritten ``partitionBy(l_returnflag)``
+    and queried with a partition predicate, so the scan's
+    PartitionFilters skip every non-matching directory without opening a
+    single file — at 100 TB this is the difference between scanning one
+    mode's share and scanning the table. The plan assertion lives in
+    tests/test_scale_strategies.py; here the pruned result is
+    oracle-checked against the unpartitioned table."""
+    import shutil
+
+    from big_data_training_spark.streaming.replay import materialize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = tempfile.mkdtemp(prefix="bdts_part_")
+    (
+        li.select("l_returnflag", "l_extendedprice")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(base)
+    )
+    out = materialize(
+        spark.read.parquet(base)
+        .filter(F.col("l_returnflag").isin("R", "A"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double"),
+                2,
+            ).alias("total_price"),
+        )
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out

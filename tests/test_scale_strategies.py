@@ -288,3 +288,31 @@ def test_pagerank_copartitioned_round_is_single_exchange(spark, sf_dir):
         ), plain_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partitioned_layout_scan_prunes_directories(spark, sf_dir):
+    """A directory-partitioned layout must turn a partition-key predicate
+    into PartitionFilters on the scan (zero non-matching files opened) —
+    the S11 pruning lever s9_partitioned_layout_prune exercises."""
+    import shutil
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = tempfile.mkdtemp(prefix="bdts_prune_t_")
+    try:
+        (
+            li.select("l_returnflag", "l_extendedprice")
+            .write.mode("overwrite")
+            .partitionBy("l_returnflag")
+            .parquet(base)
+        )
+        scan = spark.read.parquet(base).filter(F.col("l_returnflag") == "R")
+        plan = physical_plan(scan)
+        assert "PartitionFilters" in plan
+        pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+        assert "l_returnflag" in pf and "= R" in pf, pf
+        # and the pruned scan really reads only the matching directory's rows
+        direct = spark.read.parquet(os.path.join(base, "l_returnflag=R"))
+        assert scan.count() == direct.count() > 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
