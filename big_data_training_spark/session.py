@@ -48,6 +48,10 @@ def session_builder(
         # keep files split-sized so a 100 TB table parallelizes evenly.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Naive parquet timestamps read as session-local TIMESTAMP (not
+        # NTZ) so epoch casts stay legal and oracles line up; data.py
+        # also pins this at read time for externally built sessions.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Streaming state at scale: RocksDB spills keyed state to disk
         # (reference's local-state store, kafka/README.md:317,333).
         .config(
