@@ -609,3 +609,69 @@ def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
     )
+
+
+CONTAIN_TAU = 0.6
+
+
+@register(
+    "dd_containment_pairs",
+    _SQL_JACCARD_PAIRS_CTES.replace(", pairs AS (", ", _unused_pairs AS (")
+    + f"""
+    SELECT doc_i, doc_j,
+           round(c::DOUBLE / si.n, 4) AS cont_i,
+           round(c::DOUBLE / sj.n, 4) AS cont_j
+    FROM common
+    JOIN sizes si ON si.doc_id = doc_i
+    JOIN sizes sj ON sj.doc_id = doc_j
+    WHERE c::DOUBLE / si.n >= {CONTAIN_TAU} OR c::DOUBLE / sj.n >= {CONTAIN_TAU}
+    """,
+    doc="asymmetric shingle containment pairs (quote / doc-in-doc detection)",
+)
+def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment |A∩B|/|A| is the asymmetric cousin of Jaccard: a short
+    document quoted inside a long one scores near 1.0 on its own side
+    while Jaccard stays tiny — the signal quote/boilerplate removal
+    needs. Reuses the hashed inverted-index blocking (same shuffle shape
+    as the Jaccard join: only co-occurring docs ever pair)."""
+    sh = (
+        _shingled(spark, sf_dir)
+        .withColumn(
+            "hs",
+            F.expr(
+                f"array_distinct(transform(shingles, s -> {hash60_expr('s')}))"
+            ),
+        )
+        .select("doc_id", "hs")
+    )
+    sh = _cache_tracked(sh)
+    inv = sh.select("doc_id", F.explode("hs").alias("h"))
+    shared = inv.groupBy("h").count().filter(F.col("count") >= 2).select("h")
+    inv = inv.join(shared, "h")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j"))
+        .agg(F.count("*").alias("c"))
+    )
+    sizes = sh.select("doc_id", F.size("hs").alias("n"))
+    si = sizes.alias("si")
+    sj = sizes.alias("sj")
+    cont_i = F.col("c") / F.col("si.n")
+    cont_j = F.col("c") / F.col("sj.n")
+    return (
+        common.join(si, F.col("si.doc_id") == F.col("doc_i"))
+        .join(sj, F.col("sj.doc_id") == F.col("doc_j"))
+        .filter((cont_i >= CONTAIN_TAU) | (cont_j >= CONTAIN_TAU))
+        .select(
+            "doc_i",
+            "doc_j",
+            F.round(cont_i, 4).alias("cont_i"),
+            F.round(cont_j, 4).alias("cont_j"),
+        )
+    )

@@ -461,3 +461,67 @@ def ev_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.max("conc").alias("peak_concurrency"))
     )
+
+
+@register(
+    "ev_funnel_conversion",
+    """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+    )
+    SELECT 1 AS step, 'signup' AS name, count(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, 'view_after_signup', count(*) FROM s2
+    UNION ALL
+    SELECT 3, 'purchase_after_view', count(*) FROM s3
+    """,
+    doc="ordered funnel: signup -> view -> purchase, strictly increasing ts",
+)
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic ordered-sequence funnel over the event stream: each stage
+    keeps the earliest qualifying timestamp and the next stage requires a
+    strictly later event — all min-aggregations and joins on user_id, so
+    every stage shuffles once on the same key (Catalyst reuses the
+    partitioning across stages) and the frame shrinks monotonically."""
+    events = load_table(spark, sf_dir, "events")
+    s1 = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, step: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("name"),
+            F.count("*").alias("n_users"),
+        ).select("step", "name", "n_users")
+
+    return (
+        stage(s1, 1, "signup")
+        .unionAll(stage(s2, 2, "view_after_signup"))
+        .unionAll(stage(s3, 3, "purchase_after_view"))
+    )
