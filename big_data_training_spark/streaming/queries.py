@@ -887,3 +887,51 @@ def st_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_hit_shingles"))
     )
     return run_to_completion(hits, "complete")
+
+
+@register(
+    "st_hll_stream",
+    """
+    WITH hashed AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events
+    ), parts AS (
+        SELECT event_type, h >> 52 AS bucket, h & 4503599627370495 AS w
+        FROM hashed
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(max(CASE WHEN w = 0 THEN 53
+                         ELSE 53 - length(bin(w)) END) AS INT) AS register
+    FROM parts GROUP BY 1, 2
+    """,
+    doc="HyperLogLog registers maintained incrementally over the event stream",
+)
+def st_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL sketch as a *streaming* aggregate: per-batch partial
+    registers merge into running state by elementwise max — and because
+    max is associative, commutative and idempotent, the result is
+    independent of micro-batch boundaries, so the batch oracle is exact.
+    This is the streaming twin of sk_hll_registers (extensions/
+    sketches.py) and the live-dashboard form of distinct counting: state
+    is m registers per key forever, regardless of stream volume."""
+    from big_data_training_spark.extensions.sketches import _HLL_W_MASK
+    from big_data_training_spark.functions.hashing import hash60
+
+    ev = read_stream_table(spark, sf_dir, "events")
+    parts = ev.select(
+        "event_type", hash60(F.col("user_id").cast("string")).alias("h")
+    ).select(
+        "event_type",
+        F.shiftright("h", 52).cast("bigint").alias("bucket"),
+        F.expr(f"h & {_HLL_W_MASK}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.bin("w"))
+    )
+    regs = (
+        parts.select("event_type", "bucket", rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").cast("int").alias("register"))
+    )
+    return run_to_completion(regs, "complete")
