@@ -272,3 +272,56 @@ def ev_out_of_order_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_late.alias("n_late"),
         (F.floor((n_late * 20000 + n) / (2.0 * n)) / 10000.0).alias("late_ratio"),
     )
+
+
+@register(
+    "ev_time_weighted_avg",
+    """
+    WITH seg AS (
+        SELECT user_id, value, ts,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_ts
+        FROM events
+    ), weighted AS (
+        SELECT user_id,
+               CAST(value AS DECIMAL(38,6)) *
+                   CAST(epoch_us(next_ts) - epoch_us(ts) AS DECIMAL(38,0))
+                   AS wv,
+               epoch_us(next_ts) - epoch_us(ts) AS dur_us
+        FROM seg WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(sum(dur_us) AS BIGINT) AS total_us,
+           round(CAST(sum(wv) AS DOUBLE) / CAST(sum(dur_us) AS DOUBLE), 4)
+               AS twa_value
+    FROM weighted GROUP BY user_id
+    """,
+    doc="time-weighted average: value held until next event, decimal-exact",
+)
+def ev_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per key — the correct mean for sampled
+    gauges (a reading holds until the next one): each value is weighted
+    by microseconds until the key's next event; the open last segment is
+    excluded. Sums are decimal-exact (value×duration products), one
+    window + one aggregation, both keyed on user_id so the sort-shuffle
+    is reused by the groupBy."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = events.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    dur = F.col("next_us") - F.col("t_us")
+    wv = F.col("value").cast("decimal(38,6)") * dur.cast("decimal(38,0)")
+    return (
+        seg.select("user_id", dur.alias("dur_us"), wv.alias("wv"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("dur_us").alias("total_us"),
+            F.round(
+                F.sum("wv").cast("double") / F.sum("dur_us").cast("double"), 4
+            ).alias("twa_value"),
+        )
+    )
