@@ -304,19 +304,11 @@ def tx_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.expr("filter(split(text, ' '), w -> w != '')")).alias("w"),
     )
-    from pyspark.sql import Window
-
     counts = toks.groupBy("w").agg(F.count("*").alias("n"))
-    vocab = (
-        counts.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.desc("n"), F.asc("w"))
-            ),
-        )
-        .filter(F.col("rk") <= VOCAB_TOP_K)
-        .select("w")
-    )
+    # global top-K via orderBy().limit(): TakeOrderedAndProject — each
+    # partition keeps its local top-K before the driver merge, never a
+    # single-task row_number window over the whole vocabulary.
+    vocab = counts.orderBy(F.desc("n"), F.asc("w")).limit(VOCAB_TOP_K).select("w")
     hit = F.when(F.col("v_w").isNotNull(), 1).otherwise(0)
     return (
         toks.join(

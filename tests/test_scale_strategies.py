@@ -316,3 +316,16 @@ def test_partitioned_layout_scan_prunes_directories(spark, sf_dir):
         assert scan.count() == direct.count() > 0
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_vocab_topk_avoids_single_partition_window(spark, sf_dir):
+    """Same contract as the KMV fix (VERDICT r2 #2): the global top-K
+    vocabulary in tx_vocab_coverage must plan as TakeOrderedAndProject,
+    never a row_number Window with an empty partitionBy."""
+    from big_data_training_spark.extensions.curation import tx_vocab_coverage
+
+    plan = physical_plan(tx_vocab_coverage(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    for line in plan.splitlines():
+        if "Window" in line and "windowgrouplimit" not in line.lower():
+            raise AssertionError(f"global window found: {line}")
