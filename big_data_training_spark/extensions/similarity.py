@@ -585,3 +585,51 @@ def sim_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@register(
+    "dd_semantic_neardup_kmeans",
+    _SQL_KMEANS_CENT_CTE
+    + f"""
+    , blocked AS (
+        SELECT vec_id, cluster FROM assigned WHERE rk = 1
+    ), p AS (
+        SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+               {_sql_dot('ea.embedding', 'eb.embedding')} /
+               (sqrt({_sql_dot('ea.embedding', 'ea.embedding')}) *
+                sqrt({_sql_dot('eb.embedding', 'eb.embedding')})) AS cos
+        FROM blocked a
+        JOIN blocked b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+    )
+    SELECT vec_i, vec_j, round(cos, 6) AS cosine
+    FROM p WHERE cos >= {NEARDUP_TAU}
+    """,
+    doc="semantic near-dup pairs blocked by k-means cell (IVF-style dedup)",
+)
+def dd_semantic_neardup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third blocking strategy for embedding near-dup, alongside
+    sign-LSH buckets and MinHash text shingles: candidates pair only
+    within their k-means cell (the IVF idea applied to dedup), so the
+    pairwise cosine work is sum of squared cell sizes, not corpus².
+    Cells with semantic structure beat random sign-planes on recall at
+    the same candidate budget; run both and union for the production
+    droplist."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = _kmeans_assignment(spark, sf_dir).select("vec_id", "cluster")
+    keyed = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_i"),
+        F.col("b.vec_id").alias("vec_j"),
+        F.expr(_cos_expr("a.embedding", "b.embedding")).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= NEARDUP_TAU).select(
+        "vec_i", "vec_j", F.round("cos", 6).alias("cosine")
+    )
