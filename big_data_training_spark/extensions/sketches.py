@@ -537,3 +537,68 @@ def sk_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct",
         )
     )
+
+
+@register(
+    "sk_hll_union_global",
+    _SQL_HLL_REGS_CTE
+    + f"""
+    , merged AS (
+        SELECT bucket, max(register) AS register FROM regs GROUP BY 1
+    ), denom AS (
+        SELECT count(*) AS n_used,
+               CAST(sum(1::BIGINT << (53 - register)) AS BIGINT) AS used_scaled
+        FROM merged
+    ), ex AS (
+        SELECT count(DISTINCT user_id) AS exact_distinct FROM events
+    )
+    SELECT CAST({HLL_M} - d.n_used AS BIGINT) AS n_empty,
+           d.used_scaled + ({HLL_M} - d.n_used) * {_HLL_DENOM_SCALE} AS denom_scaled,
+           round(CASE WHEN ({HLL_M} - d.n_used) > 0
+                       AND {_HLL_NUMERATOR!r} /
+                           CAST(d.used_scaled + ({HLL_M} - d.n_used) * {_HLL_DENOM_SCALE}
+                                AS DOUBLE) < {_HLL_SMALL_RANGE!r}
+                      THEN ({_SQL_HLL_LC_LIST})[{HLL_M} - d.n_used]
+                      ELSE {_HLL_NUMERATOR!r} /
+                           CAST(d.used_scaled + ({HLL_M} - d.n_used) * {_HLL_DENOM_SCALE}
+                                AS DOUBLE) END, 2) AS est_distinct,
+           ex.exact_distinct
+    FROM denom d, ex
+    """,
+    doc="global distinct estimate by union-merging per-key HLL sketches",
+)
+def sk_hll_union_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch union: the global distinct-user estimate computed purely by
+    elementwise max over the per-type register tables — never rescanning
+    the raw stream. This is the property that lets 1000 executors (or
+    1000 days of partial sketches) answer the corpus-wide question with
+    m integers per shard."""
+    ev = load_table(spark, sf_dir, "events")
+    merged = (
+        _hll_registers(spark, sf_dir)
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    denom = merged.agg(
+        F.count("*").alias("n_used"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - register)"))
+        .cast("bigint")
+        .alias("used_scaled"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    denom_scaled = F.col("used_scaled") + (
+        (F.lit(HLL_M) - F.col("n_used")) * F.lit(_HLL_DENOM_SCALE)
+    )
+    n_empty = (F.lit(HLL_M) - F.col("n_used")).cast("bigint")
+    raw_est = F.lit(_HLL_NUMERATOR) / denom_scaled.cast("double")
+    lc_table = F.array(*[F.lit(x) for x in _HLL_LC_TABLE])
+    est = F.when(
+        (n_empty > 0) & (raw_est < F.lit(_HLL_SMALL_RANGE)),
+        F.element_at(lc_table, n_empty.cast("int")),
+    ).otherwise(raw_est)
+    return denom.crossJoin(F.broadcast(exact)).select(
+        n_empty.alias("n_empty"),
+        denom_scaled.alias("denom_scaled"),
+        F.round(est, 2).alias("est_distinct"),
+        "exact_distinct",
+    )
