@@ -633,3 +633,75 @@ def dd_semantic_neardup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cos") >= NEARDUP_TAU).select(
         "vec_i", "vec_j", F.round("cos", 6).alias("cosine")
     )
+
+
+_SQL_KMEANS_ROUND2_CTE = (
+    _SQL_KMEANS_CENT_CTE
+    + f"""
+    , upd AS (
+        SELECT a.cluster, i - 1 AS pos,
+               round(CAST(sum(CAST(e.embedding[i] AS DECIMAL(38,12))) AS DOUBLE)
+                     / count(*), 6) AS c
+        FROM assigned a
+        JOIN embeddings e USING (vec_id), generate_series(1, {EMB_DIM}) AS g(i)
+        WHERE a.rk = 1
+        GROUP BY 1, 2
+    ), cent2 AS (
+        SELECT cluster, list(c ORDER BY pos) AS cv FROM upd GROUP BY 1
+    ), scored2 AS (
+        SELECT e.vec_id, c.cluster,
+               round((SELECT sum((CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) *
+                                 (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))
+                      FROM generate_series(1, {EMB_DIM}) AS g(i)), 6) AS d
+        FROM embeddings e, cent2 c
+    ), assigned2 AS (
+        SELECT vec_id, cluster, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rk
+        FROM scored2
+    )
+"""
+)
+
+
+@register(
+    "sim_kmeans_round2",
+    _SQL_KMEANS_ROUND2_CTE
+    + """
+    SELECT vec_id, cluster, d AS dist FROM assigned2 WHERE rk = 1
+    """,
+    doc="k-means second Lloyd round: re-assignment against updated centroids",
+)
+def sim_kmeans_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full iterate-until-converged shape, value-exact for two
+    rounds: centroids recenter from round 1's assignment (decimal-exact,
+    rounded), then every vector re-assigns against the new cells. Same
+    per-round cost profile as round 1 — broadcast centroids, one corpus
+    scan, k-row argmin fold — so N rounds cost N linear scans, never
+    anything quadratic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    upd = sim_kmeans_update(spark, sf_dir)
+    cent2 = upd.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("cv")
+    )
+    sqdist = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("cv"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.crossJoin(F.broadcast(cent2)).select(
+        "vec_id", "cluster", F.round(sqdist, 6).alias("d")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cluster")).alias("m"))
+        .select(
+            "vec_id", F.col("m.cluster").alias("cluster"), F.col("m.d").alias("dist")
+        )
+    )
