@@ -675,3 +675,56 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cont_j, 4).alias("cont_j"),
         )
     )
+
+
+@register(
+    "dd_minhash_vs_exact",
+    _SQL_SIG_CTE
+    + _LSH_PAIRS_SQL_BODY
+    + f"""
+    , lsh AS (
+        SELECT doc_i, doc_j, round(max(est_jaccard), 4) AS est_jaccard
+        FROM scored WHERE est_jaccard >= {MINHASH_TAU}
+        GROUP BY 1, 2
+    ), hsh AS (
+        SELECT doc_id, list_distinct([{sql_hash60('s')} for s in shingles]) AS hs
+        FROM sh
+    )
+    SELECT l.doc_i, l.doc_j, l.est_jaccard,
+           round(len(list_intersect(a.hs, b.hs))::DOUBLE /
+                 (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 4)
+               AS exact_jaccard
+    FROM lsh l
+    JOIN hsh a ON a.doc_id = l.doc_i
+    JOIN hsh b ON b.doc_id = l.doc_j
+    """,
+    doc="sketch accuracy audit: MinHash estimate vs exact Jaccard per LSH pair",
+)
+def dd_minhash_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-quality report a production dedup pipeline publishes:
+    for every LSH-surfaced pair, the 16-hash MinHash estimate next to
+    the exact shingle-set Jaccard. Exact sets are fetched only for the
+    surviving pairs (two joins against the tiny pair list) — the audit
+    never re-runs the quadratic comparison the sketch exists to avoid."""
+    pairs = dd_minhash_lsh_pairs(spark, sf_dir)
+    hs = (
+        _shingled(spark, sf_dir)
+        .withColumn(
+            "hs",
+            F.expr(f"array_distinct(transform(shingles, s -> {hash60_expr('s')}))"),
+        )
+        .select("doc_id", "hs")
+    )
+    a = hs.select(F.col("doc_id").alias("doc_i"), F.col("hs").alias("hs_i"))
+    b = hs.select(F.col("doc_id").alias("doc_j"), F.col("hs").alias("hs_j"))
+    inter = F.size(F.array_intersect("hs_i", "hs_j"))
+    exact = inter.cast("double") / (
+        F.size("hs_i") + F.size("hs_j") - inter
+    )
+    return (
+        pairs.join(a, "doc_i")
+        .join(b, "doc_j")
+        .select(
+            "doc_i", "doc_j", "est_jaccard", F.round(exact, 4).alias("exact_jaccard")
+        )
+    )
