@@ -329,3 +329,24 @@ def test_vocab_topk_avoids_single_partition_window(spark, sf_dir):
     for line in plan.splitlines():
         if "Window" in line and "windowgrouplimit" not in line.lower():
             raise AssertionError(f"global window found: {line}")
+
+
+def test_hll_registers_partial_aggregate(spark, sf_dir):
+    """The HLL build must plan partial→final HashAggregate (map-side
+    register max before the shuffle): the exchange then carries at most
+    m rows per key per map partition, the property that makes the sketch
+    1000-executor-mergeable."""
+    from big_data_training_spark.extensions.sketches import sk_hll_registers
+
+    plan = physical_plan(sk_hll_registers(spark, sf_dir))
+    assert "partial_max" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_time_weighted_avg_reuses_window_shuffle(spark, sf_dir):
+    """ev_time_weighted_avg's groupBy(user_id) must reuse the lead
+    window's user_id sort-shuffle: exactly one exchange in the plan."""
+    from big_data_training_spark.operators.temporal import ev_time_weighted_avg
+
+    plan = physical_plan(ev_time_weighted_avg(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
