@@ -728,3 +728,62 @@ def dd_minhash_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_i", "doc_j", "est_jaccard", F.round(exact, 4).alias("exact_jaccard")
         )
     )
+
+
+@register(
+    "dd_lsh_recall_report",
+    _SQL_SIG_CTE
+    + _LSH_PAIRS_SQL_BODY
+    + f"""
+    , lsh AS (
+        SELECT DISTINCT doc_i, doc_j
+        FROM scored WHERE est_jaccard >= {MINHASH_TAU}
+    ), hsh AS (
+        SELECT doc_id, list_distinct([{sql_hash60('s')} for s in shingles]) AS hs
+        FROM sh
+    ), inv AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+    common AS (
+        SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS c
+        FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), sizes AS (SELECT doc_id, len(hs) AS n FROM hsh),
+    exact_pairs AS (
+        SELECT doc_i, doc_j
+        FROM common
+        JOIN sizes si ON si.doc_id = doc_i
+        JOIN sizes sj ON sj.doc_id = doc_j
+        WHERE c::DOUBLE / (si.n + sj.n - c) >= {JACCARD_TAU}
+    )
+    SELECT (SELECT count(*) FROM exact_pairs) AS n_exact_pairs,
+           (SELECT count(*) FROM lsh) AS n_lsh_pairs,
+           (SELECT count(*) FROM exact_pairs e JOIN lsh l
+            ON l.doc_i = e.doc_i AND l.doc_j = e.doc_j) AS n_recalled,
+           CAST((SELECT count(*) FROM exact_pairs e JOIN lsh l
+                 ON l.doc_i = e.doc_i AND l.doc_j = e.doc_j) * 1000
+                // greatest((SELECT count(*) FROM exact_pairs), 1)
+                AS BIGINT) AS recall_permille
+    """,
+    doc="sketch recall audit: LSH candidate pairs vs exact-Jaccard truth",
+)
+def dd_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall side of the sketch-quality story (dd_minhash_vs_exact
+    is precision): how many true near-dup pairs the banded index
+    surfaces. All-integer report; the exact pair set is the documented
+    quadratic baseline, run here exactly as the audit you'd sample on a
+    real corpus rather than run in full."""
+    lsh = dd_minhash_lsh_pairs(spark, sf_dir).select("doc_i", "doc_j")
+    exact = dd_ngram_jaccard_pairs(spark, sf_dir).select("doc_i", "doc_j")
+    recalled = exact.join(lsh, ["doc_i", "doc_j"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact_pairs"))
+        .crossJoin(F.broadcast(lsh.agg(F.count("*").alias("n_lsh_pairs"))))
+        .crossJoin(F.broadcast(recalled.agg(F.count("*").alias("n_recalled"))))
+        .select(
+            "n_exact_pairs",
+            "n_lsh_pairs",
+            "n_recalled",
+            F.expr("(n_recalled * 1000) div greatest(n_exact_pairs, 1)").alias(
+                "recall_permille"
+            ),
+        )
+    )

@@ -487,3 +487,33 @@ def s9_partitioned_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@register(
+    "s8_orc_roundtrip",
+    """
+    SELECT event_type, count(*) AS n, max(event_id) AS max_offset,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2) AS total_value
+    FROM events WHERE event_id < 2000 GROUP BY event_type
+    """,
+    doc="S8: ORC columnar sink + source connector round-trip",
+)
+def s8_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip — the second columnar format the warehouse tier
+    speaks natively (Hive's default, README.md:20 storage story).
+    Binary-faithful for doubles unlike text formats, with the same
+    predicate-pushdown/column-pruning scan behavior as Parquet."""
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    out = tempfile.mkdtemp(prefix="bdts_orc_") + "/slice"
+    events.select("event_id", "event_type", "value").write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("event_id").alias("max_offset"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 2
+            ).alias("total_value"),
+        )
+    )
