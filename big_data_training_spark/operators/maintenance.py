@@ -221,3 +221,55 @@ def dq_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _skew_profile(events, "events.user_id", "user_id").unionAll(
         _skew_profile(lineitem, "lineitem.l_suppkey", "l_suppkey")
     )
+
+
+@register(
+    "mv_refresh_with_retractions",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           count(*) AS n,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS total_value
+    FROM events
+    WHERE NOT (event_type = 'error' AND ts >= TIMESTAMP '2024-01-20')
+    GROUP BY 1
+    HAVING count(*) > 0
+    """,
+    doc="MV maintenance under a retraction stream: deletes as negative partials",
+)
+def mv_refresh_with_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-stream materialization (the table↔stream duality,
+    kafka/README.md:319): the delta batch carries upserts AND deletes.
+    Deletes merge as *negative* partial aggregates (-count, -sum) — the
+    retraction trick that lets a changelog maintain any sum/count MV
+    without rereading history. Scenario: all post-cutover 'error' events
+    get retracted; the oracle recomputes the post-delete state from
+    scratch. Groups whose count retracts to zero drop out of the MV."""
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit(MV_CUTOVER).cast("timestamp")
+    day = F.date_trunc("day", "ts").alias("day")
+
+    def partials(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy(day).agg(
+            (F.lit(sign) * F.count("*")).alias("pn"),
+            (F.lit(sign) * F.sum(F.col("value").cast("decimal(38,6)"))).alias("pv"),
+        )
+
+    standing = partials(events.filter(F.col("ts") < cut), 1)
+    delta_ins = partials(events.filter(F.col("ts") >= cut), 1)
+    # the retraction stream: post-cutover error events are deleted
+    delta_del = partials(
+        events.filter((F.col("ts") >= cut) & (F.col("event_type") == "error")), -1
+    )
+    merged = (
+        standing.unionByName(delta_ins)
+        .unionByName(delta_del)
+        .groupBy("day")
+        .agg(F.sum("pn").alias("n"), F.sum("pv").alias("pv"))
+        .filter(F.col("n") > 0)
+    )
+    return merged.select(
+        "day",
+        "n",
+        F.round(F.col("pv").cast("double"), 2).alias("total_value"),
+    )

@@ -517,3 +517,50 @@ def s8_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+
+
+COMPACT_TARGET_FILES = 4
+
+
+@register(
+    "s11_segment_compaction",
+    """
+    SELECT event_type, count(*) AS n, max(event_id) AS max_offset
+    FROM events GROUP BY event_type
+    """,
+    doc="S11: small-file segment compaction (OPTIMIZE) preserving content",
+)
+def s11_segment_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPTIMIZE half of retention management: a log accumulates many
+    small segments (here 32 via round-robin write); compaction rewrites
+    them into a few target-sized files with one shuffle-free coalesce —
+    the metadata-and-IO fix for the small-files problem that kills scan
+    parallelism bookkeeping at 100 TB. The oracle checks content
+    fidelity; the file-count contract is asserted in-line (compacted
+    directory must have ≤ target files)."""
+    import shutil
+
+    from big_data_training_spark.streaming.replay import materialize
+
+    events = load_table(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="bdts_compact_")
+    frag_dir = os.path.join(base, "fragmented")
+    compact_dir = os.path.join(base, "compacted")
+    events.repartition(32).write.mode("overwrite").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    frag.coalesce(COMPACT_TARGET_FILES).write.mode("overwrite").parquet(compact_dir)
+    back = spark.read.parquet(compact_dir)
+    n_files = len(
+        [f for f in os.listdir(compact_dir) if f.endswith(".parquet")]
+    )
+    if n_files > COMPACT_TARGET_FILES:
+        raise RuntimeError(
+            f"compaction produced {n_files} files > {COMPACT_TARGET_FILES}"
+        )
+    out = materialize(
+        back.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.max("event_id").alias("max_offset")
+        )
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
