@@ -273,3 +273,61 @@ def mv_refresh_with_retractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("pv").cast("double"), 2).alias("total_value"),
     )
+
+
+@register(
+    "dq_value_outliers",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS mean,
+               sqrt(greatest(
+                   CAST(sum(CAST(value AS DECIMAL(38,6)) *
+                            CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+                   - (CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*))
+                     * (CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*)),
+                   0)) AS sd,
+               count(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value, 2) AS value,
+           round((e.value - s.mean) / s.sd, 2) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    WHERE s.sd > 0 AND abs(e.value - s.mean) > 3 * s.sd
+    """,
+    doc="data quality: per-key 3-sigma value outliers (anomaly flagging)",
+)
+def dq_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly flagging over the event stream: per-type mean/stddev from
+    decimal-exact sums (population moments — order-independent, so the
+    doubles agree across engines), then one broadcast join flags rows
+    beyond 3σ. Two scans total; the stats side is |event_types| rows."""
+    events = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(38,6)")
+    stats = events.groupBy("event_type").agg(
+        (F.sum(dec).cast("double") / F.count("*")).alias("mean"),
+        F.sqrt(
+            F.greatest(
+                F.sum(dec * dec).cast("double") / F.count("*")
+                - (F.sum(dec).cast("double") / F.count("*"))
+                * (F.sum(dec).cast("double") / F.count("*")),
+                F.lit(0.0),
+            )
+        ).alias("sd"),
+    )
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .filter(
+            (F.col("sd") > 0)
+            & (F.abs(F.col("value") - F.col("mean")) > 3 * F.col("sd"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round((F.col("value") - F.col("mean")) / F.col("sd"), 2).alias(
+                "zscore"
+            ),
+        )
+    )

@@ -935,3 +935,31 @@ def st_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("rho").cast("int").alias("register"))
     )
     return run_to_completion(regs, "complete")
+
+
+@register(
+    "st_dedup_within_watermark",
+    """
+    SELECT event_type, count(*) AS n_unique
+    FROM (SELECT DISTINCT ON (event_id) event_id, event_type FROM events)
+    GROUP BY event_type
+    """,
+    doc="C3 bounded-state form: dropDuplicatesWithinWatermark expiry",
+)
+def st_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded-state dedup the unbounded dropDuplicates can't be at
+    100 TB: dropDuplicatesWithinWatermark expires each key's dedup state
+    once the watermark passes it, so state size tracks the lateness
+    bound, not the stream's lifetime key count. The bounded replay fits
+    one watermark window, so the result equals exact distinct-by-offset."""
+    first = read_stream_table(spark, sf_dir, "events")
+    redelivery = read_stream_table(spark, sf_dir, "events")
+    # at-least-once log: every event arrives twice (second delivery)
+    events = first.select("event_id", "event_type", "ts").unionByName(
+        redelivery.select("event_id", "event_type", "ts")
+    )
+    deduped = events.withWatermark("ts", "10 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    counts = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    return run_to_completion(counts, "complete")
