@@ -35,6 +35,14 @@ def session_builder(
     """Return a configured builder (callers may add more .config())."""
     builder = (
         SparkSession.builder.appName(app_name)
+        # local[N] runs everything in the driver JVM, whose default 1g
+        # heap starves 32 concurrent tasks; size it to the machine (the
+        # env override lets CI/driver harnesses pick their own). On a
+        # real cluster this maps to executor memory instead.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
