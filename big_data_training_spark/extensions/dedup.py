@@ -616,7 +616,9 @@ CONTAIN_TAU = 0.6
 
 @register(
     "dd_containment_pairs",
-    _SQL_JACCARD_PAIRS_CTES.replace(", pairs AS (", ", _unused_pairs AS (")
+    # reuses the Jaccard CTE chain; its trailing `pairs` CTE goes unused
+    # here (DuckDB plans only referenced CTEs, so it costs nothing)
+    _SQL_JACCARD_PAIRS_CTES
     + f"""
     SELECT doc_i, doc_j,
            round(c::DOUBLE / si.n, 4) AS cont_i,
@@ -771,8 +773,19 @@ def dd_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     surfaces. All-integer report; the exact pair set is the documented
     quadratic baseline, run here exactly as the audit you'd sample on a
     real corpus rather than run in full."""
-    lsh = dd_minhash_lsh_pairs(spark, sf_dir).select("doc_i", "doc_j")
-    exact = dd_ngram_jaccard_pairs(spark, sf_dir).select("doc_i", "doc_j")
+    # both pair sets feed two branches each (their count and the semi
+    # join); localCheckpoint materializes each pipeline exactly once —
+    # without it Spark re-runs the banding and the quadratic baseline.
+    lsh = (
+        dd_minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_i", "doc_j")
+        .localCheckpoint(eager=False)
+    )
+    exact = (
+        dd_ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_i", "doc_j")
+        .localCheckpoint(eager=False)
+    )
     recalled = exact.join(lsh, ["doc_i", "doc_j"], "left_semi")
     return (
         exact.agg(F.count("*").alias("n_exact_pairs"))

@@ -75,6 +75,9 @@ def _pagerank_oracle() -> str:
 COPART_PARTS = 32  # co-partitioning width; cluster deploys size to executors
 
 
+_pin_lock = __import__("threading").Lock()
+
+
 def _pinned_checkpoint(df: DataFrame) -> DataFrame:
     """localCheckpoint that *keeps* the DataFrame's hash partitioning.
 
@@ -83,14 +86,23 @@ def _pinned_checkpoint(df: DataFrame) -> DataFrame:
     ``repartition(N, key)`` evaporates and every subsequent join
     re-shuffles (measured: 2 exchanges re-appear per joined pair).
     Building the checkpoint with AQE momentarily off pins the concrete
-    HashPartitioning into the LogicalRDD; consumers still run under AQE."""
+    HashPartitioning into the LogicalRDD; consumers still run under AQE.
+
+    The toggle mutates session-global conf, so it is serialized under a
+    lock: without it, two interleaved callers could each capture the
+    other's 'false' as the value to restore and leave AQE off for the
+    whole session. Concurrent *unrelated* queries on the same session
+    still plan without AQE during this window — acceptable for the
+    short eager checkpoint, and the alternative (a dedicated session)
+    would forfeit the shared cache."""
     spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return df.localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    with _pin_lock:
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return df.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def pagerank_round(

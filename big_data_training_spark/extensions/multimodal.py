@@ -53,6 +53,9 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
     if payload[:2] == b"\xff\xd8":
         i = 2
         while i + 9 <= len(payload) and payload[i] == 0xFF:
+            # 0xFF fill bytes between segments are legal (T.81 §B.1.1.2)
+            while i + 9 <= len(payload) and payload[i + 1] == 0xFF:
+                i += 1
             marker = payload[i + 1]
             if marker in _SOF_MARKERS:
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
@@ -61,6 +64,8 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int] | None:
                 i += 2
                 continue
             (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+            if seg_len < 2:  # malformed length would misalign the walk
+                return None
             i += 2 + seg_len
     return None
 

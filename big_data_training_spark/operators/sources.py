@@ -503,11 +503,16 @@ def s8_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     speaks natively (Hive's default, README.md:20 storage story).
     Binary-faithful for doubles unlike text formats, with the same
     predicate-pushdown/column-pruning scan behavior as Parquet."""
+    import shutil
+
+    from big_data_training_spark.streaming.replay import materialize
+
     events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
-    out = tempfile.mkdtemp(prefix="bdts_orc_") + "/slice"
+    base = tempfile.mkdtemp(prefix="bdts_orc_")
+    out = base + "/slice"
     events.select("event_id", "event_type", "value").write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
-    return (
+    result = materialize(
         back.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
@@ -517,6 +522,8 @@ def s8_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_value"),
         )
     )
+    shutil.rmtree(base, ignore_errors=True)
+    return result
 
 
 COMPACT_TARGET_FILES = 4

@@ -27,6 +27,17 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS"
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
 
 
+def _default_driver_mem() -> str:
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        ram_gb = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") // (1 << 30)
+    except (ValueError, OSError):
+        ram_gb = 8
+    return f"{max(2, min(16, ram_gb // 4))}g"
+
+
 def session_builder(
     app_name: str = "big_data_training_spark",
     master: str | None = None,
@@ -36,13 +47,12 @@ def session_builder(
     builder = (
         SparkSession.builder.appName(app_name)
         # local[N] runs everything in the driver JVM, whose default 1g
-        # heap starves 32 concurrent tasks; size it to the machine (the
-        # env override lets CI/driver harnesses pick their own). On a
-        # real cluster this maps to executor memory instead.
-        .config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-        )
+        # heap starves 32 concurrent tasks; size it to ~25% of physical
+        # RAM, capped at 16g (env override wins). Only effective when
+        # this builder launches the JVM — an already-running session
+        # (spark-submit harnesses) keeps its own setting. On a real
+        # cluster this maps to executor memory instead.
+        .config("spark.driver.memory", _default_driver_mem())
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

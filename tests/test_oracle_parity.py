@@ -55,9 +55,11 @@ def test_survey_count_in_sync():
     """VERDICT r2 #3: SURVEY.md §8's registered-query count must match
     the registry. `tools/gen_query_catalog.py` rewrites it; this test
     makes any drift a red build instead of a judge nit."""
+    import os
     import re
 
-    with open("SURVEY.md") as f:
+    survey = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SURVEY.md")
+    with open(survey) as f:
         m = re.search(r"registers\s+(\d+)\s+queries \((\d+) with DuckDB oracles", f.read())
     assert m, "SURVEY.md count sentence missing"
     specs = all_queries()
