@@ -235,6 +235,7 @@ _SQL_COPART_EDGES = """
     JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
     """,
     doc="triangle count over the part co-order graph (oriented wedge join)",
+    bench=True,
 )
 def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting, the clustering-coefficient building block.
