@@ -705,3 +705,45 @@ def sim_kmeans_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("m.cluster").alias("cluster"), F.col("m.d").alias("dist")
         )
     )
+
+
+RADIUS_TAU = 0.3
+
+
+@register(
+    "sim_radius_search",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+        SELECT e.vec_id, e.label,
+               {_sql_dot('e.embedding', 'q.qv')} /
+               (sqrt({_sql_dot('e.embedding', 'e.embedding')}) *
+                sqrt({_sql_dot('q.qv', 'q.qv')})) AS cos
+        FROM embeddings e, q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+    )
+    SELECT vec_id, label, round(cos, 6) AS cosine
+    FROM scored WHERE cos >= {RADIUS_TAU}
+    """,
+    doc="radius (range) similarity search: all vectors within cosine >= tau",
+)
+def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other ANN query shape: instead of top-k, return *everything*
+    within a similarity radius (duplicate sweeps, recall-oriented
+    retrieval). Same broadcast-query + linear-scan plan as the top-k
+    baseline but with a selective filter instead of
+    TakeOrderedAndProject — result size is data-dependent, so at scale
+    the IVF/LSH cell routing above prunes the scan the same way."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    corpus = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        F.expr(_cos_expr("embedding", "qv")).alias("cos"),
+    )
+    return scored.filter(F.col("cos") >= RADIUS_TAU).select(
+        "vec_id", "label", F.round("cos", 6).alias("cosine")
+    )

@@ -289,3 +289,42 @@ def s4_offset_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("event_id") >= 1000) & (F.col("event_id") < 2000))
         .select("event_id", "ts", "user_id", "event_type")
     )
+
+
+@register(
+    "a_sliding_distinct_users",
+    """
+    WITH days AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+    )
+    SELECT d.day,
+           count(DISTINCT e.user_id) AS n_users_3d
+    FROM days d
+    JOIN events e
+      ON date_trunc('day', e.ts) BETWEEN d.day - INTERVAL 2 DAY AND d.day
+    GROUP BY d.day
+    """,
+    doc="sliding-window distinct: 3-day rolling unique users per day",
+)
+def a_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct — the aggregate windowed sums can't express
+    (distinct doesn't decompose over overlapping windows): each day
+    joins its trailing 3-day slice and counts exact unique users. The
+    join re-reads at most window/stride = 3 replicas of each row; at
+    100 TB the replica factor, not the day count, is the cost knob —
+    and the approximate path is the mergeable HLL (sk_hll_*), whose
+    registers union across any window."""
+    events = load_table(spark, sf_dir, "events")
+    ev_days = events.select(
+        F.date_trunc("day", "ts").alias("ev_day"), "user_id"
+    )
+    days = ev_days.select(F.col("ev_day").alias("day")).distinct()
+    return (
+        days.join(
+            ev_days,
+            (F.col("ev_day") <= F.col("day"))
+            & (F.col("ev_day") >= F.col("day") - F.expr("INTERVAL 2 DAY")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n_users_3d"))
+    )
