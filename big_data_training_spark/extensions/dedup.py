@@ -800,3 +800,48 @@ def dd_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dd_component_size_histogram",
+    (_SQL_SIG_CTE + _LSH_PAIRS_SQL_BODY).replace("WITH toks", "WITH RECURSIVE toks")
+    + f"""
+    , pairs AS (
+        SELECT doc_i, doc_j FROM scored WHERE est_jaccard >= {MINHASH_TAU}
+    ),
+    e AS (
+        SELECT doc_i AS src, doc_j AS dst FROM pairs
+        UNION
+        SELECT doc_j AS src, doc_i AS dst FROM pairs
+    ),
+    closure AS (
+        SELECT src AS node, src AS comp FROM e
+        UNION
+        SELECT e.dst, c.comp FROM closure c JOIN e ON e.src = c.node
+    ),
+    labels AS (
+        SELECT node, min(comp) AS comp FROM closure GROUP BY node
+    ),
+    comp_sizes AS (
+        SELECT comp, count(*) AS family_size FROM labels GROUP BY comp
+    )
+    SELECT family_size, count(*) AS n_families,
+           CAST(family_size * count(*) AS BIGINT) AS n_docs
+    FROM comp_sizes GROUP BY family_size
+    """,
+    doc="duplicate-family size distribution over near-dup components",
+)
+def dd_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup planning report: how duplication mass is distributed —
+    many pairs (benign) vs few giant boilerplate families (the rows that
+    dominate removal volume and skew any per-component work). Two tiny
+    aggregates over the component labels; family count is |components|
+    rows regardless of corpus size."""
+    labels = dd_cluster_components(spark, sf_dir)
+    comp_sizes = labels.groupBy("component_id").agg(
+        F.count("*").alias("family_size")
+    )
+    return comp_sizes.groupBy("family_size").agg(
+        F.count("*").alias("n_families"),
+        (F.col("family_size") * F.count("*")).cast("bigint").alias("n_docs"),
+    )

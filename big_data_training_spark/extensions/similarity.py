@@ -747,3 +747,28 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("cos") >= RADIUS_TAU).select(
         "vec_id", "label", F.round("cos", 6).alias("cosine")
     )
+
+
+@register(
+    "sim_kmeans_label_confusion",
+    _SQL_KMEANS_CENT_CTE
+    + """
+    SELECT a.cluster, e.label, count(*) AS n
+    FROM assigned a JOIN embeddings e USING (vec_id)
+    WHERE a.rk = 1
+    GROUP BY 1, 2
+    """,
+    doc="cluster-vs-label confusion matrix (unsupervised quality check)",
+)
+def sim_kmeans_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How well unsupervised cells recover the labeled structure: the
+    (cluster, label) contingency table — the evaluation step after any
+    clustering run, and the input to purity/NMI scores. One broadcast
+    join of the assignment onto the labels, one k×|labels| aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    assigned = _kmeans_assignment(spark, sf_dir).select("vec_id", "cluster")
+    return (
+        emb.join(assigned, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count("*").alias("n"))
+    )
