@@ -577,3 +577,57 @@ def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TFIDF_TOP_K)
         .drop("rn")
     )
+
+
+@register(
+    "tx_vocab_growth",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({{SQL_TOKENS}}) AS w
+        FROM documents
+    ), first_seen AS (
+        SELECT w, min(doc_id) AS first_doc
+        FROM toks GROUP BY w
+    ), width AS (
+        SELECT (max(doc_id) // 50) + 1 AS bw FROM documents
+    ), bucketed AS (
+        SELECT first_doc // (SELECT bw FROM width) AS doc_bucket,
+               count(*) AS new_tokens
+        FROM first_seen GROUP BY 1
+    )
+    SELECT doc_bucket, new_tokens,
+           CAST(sum(new_tokens) OVER (ORDER BY doc_bucket) AS BIGINT)
+               AS vocab_size
+    FROM bucketed
+    """.replace("{SQL_TOKENS}", SQL_TOKENS.format(col="text")),
+    doc="vocabulary growth curve: first-seen tokens per ingestion bucket",
+)
+def tx_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-monitoring heap law in practice: tokens are attributed to
+    the bucket of the first document that used them (min over doc_id —
+    a partial-agg-friendly shuffle on the token), then a running sum
+    gives the vocabulary-size curve. A flattening curve says the crawl
+    is saturating; a jump flags a domain shift. The running sum's
+    window is over a fixed ~50 bucket rows — bounded by construction,
+    never corpus-scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, '\\\\s+'), w -> w != '')")).alias("w"),
+    )
+    first_seen = toks.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    # fixed 50-bucket width derived from the data: the running-sum window
+    # below therefore always spans ~50 rows no matter how large the
+    # corpus — a bounded global window, not a per-doc funnel.
+    width = docs.agg(F.expr("(max(doc_id) div 50) + 1").alias("bw"))
+    bucketed = (
+        first_seen.crossJoin(F.broadcast(width))
+        .groupBy(F.expr("first_doc div bw").alias("doc_bucket"))
+        .agg(F.count("*").alias("new_tokens"))
+    )
+    w = Window.orderBy("doc_bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return bucketed.select(
+        "doc_bucket",
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("bigint").alias("vocab_size"),
+    )

@@ -331,3 +331,32 @@ def dq_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dq_freshness_lag",
+    """
+    WITH g AS (SELECT max(ts) AS global_max FROM events)
+    SELECT e.event_type,
+           max(e.ts) AS latest_ts,
+           CAST(epoch_us((SELECT global_max FROM g)) - epoch_us(max(e.ts))
+                AS BIGINT) // 1000000 AS lag_s
+    FROM events e GROUP BY e.event_type
+    """,
+    doc="data quality: per-key freshness lag behind the newest event",
+)
+def dq_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-freshness monitoring without wall-clock dependence: each
+    key's newest event compared against the dataset's global maximum (a
+    1-row broadcast), so a stalled producer shows up as a growing lag.
+    Deterministic — the reference point is data, not now()."""
+    events = load_table(spark, sf_dir, "events")
+    g = events.agg(F.max("ts").alias("global_max"))
+    per_type = events.groupBy("event_type").agg(F.max("ts").alias("latest_ts"))
+    return per_type.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "latest_ts",
+        F.expr(
+            "(unix_micros(global_max) - unix_micros(latest_ts)) div 1000000"
+        ).alias("lag_s"),
+    )
