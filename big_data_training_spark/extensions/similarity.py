@@ -772,3 +772,63 @@ def sim_kmeans_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster", "label")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "sim_ivf_recall_at_k",
+    f"""
+    WITH {_SQL_CENTROIDS},
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    probe AS (
+        SELECT cent.label,
+               {_sql_dot('cent.cv', 'q.qv')} /
+               (sqrt({_sql_dot('cent.cv', 'cent.cv')}) *
+                sqrt({_sql_dot('q.qv', 'q.qv')})) AS ccos
+        FROM cent, q
+        ORDER BY ccos DESC, cent.label ASC LIMIT {N_PROBE}
+    ),
+    all_scored AS (
+        SELECT e.vec_id, e.label,
+               {_sql_dot('e.embedding', 'q.qv')} /
+               (sqrt({_sql_dot('e.embedding', 'e.embedding')}) *
+                sqrt({_sql_dot('q.qv', 'q.qv')})) AS cos
+        FROM embeddings e, q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+    ),
+    truth AS (
+        SELECT vec_id FROM all_scored
+        ORDER BY cos DESC, vec_id ASC LIMIT {TOP_K}
+    ),
+    ivf AS (
+        SELECT vec_id FROM all_scored
+        WHERE label IN (SELECT label FROM probe)
+        ORDER BY cos DESC, vec_id ASC LIMIT {TOP_K}
+    )
+    SELECT (SELECT count(*) FROM truth) AS k,
+           (SELECT count(*) FROM truth t JOIN ivf i USING (vec_id))
+               AS n_recalled,
+           CAST((SELECT count(*) FROM truth t JOIN ivf i USING (vec_id)) * 1000
+                // {TOP_K} AS BIGINT) AS recall_permille
+    """,
+    doc="ANN quality: IVF top-k recall against the brute-force truth",
+)
+def sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k for the IVF path — the number every ANN deployment
+    monitors when tuning nprobe. Ground truth is the brute-force top-k
+    (runnable at audit scale, sampled in production); the IVF candidate
+    set only sees the probed cells, so missing neighbors in unprobed
+    cells are exactly what this measures."""
+    truth = sim_bruteforce_topk(spark, sf_dir).select("vec_id").localCheckpoint(
+        eager=False
+    )
+    ivf = sim_ivf_topk(spark, sf_dir).select("vec_id").localCheckpoint(eager=False)
+    recalled = truth.join(ivf, "vec_id", "left_semi")
+    return (
+        truth.agg(F.count("*").alias("k"))
+        .crossJoin(F.broadcast(recalled.agg(F.count("*").alias("n_recalled"))))
+        .select(
+            "k",
+            "n_recalled",
+            F.expr(f"(n_recalled * 1000) div {TOP_K}").alias("recall_permille"),
+        )
+    )
