@@ -567,8 +567,10 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dd_cluster_components",
+# Transitive closure over the LSH pair set — shared by the clustering
+# query and the family-size histogram so the two certified definitions
+# of "component" can never drift apart.
+_SQL_COMPONENTS_CTES = (
     (_SQL_SIG_CTE + _LSH_PAIRS_SQL_BODY).replace("WITH toks", "WITH RECURSIVE toks")
     + f"""
     , pairs AS (
@@ -584,8 +586,17 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION
         SELECT e.dst, c.comp FROM closure c JOIN e ON e.src = c.node
     )
-    SELECT node AS doc_id, min(comp) AS component_id FROM closure GROUP BY node
-    """,
+    , labels AS (
+        SELECT node, min(comp) AS comp FROM closure GROUP BY node
+    )
+"""
+)
+
+
+@register(
+    "dd_cluster_components",
+    _SQL_COMPONENTS_CTES
+    + "SELECT node AS doc_id, comp AS component_id FROM labels",
     doc="near-dup cluster assignment: connected components over MinHash-LSH pairs",
 )
 def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -804,25 +815,9 @@ def dd_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dd_component_size_histogram",
-    (_SQL_SIG_CTE + _LSH_PAIRS_SQL_BODY).replace("WITH toks", "WITH RECURSIVE toks")
-    + f"""
-    , pairs AS (
-        SELECT doc_i, doc_j FROM scored WHERE est_jaccard >= {MINHASH_TAU}
-    ),
-    e AS (
-        SELECT doc_i AS src, doc_j AS dst FROM pairs
-        UNION
-        SELECT doc_j AS src, doc_i AS dst FROM pairs
-    ),
-    closure AS (
-        SELECT src AS node, src AS comp FROM e
-        UNION
-        SELECT e.dst, c.comp FROM closure c JOIN e ON e.src = c.node
-    ),
-    labels AS (
-        SELECT node, min(comp) AS comp FROM closure GROUP BY node
-    ),
-    comp_sizes AS (
+    _SQL_COMPONENTS_CTES
+    + """
+    , comp_sizes AS (
         SELECT comp, count(*) AS family_size FROM labels GROUP BY comp
     )
     SELECT family_size, count(*) AS n_families,

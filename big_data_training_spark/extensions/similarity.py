@@ -177,11 +177,9 @@ _SQL_CENTROIDS = """
 """
 
 
-@register(
-    "sim_ivf_topk",
-    f"""
-    WITH {_SQL_CENTROIDS},
-    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+# The nprobe cell-routing CTE — shared by the IVF query and its recall
+# audit so the deployed IVF and the measured IVF can never diverge.
+_SQL_IVF_PROBE = f"""\
     probe AS (
         SELECT cent.label,
                {_sql_dot('cent.cv', 'q.qv')} /
@@ -189,7 +187,15 @@ _SQL_CENTROIDS = """
                 sqrt({_sql_dot('q.qv', 'q.qv')})) AS ccos
         FROM cent, q
         ORDER BY ccos DESC, cent.label ASC LIMIT {N_PROBE}
-    ),
+    ),"""
+
+
+@register(
+    "sim_ivf_topk",
+    f"""
+    WITH {_SQL_CENTROIDS},
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+{_SQL_IVF_PROBE}
     scored AS (
         SELECT e.vec_id, e.label,
                {_sql_dot('e.embedding', 'q.qv')} /
@@ -763,8 +769,9 @@ def sim_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_kmeans_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How well unsupervised cells recover the labeled structure: the
     (cluster, label) contingency table — the evaluation step after any
-    clustering run, and the input to purity/NMI scores. One broadcast
-    join of the assignment onto the labels, one k×|labels| aggregate."""
+    clustering run, and the input to purity/NMI scores. One shuffle
+    equi-join on vec_id (both sides corpus-sized); only the k×|labels|
+    aggregate output is small."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     assigned = _kmeans_assignment(spark, sf_dir).select("vec_id", "cluster")
     return (
@@ -808,7 +815,8 @@ def sim_kmeans_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT count(*) FROM truth t JOIN ivf i USING (vec_id))
                AS n_recalled,
            CAST((SELECT count(*) FROM truth t JOIN ivf i USING (vec_id)) * 1000
-                // {TOP_K} AS BIGINT) AS recall_permille
+                // greatest((SELECT count(*) FROM truth), 1)
+                AS BIGINT) AS recall_permille
     """,
     doc="ANN quality: IVF top-k recall against the brute-force truth",
 )
@@ -829,6 +837,8 @@ def sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "k",
             "n_recalled",
-            F.expr(f"(n_recalled * 1000) div {TOP_K}").alias("recall_permille"),
+            F.expr("(n_recalled * 1000) div greatest(k, 1)").alias(
+                "recall_permille"
+            ),
         )
     )

@@ -581,39 +581,49 @@ def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tx_vocab_growth",
-    f"""
-    WITH toks AS (
-        SELECT doc_id, unnest({{SQL_TOKENS}}) AS w
-        FROM documents
+    """
+    WITH grams AS (
+        SELECT doc_id,
+               unnest([substr(text, i, 3)
+                       for i in generate_series(1, len(text) - 2)]) AS g
+        FROM documents WHERE len(text) >= 3
     ), first_seen AS (
-        SELECT w, min(doc_id) AS first_doc
-        FROM toks GROUP BY w
+        SELECT g, min(doc_id) AS first_doc
+        FROM grams GROUP BY g
     ), width AS (
         SELECT (max(doc_id) // 50) + 1 AS bw FROM documents
     ), bucketed AS (
         SELECT first_doc // (SELECT bw FROM width) AS doc_bucket,
-               count(*) AS new_tokens
+               count(*) AS new_grams
         FROM first_seen GROUP BY 1
     )
-    SELECT doc_bucket, new_tokens,
-           CAST(sum(new_tokens) OVER (ORDER BY doc_bucket) AS BIGINT)
+    SELECT doc_bucket, new_grams,
+           CAST(sum(new_grams) OVER (ORDER BY doc_bucket) AS BIGINT)
                AS vocab_size
     FROM bucketed
-    """.replace("{SQL_TOKENS}", SQL_TOKENS.format(col="text")),
-    doc="vocabulary growth curve: first-seen tokens per ingestion bucket",
+    """,
+    doc="vocabulary growth curve: first-seen char trigrams per ingestion bucket",
 )
 def tx_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-monitoring heap law in practice: tokens are attributed to
-    the bucket of the first document that used them (min over doc_id —
-    a partial-agg-friendly shuffle on the token), then a running sum
-    gives the vocabulary-size curve. A flattening curve says the crawl
-    is saturating; a jump flags a domain shift. The running sum's
-    window is over a fixed ~50 bucket rows — bounded by construction,
-    never corpus-scale."""
+    """Corpus-monitoring heap law in practice: character trigrams are
+    attributed to the bucket of the first document that used them (min
+    over doc_id — a partial-agg-friendly shuffle on the gram), then a
+    running sum gives the vocabulary-size curve. Char trigrams, not
+    words: the unit must be large-vocabulary for the curve to have
+    shape (the fixtures' word vocabulary is a few dozen types, all
+    first seen in bucket 0). A flattening curve says the crawl is
+    saturating; a jump flags a domain shift. The running sum's window
+    is over a fixed ~50 bucket rows — bounded by construction, never
+    corpus-scale."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = docs.filter(F.length("text") >= 3).select(
         "doc_id",
-        F.explode(F.expr("filter(split(text, '\\\\s+'), w -> w != '')")).alias("w"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 0)),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("w"),
     )
     first_seen = toks.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
     # fixed 50-bucket width derived from the data: the running-sum window
@@ -623,11 +633,11 @@ def tx_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = (
         first_seen.crossJoin(F.broadcast(width))
         .groupBy(F.expr("first_doc div bw").alias("doc_bucket"))
-        .agg(F.count("*").alias("new_tokens"))
+        .agg(F.count("*").alias("new_grams"))
     )
     w = Window.orderBy("doc_bucket").rowsBetween(Window.unboundedPreceding, 0)
     return bucketed.select(
         "doc_bucket",
-        "new_tokens",
-        F.sum("new_tokens").over(w).cast("bigint").alias("vocab_size"),
+        "new_grams",
+        F.sum("new_grams").over(w).cast("bigint").alias("vocab_size"),
     )

@@ -308,23 +308,31 @@ def s4_offset_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling distinct — the aggregate windowed sums can't express
-    (distinct doesn't decompose over overlapping windows): each day
-    joins its trailing 3-day slice and counts exact unique users. The
-    join re-reads at most window/stride = 3 replicas of each row; at
-    100 TB the replica factor, not the day count, is the cost knob —
-    and the approximate path is the mergeable HLL (sk_hll_*), whose
-    registers union across any window."""
+    (distinct doesn't decompose over overlapping windows). Each event
+    row is *exploded into exactly the window/stride = 3 target days* it
+    contributes to, turning the range condition into an equi-join-free
+    hash aggregation: one scan, 3x replication, an ordinary shuffle on
+    (day). (A day-grid range join would plan BroadcastNestedLoopJoin —
+    |days|x|events| predicate evaluations — measured and rejected.) The
+    trailing semi-join keeps only days that actually occur in the data,
+    matching the oracle's day list; the approximate path at scale is
+    the mergeable HLL (sk_hll_*), whose registers union across any
+    window."""
     events = load_table(spark, sf_dir, "events")
-    ev_days = events.select(
-        F.date_trunc("day", "ts").alias("ev_day"), "user_id"
+    ev_days = events.select(F.date_trunc("day", "ts").alias("ev_day"), "user_id")
+    contrib = ev_days.select(
+        F.explode(
+            F.array(
+                F.col("ev_day"),
+                F.col("ev_day") + F.expr("INTERVAL 1 DAY"),
+                F.col("ev_day") + F.expr("INTERVAL 2 DAY"),
+            )
+        ).alias("day"),
+        "user_id",
     )
-    days = ev_days.select(F.col("ev_day").alias("day")).distinct()
+    real_days = ev_days.select(F.col("ev_day").alias("day")).distinct()
     return (
-        days.join(
-            ev_days,
-            (F.col("ev_day") <= F.col("day"))
-            & (F.col("ev_day") >= F.col("day") - F.expr("INTERVAL 2 DAY")),
-        )
+        contrib.join(F.broadcast(real_days), "day", "left_semi")
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("n_users_3d"))
     )
