@@ -525,3 +525,55 @@ def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(s2, 2, "view_after_signup"))
         .unionAll(stage(s3, 3, "purchase_after_view"))
     )
+
+
+@register(
+    "ev_burst_detection",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_start,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(c) AS DECIMAL(38,0)) AS s1,
+               CAST(sum(CAST(c AS DECIMAL(19,0)) * c) AS DECIMAL(38,0)) AS s2
+        FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type, h.hour_start, h.c AS n_events
+    FROM hourly h JOIN stats s USING (event_type)
+    WHERE (CAST(h.c AS DECIMAL(38,0)) * s.n - s.s1)
+          * (CAST(h.c AS DECIMAL(38,0)) * s.n - s.s1)
+          > 9 * (s.n * s.s2 - s.s1 * s.s1)
+      AND h.c * s.n > s.s1
+    """,
+    doc="burst detection: hours with event counts beyond 3 sigma, integer-exact",
+)
+def ev_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-anomaly flagging with *no* floating point: the 3σ test
+    (c-μ)² > 9σ² is multiplied through by n² to the all-integer form
+    (cn-S1)² > 9(nS2-S1²), so the flag set is bit-exact in any engine —
+    no sqrt, no rounding boundary. Two aggregates: hourly counts
+    (shuffle on type,hour) and per-type moments (|types| rows,
+    broadcast back). Only upward bursts flag (c above the mean)."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count("*").alias("c"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    dev = F.col("c").cast("decimal(38,0)") * F.col("n") - F.col("s1")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(
+            (dev * dev > 9 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")))
+            & (F.col("c") * F.col("n") > F.col("s1"))
+        )
+        .select("event_type", "hour_start", F.col("c").alias("n_events"))
+    )
