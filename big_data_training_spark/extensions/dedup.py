@@ -840,3 +840,60 @@ def dd_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_families"),
         (F.col("family_size") * F.count("*")).cast("bigint").alias("n_docs"),
     )
+
+
+PARA_TOKENS = 16  # fixed-size "paragraph" windows for span-level dedup
+
+
+@register(
+    "dd_paragraph_dedup",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {{SQL_TOKENS}} AS ws FROM documents
+    ), paras AS (
+        SELECT doc_id, i // {PARA_TOKENS} AS para_idx,
+               md5(array_to_string(ws[i + 1 : i + {PARA_TOKENS}], ' ')) AS para_hash
+        FROM t, (SELECT unnest(range(0, 100000, {PARA_TOKENS})) AS i)
+        WHERE i < len(ws)
+    )
+    SELECT para_hash,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs,
+           min(doc_id) AS keeper_doc_id
+    FROM paras GROUP BY para_hash
+    HAVING count(*) > 1
+    """.replace("{SQL_TOKENS}", SQL_TOKENS.format(col="text")),
+    doc="paragraph-level dedup: repeated fixed-size spans across the corpus",
+)
+def dd_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup (the C4/RefinedWeb recipe dedups repeated
+    paragraphs, not just whole documents — boilerplate headers/footers
+    recur inside otherwise-unique pages): documents split into
+    fixed-{PARA_TOKENS}-token spans, span hashes grouped, and any hash
+    seen twice is a removal candidate keyed to its first document. One
+    explode + one shuffle on the 16-byte span hash; output is only the
+    repeated spans."""
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    toks = docs.withColumn(
+        "ws", F.expr("filter(split(text, '\\\\s+'), w -> w != '')")
+    )
+    paras = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST((size(ws) - 1) div {PARA_TOKENS} AS INT)),"
+                f" j -> struct(j AS para_idx,"
+                f" md5(concat_ws(' ', slice(ws, j * {PARA_TOKENS} + 1, {PARA_TOKENS})))"
+                f" AS para_hash))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.para_hash").alias("para_hash"))
+    return (
+        paras.groupBy("para_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )

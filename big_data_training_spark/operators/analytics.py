@@ -577,3 +577,72 @@ def ev_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "hour_start", F.col("c").alias("n_events"))
     )
+
+
+@register(
+    "ev_funnel_windowed",
+    """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'view' AND e.ts > s1.t1
+          AND e.ts <= s1.t1 + INTERVAL 7 DAY
+        GROUP BY 1
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          AND e.ts <= s2.t2 + INTERVAL 7 DAY
+        GROUP BY 1
+    )
+    SELECT 1 AS step, 'signup' AS name, count(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, 'view_within_7d', count(*) FROM s2
+    UNION ALL
+    SELECT 3, 'purchase_within_7d', count(*) FROM s3
+    """,
+    doc="attribution-window funnel: each step within 7 days of the previous",
+)
+def ev_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The attribution-window form of the funnel: a step only counts if
+    it lands within 7 days of the previous step's earliest qualifying
+    event — the semantics marketing attribution actually uses (unbounded
+    funnels overcount loyal-but-slow users). Same single-key shuffle
+    chain as ev_funnel_conversion, one extra band predicate per stage."""
+    events = load_table(spark, sf_dir, "events")
+    window = F.expr("INTERVAL 7 DAY")
+    s1 = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + window))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + window))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, step: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("name"),
+            F.count("*").alias("n_users"),
+        ).select("step", "name", "n_users")
+
+    return (
+        stage(s1, 1, "signup")
+        .unionAll(stage(s2, 2, "view_within_7d"))
+        .unionAll(stage(s3, 3, "purchase_within_7d"))
+    )
