@@ -897,3 +897,65 @@ def dd_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_occurrences") > 1)
     )
+
+
+@register(
+    "tx_boilerplate_ratio",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {{SQL_TOKENS}} AS ws FROM documents
+    ), paras AS (
+        SELECT doc_id,
+               md5(array_to_string(ws[i + 1 : i + {PARA_TOKENS}], ' ')) AS para_hash
+        FROM t, (SELECT unnest(range(0, 100000, {PARA_TOKENS})) AS i)
+        WHERE i < len(ws)
+    ), rep AS (
+        SELECT para_hash FROM paras GROUP BY para_hash HAVING count(*) > 1
+    )
+    SELECT p.doc_id,
+           count(*) AS n_spans,
+           count(r.para_hash) AS n_repeated,
+           CAST(count(r.para_hash) * 1000 // count(*) AS BIGINT)
+               AS boilerplate_permille
+    FROM paras p LEFT JOIN rep r USING (para_hash)
+    GROUP BY p.doc_id
+    """.replace("{SQL_TOKENS}", SQL_TOKENS.format(col="text")),
+    doc="per-doc boilerplate share: fraction of spans repeated corpus-wide",
+)
+def tx_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc-level quality signal built on span dedup: how much of a
+    document is corpus-repeated boilerplate. High-ratio docs are
+    template pages a curation pipeline drops even when no whole-doc
+    duplicate exists. The repeated-hash set is joined back as a
+    broadcast (it is bounded by the boilerplate vocabulary, tiny
+    relative to the corpus); integer permille keeps it engine-exact."""
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    toks = docs.withColumn(
+        "ws", F.expr("filter(split(text, '\\\\s+'), w -> w != '')")
+    )
+    paras = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST((size(ws) - 1) div {PARA_TOKENS} AS INT)),"
+                f" j -> md5(concat_ws(' ', slice(ws, j * {PARA_TOKENS} + 1, {PARA_TOKENS}))))"
+            )
+        ).alias("para_hash"),
+    )
+    rep = (
+        paras.groupBy("para_hash")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("para_hash", F.lit(1).alias("is_rep"))
+    )
+    return (
+        paras.join(F.broadcast(rep), "para_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count("is_rep").alias("n_repeated"),
+            F.expr("(count(is_rep) * 1000) div count(*)").alias(
+                "boilerplate_permille"
+            ),
+        )
+    )

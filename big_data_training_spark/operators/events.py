@@ -336,3 +336,41 @@ def a_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("n_users_3d"))
     )
+
+
+@register(
+    "agg_mode_per_key",
+    """
+    WITH counted AS (
+        SELECT event_type, user_id, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), ranked AS (
+        SELECT event_type, user_id, c,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY c DESC, user_id ASC) AS rk
+        FROM counted
+    )
+    SELECT event_type, user_id AS modal_user, c AS n_events
+    FROM ranked WHERE rk = 1
+    """,
+    doc="deterministic mode: most frequent value per key, id tie-break",
+)
+def agg_mode_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mode aggregate (most frequent value per group) with a total
+    tie-break (max count, then min value) so the answer is unique and
+    engine-exact. Two-stage: per-(key,value) counts partial-aggregate
+    map-side; the rank-1 window plans WindowGroupLimit, so the final
+    shuffle carries one candidate per (key, partition), not the full
+    count table."""
+    events = load_table(spark, sf_dir, "events")
+    counted = events.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("c"), F.asc("user_id"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("modal_user"),
+            F.col("c").alias("n_events"),
+        )
+    )
