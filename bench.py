@@ -3,15 +3,21 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is fully materialized (count + lightweight collect of the
-aggregate output) so the whole plan executes. A warmup run of the
-flagship primes the JVM/codegen caches before timing.
+Each query is fully materialized (count forces the whole plan). Every
+query is timed over ``$SPARK_GRAFT_BENCH_ITERS`` iterations (default 3)
+and the reported number is the per-query MEDIAN — single-shot timing of
+sub-second queries produced phantom 2-3x "regressions" in round 3 that
+disappeared on re-measurement (VERDICT r3 #5). Min/max spread per query
+goes to stderr and the JSON's "spread" field so round-over-round
+comparisons can tell noise from signal. A warmup pass at the smallest
+fixture primes JVM/codegen/Arrow before any timing.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -21,6 +27,7 @@ from big_data_training_spark import get_session
 from big_data_training_spark.registry import all_queries
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ITERS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
 
 
 def main() -> None:
@@ -41,12 +48,21 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in bench_names:
-        t0 = time.time()
-        df = specs[name].fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        runs = []
+        n = 0
+        for _ in range(ITERS):
+            t0 = time.time()
+            n = specs[name].fn(spark, SF_DIR).count()
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
+        print(
+            f"# {name}: median {timings[name]}s "
+            f"[min {spread[name][0]} max {spread[name][1]}] ({n} rows)",
+            file=sys.stderr,
+        )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -56,6 +72,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "iters": ITERS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

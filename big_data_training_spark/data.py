@@ -55,14 +55,18 @@ def _read_parquet_nanosafe(spark: SparkSession, path: str) -> DataFrame:
     # Fixtures store naive timestamps (no isAdjustedToUTC); read them as
     # session-local TIMESTAMP, not TIMESTAMP_NTZ, so downstream epoch
     # casts (`cast(ts as bigint)`, unix_* functions) stay legal and the
-    # values match the DuckDB oracle's naive-UTC reading. Runtime-settable,
-    # so this holds under any externally-built SparkSession too.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # values match the DuckDB oracle's naive-UTC reading. Scoped to this
+    # read via the parquet reader option — the session conf of an
+    # externally-built SparkSession is never mutated on the happy path.
     try:
-        return spark.read.parquet(path)
+        return spark.read.option("inferTimestampNTZ", "false").parquet(path)
     except Exception:
+        # TIMESTAMP(NANOS) columns: only the legacy *session* conf exposes
+        # them (as raw int64 nanos; no per-read option exists). This is a
+        # deliberate session-wide switch, taken only when a nanos file is
+        # actually encountered; canonicalize_ts() then truncates to micros.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path)
+        return spark.read.option("inferTimestampNTZ", "false").parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

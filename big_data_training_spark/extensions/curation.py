@@ -175,7 +175,7 @@ def dd_decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
               WHERE {EVAL_PRED}) AS e USING (s)
     )
     SELECT lang, count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents d
     WHERE NOT ({EVAL_PRED}) AND doc_id NOT IN (SELECT doc_id FROM flagged)
     GROUP BY lang
@@ -284,7 +284,7 @@ VOCAB_TOP_K = 100
         ) WHERE rk <= {VOCAB_TOP_K}
     )
     SELECT doc_id, count(*) AS n_tokens,
-           sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS n_in_vocab,
+           CAST(sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab,
            round(sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
                  / count(*), 4) AS coverage
     FROM toks t LEFT JOIN vocab v ON t.w = v.w
@@ -387,7 +387,7 @@ def dd_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ed = F.levenshtein("title_i", "title_j")
     return cand.filter(ed <= FUZZY_ED).select(
-        "doc_i", "doc_j", ed.alias("ed")
+        "doc_i", "doc_j", ed.cast("bigint").alias("ed")
     )
 
 

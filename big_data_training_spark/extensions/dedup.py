@@ -382,7 +382,7 @@ _SIMHASH_CTE = f"""
         FROM tok, generate_series(0, 31) AS g(j)
         GROUP BY doc_id, j
     ), sims AS (
-        SELECT doc_id, sum(bit * (CAST(1 AS BIGINT) << j)) AS simhash
+        SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id
     )
 """
@@ -543,7 +543,7 @@ def dd_pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tok, generate_series(0, 31) AS g(j)
         GROUP BY doc_id, j
     )
-    SELECT doc_id, sum(bit * (CAST(1 AS BIGINT) << j)) AS simhash
+    SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
     doc="SimHash 32-bit sketch per document (token-frequency weighted)",
@@ -853,8 +853,7 @@ PARA_TOKENS = 16  # fixed-size "paragraph" windows for span-level dedup
     ), paras AS (
         SELECT doc_id, i // {PARA_TOKENS} AS para_idx,
                md5(array_to_string(ws[i + 1 : i + {PARA_TOKENS}], ' ')) AS para_hash
-        FROM t, (SELECT unnest(range(0, 100000, {PARA_TOKENS})) AS i)
-        WHERE i < len(ws)
+        FROM t, LATERAL (SELECT unnest(range(0, len(ws), {PARA_TOKENS})) AS i) AS u
     )
     SELECT para_hash,
            count(*) AS n_occurrences,
@@ -874,9 +873,11 @@ def dd_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + one shuffle on the 16-byte span hash; output is only the
     repeated spans."""
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    # size(ws) = 0 guard: an empty document yields zero spans (the oracle's
+    # range(0, len(ws), P) is empty), not one md5('') span.
     toks = docs.withColumn(
         "ws", F.expr("filter(split(text, '\\\\s+'), w -> w != '')")
-    )
+    ).filter(F.size("ws") > 0)
     paras = toks.select(
         "doc_id",
         F.explode(
@@ -907,8 +908,7 @@ def dd_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), paras AS (
         SELECT doc_id,
                md5(array_to_string(ws[i + 1 : i + {PARA_TOKENS}], ' ')) AS para_hash
-        FROM t, (SELECT unnest(range(0, 100000, {PARA_TOKENS})) AS i)
-        WHERE i < len(ws)
+        FROM t, LATERAL (SELECT unnest(range(0, len(ws), {PARA_TOKENS})) AS i) AS u
     ), rep AS (
         SELECT para_hash FROM paras GROUP BY para_hash HAVING count(*) > 1
     )
@@ -930,9 +930,11 @@ def tx_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast (it is bounded by the boilerplate vocabulary, tiny
     relative to the corpus); integer permille keeps it engine-exact."""
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    # size(ws) = 0 guard: empty documents contribute zero spans (see
+    # dd_paragraph_dedup) and so never appear in the per-doc ratio.
     toks = docs.withColumn(
         "ws", F.expr("filter(split(text, '\\\\s+'), w -> w != '')")
-    )
+    ).filter(F.size("ws") > 0)
     paras = toks.select(
         "doc_id",
         F.explode(

@@ -43,7 +43,7 @@ _SQL_ITER = """
                {base} + coalesce(s.contrib, 0) AS rank
         FROM nodes n LEFT JOIN (
             SELECT e.dst AS node,
-                   sum((85 * (r.rank // d.outdeg)) // 100) AS contrib
+                   CAST(sum((85 * (r.rank // d.outdeg)) // 100) AS BIGINT) AS contrib
             FROM r{cur} r
             JOIN edges e ON e.src = r.node
             JOIN outdeg d ON d.node = r.node

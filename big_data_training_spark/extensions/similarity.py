@@ -393,8 +393,10 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     size."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (
-        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos", "v")
+        )
+        .groupBy("label", F.col("pos").cast("bigint").alias("pos"))
         .agg(
             F.round(
                 F.sum(F.col("v").cast("decimal(38,12)")).cast("double") / F.count("*"),
@@ -582,7 +584,7 @@ def sim_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.join(assigned, "vec_id")
         .select("cluster", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("cluster", "pos")
+        .groupBy("cluster", F.col("pos").cast("bigint").alias("pos"))
         .agg(
             F.round(
                 F.sum(F.col("v").cast("decimal(38,12)")).cast("double") / F.count("*"),

@@ -431,7 +431,7 @@ def tx_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t
     )
     SELECT source, CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS pack_id,
-           count(*) AS n_docs, sum(n_tok) AS n_tokens
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
     FROM c GROUP BY 1, 2
     """,
     doc="sequence packing: fixed 2048-token bins per source shard",

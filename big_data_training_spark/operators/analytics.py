@@ -99,7 +99,7 @@ def k_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
             "o_orderkey",
             F.round("o_totalprice", 2).alias("o_totalprice"),
-            "rk",
+            F.col("rk").cast("bigint").alias("rk"),
         )
     )
 
@@ -406,9 +406,9 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(first_seen, "user_id")
         .groupBy(
             "cohort_day",
-            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).alias(
-                "day_offset"
-            ),
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
@@ -430,7 +430,7 @@ SESSION_TTL_SEC = 300
                sum(delta) OVER (PARTITION BY day ORDER BY t, delta) AS conc
         FROM bounds
     )
-    SELECT day, max(conc) AS peak_concurrency FROM sweep GROUP BY day
+    SELECT day, CAST(max(conc) AS BIGINT) AS peak_concurrency FROM sweep GROUP BY day
     """,
     doc="interval sweep: peak concurrent in-flight events per day",
 )
@@ -556,7 +556,16 @@ def ev_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cn-S1)² > 9(nS2-S1²), so the flag set is bit-exact in any engine —
     no sqrt, no rounding boundary. Two aggregates: hourly counts
     (shuffle on type,hour) and per-type moments (|types| rows,
-    broadcast back). Only upward bursts flag (c above the mean)."""
+    broadcast back). Only upward bursts flag (c above the mean).
+
+    Overflow contract: the products cap at DECIMAL(38,0); they fit as
+    long as |c·n − S1| < 10¹⁹ and n·S2 < ~10³⁷ — with hourly counts
+    that holds until a single event type exceeds ~10⁹ events/hour
+    sustained over ~10⁹ hours, far beyond 100 TB of events. Because
+    c/n/S1/S2 are non-null aggregates, a NULL in any derived term can
+    only mean decimal overflow, so rather than letting ANSI-off Spark
+    silently drop the row (the opposite of DuckDB, which errors) the
+    filter raises on NULL terms."""
     events = load_table(spark, sf_dir, "events")
     hourly = events.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour_start")
@@ -569,12 +578,15 @@ def ev_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s2"),
     )
     dev = F.col("c").cast("decimal(38,0)") * F.col("n") - F.col("s1")
+    lhs = dev * dev
+    rhs = 9 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    exceeds = F.when(
+        lhs.isNull() | rhs.isNull(),
+        F.raise_error(F.lit("ev_burst_detection: DECIMAL(38,0) overflow in 3-sigma test")),
+    ).otherwise(lhs > rhs)
     return (
         hourly.join(F.broadcast(stats), "event_type")
-        .filter(
-            (dev * dev > 9 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")))
-            & (F.col("c") * F.col("n") > F.col("s1"))
-        )
+        .filter(exceeds & (F.col("c") * F.col("n") > F.col("s1")))
         .select("event_type", "hour_start", F.col("c").alias("n_events"))
     )
 

@@ -41,7 +41,7 @@ def p7_per_key_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return events.select(
         "event_id",
-        F.row_number().over(w).alias("seq"),
+        F.row_number().over(w).cast("bigint").alias("seq"),
         F.coalesce(
             F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w),
             F.lit(0),

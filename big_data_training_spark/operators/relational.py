@@ -534,9 +534,9 @@ def win_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
     return o.select(
         "o_orderkey",
-        F.dense_rank().over(w).alias("drk"),
+        F.dense_rank().over(w).cast("bigint").alias("drk"),
         F.round(F.percent_rank().over(w), 6).alias("prk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
         F.round(
             F.coalesce(
                 F.lead("o_totalprice").over(w) - F.col("o_totalprice"), F.lit(0)

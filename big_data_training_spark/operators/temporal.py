@@ -242,7 +242,7 @@ N_LOG_PARTITIONS = 8
                ) THEN 1 ELSE 0 END AS late
         FROM events
     )
-    SELECT partition_id, count(*) AS n, sum(late) AS n_late,
+    SELECT partition_id, count(*) AS n, CAST(sum(late) AS BIGINT) AS n_late,
            floor((sum(late) * 20000 + count(*)) / (2.0 * count(*))) / 10000.0
                AS late_ratio
     FROM flagged GROUP BY partition_id

@@ -76,6 +76,21 @@ def main() -> int:
         if list(s.columns) != list(o.columns):
             status.append(f"columns {list(s.columns)} vs {list(o.columns)}")
         if not status:
+            # Driver-faithful: the external gate hashes *typed* values, so
+            # dtype kind/width must match (HUGEINT-vs-BIGINT was invisible
+            # under check_dtype=False and cost 3 red driver rows in r3).
+            mism = [
+                f"{c}: spark {s[c].dtype} vs oracle {o[c].dtype}"
+                for c in s.columns
+                if s[c].dtype.kind != o[c].dtype.kind
+                or (
+                    s[c].dtype.kind in "iuf"
+                    and s[c].dtype.itemsize != o[c].dtype.itemsize
+                )
+            ]
+            if mism:
+                status.append(f"dtype mismatch: {mism}")
+        if not status:
             try:
                 pd.testing.assert_frame_equal(
                     s, o, check_dtype=False, check_exact=True
