@@ -350,3 +350,43 @@ def test_time_weighted_avg_reuses_window_shuffle(spark, sf_dir):
 
     plan = physical_plan(ev_time_weighted_avg(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_triangle_count_plan_and_value(spark, sf_dir):
+    """gr_triangle_count must stay an equi-join pipeline: the degree
+    orientation + adjacency-intersect closure admits no cartesian or
+    broadcast-nested-loop node, and the count is exact (validated here
+    against a brute-force id-oriented wedge join on the small fixture)."""
+    from big_data_training_spark.extensions.graph import gr_triangle_count
+
+    df = gr_triangle_count(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    got = df.collect()[0]["n_triangles"]
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    wedges = e1.join(
+        e2,
+        (F.col("e2.u") == F.col("e1.u")) & (F.col("e1.v") < F.col("e2.v")),
+    ).select(F.col("e1.v").alias("wv"), F.col("e2.v").alias("ww"))
+    expected = (
+        wedges.join(
+            e3,
+            (F.col("e3.u") == F.col("wv")) & (F.col("e3.v") == F.col("ww")),
+            "left_semi",
+        ).count()
+    )
+    assert got == expected
