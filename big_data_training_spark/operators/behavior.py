@@ -1,0 +1,230 @@
+"""Behavioral event analytics: Markov transitions, RFM segmentation,
+nearest-event (bidirectional as-of) attribution.
+
+The reference's stream model treats the event log as the system of
+record for user behavior (kafka/README.md:9-10 topics-as-tables;
+kafka/README.md:305-311 replayable streams); these operators are the
+standard batch analyses a warehouse derives from that log.
+
+Scale design
+------------
+Every operator here shuffles once on ``user_id`` (the natural key of
+the log) and reduces to per-key windows or aggregates; output sizes
+are |event types|², |users| and |purchases| — none scale with raw
+event volume beyond the first keyed exchange. All arithmetic is
+integer-exact (permille ratios, cent-quantized money) so the DuckDB
+oracle hashes identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_training_spark.data import load_table
+from big_data_training_spark.registry import register
+
+
+@register(
+    "ev_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ), pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n * 1000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+               AS p_permille
+    FROM pairs
+    """,
+    doc="behavior: first-order Markov transition matrix over per-user event sequences",
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix: per user, consecutive event pairs
+    in (ts, event_id) order; globally, counts and integer-permille
+    transition probabilities. One shuffle on user_id for the sequence
+    window, one on from_type for the matrix — the matrix itself is
+    |types|² rows, so the permille window is over a tiny frame at any
+    corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 1000 div sum(n) OVER (PARTITION BY from_type)")
+        .cast("bigint")
+        .alias("p_permille"),
+    )
+
+
+N_RFM_BUCKETS = 5
+
+
+@register(
+    "ev_rfm_segments",
+    f"""
+    WITH per_user AS (
+        SELECT user_id,
+               max(ts) AS last_ts,
+               count(*) AS frequency,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT max(last_ts) AS now_ts FROM per_user
+    )
+    SELECT user_id,
+           CAST(date_diff('day', last_ts, now_ts) AS BIGINT) AS recency_days,
+           frequency, monetary_cents,
+           CAST(ntile({N_RFM_BUCKETS}) OVER (ORDER BY last_ts DESC, user_id)
+                AS BIGINT) AS r_score,
+           CAST(ntile({N_RFM_BUCKETS}) OVER (ORDER BY frequency DESC, user_id)
+                AS BIGINT) AS f_score,
+           CAST(ntile({N_RFM_BUCKETS}) OVER (ORDER BY monetary_cents DESC, user_id)
+                AS BIGINT) AS m_score
+    FROM per_user, g
+    """,
+    doc="behavior: RFM (recency/frequency/monetary) quintile segmentation per user",
+)
+def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency (days before the dataset's
+    last event), frequency and cent-quantized monetary value, each
+    scored into deterministic quintiles (ntile with user_id tiebreak).
+    Money is floor(value*100) BIGINT cents — double multiplication is
+    IEEE-identical across engines and the integer sum is order-free,
+    so the oracle hashes exactly. One shuffle on user_id; the ntile
+    windows run over the per-user frame (|users| rows, not events).
+    At 100 TB replace the global ntile sort with percentile cutoffs
+    from a first aggregate pass if |users| itself is huge."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("frequency"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    glob = per_user.agg(F.max("last_ts").alias("now_ts"))
+    wr = Window.orderBy(F.desc("last_ts"), F.asc("user_id"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    wm = Window.orderBy(F.desc("monetary_cents"), F.asc("user_id"))
+    return (
+        per_user.crossJoin(F.broadcast(glob))
+        .select(
+            "user_id",
+            F.datediff(F.col("now_ts"), F.col("last_ts")).cast("bigint").alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary_cents",
+            F.ntile(N_RFM_BUCKETS).over(wr).cast("bigint").alias("r_score"),
+            F.ntile(N_RFM_BUCKETS).over(wf).cast("bigint").alias("f_score"),
+            F.ntile(N_RFM_BUCKETS).over(wm).cast("bigint").alias("m_score"),
+        )
+    )
+
+
+@register(
+    "j_nearest_click",
+    """
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'click' THEN ts END AS click_ts
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), resolved AS (
+        SELECT user_id, ts, event_id, event_type,
+               last_value(click_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_click_ts,
+               first_value(click_ts IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS next_click_ts
+        FROM tagged
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CASE
+             WHEN next_click_ts IS NULL THEN prev_click_ts
+             WHEN prev_click_ts IS NULL THEN next_click_ts
+             WHEN date_diff('second', prev_click_ts, ts)
+                  <= date_diff('second', ts, next_click_ts) THEN prev_click_ts
+             ELSE next_click_ts
+           END AS nearest_click_ts,
+           CAST(least(
+               coalesce(date_diff('second', prev_click_ts, ts), 9223372036854775807),
+               coalesce(date_diff('second', ts, next_click_ts), 9223372036854775807)
+           ) AS BIGINT) AS dt_seconds
+    FROM resolved
+    WHERE event_type = 'purchase'
+      AND (prev_click_ts IS NOT NULL OR next_click_ts IS NOT NULL)
+    """,
+    doc="behavior: bidirectional as-of — nearest click in time per purchase",
+)
+def j_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-event join: for every purchase, the user's closest click
+    in EITHER direction (ties favor the earlier click). Same
+    union-window formulation as the backward as-of join (one shuffle on
+    user_id, one running window in each direction) — no range explode,
+    no per-row subquery, so the plan is a per-key sorted merge that
+    survives any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    order = ["ts", "event_id"]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    resolved = tagged.select(
+        "*",
+        F.last("click_ts", ignorenulls=True).over(w_prev).alias("prev_click_ts"),
+        F.first("click_ts", ignorenulls=True).over(w_next).alias("next_click_ts"),
+    )
+    big = F.lit(9223372036854775807)
+    dt_prev = F.coalesce(
+        F.col("ts").cast("long") - F.col("prev_click_ts").cast("long"), big
+    )
+    dt_next = F.coalesce(
+        F.col("next_click_ts").cast("long") - F.col("ts").cast("long"), big
+    )
+    return (
+        resolved.filter(F.col("event_type") == "purchase")
+        .filter(F.col("prev_click_ts").isNotNull() | F.col("next_click_ts").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.when(dt_prev <= dt_next, F.col("prev_click_ts"))
+            .otherwise(F.col("next_click_ts"))
+            .alias("nearest_click_ts"),
+            F.least(dt_prev, dt_next).cast("bigint").alias("dt_seconds"),
+        )
+    )

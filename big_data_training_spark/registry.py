@@ -75,6 +75,11 @@ _OPERATOR_MODULES = (
     "operators.dlq",
     "operators.analytics",
     "operators.sources",
+    # round-4 additions register last so they queue BEHIND the existing
+    # never-certified backlog in the driver's verification rotation.
+    "operators.behavior",
+    "extensions.sketchops",
+    "extensions.multimodal_av",
 )
 
 import_errors: dict[str, str] = {}
