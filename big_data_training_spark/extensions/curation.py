@@ -72,13 +72,49 @@ _SQL_DECON_CTE = f"""
 """
 
 
+_SHINGLE_PAIR_SCHEMA = "doc_id bigint, s string"
+
+
+def _shingle_pair_batches(batches):
+    """Arrow-batched K-token shingling: (doc_id, shingle) pairs, distinct
+    per doc (downstream joins rely on at-most-once per (doc, shingle))."""
+    import pandas as pd
+
+    for pdf in batches:
+        out_d: list[int] = []
+        out_s: list[str] = []
+        for d, t in zip(pdf["doc_id"], pdf["text"]):
+            ws = t.split()
+            n = len(ws) - DECON_K + 1
+            if n > 0:
+                seen = set()
+                for i in range(n):
+                    s = " ".join(ws[i : i + DECON_K])
+                    if s not in seen:
+                        seen.add(s)
+                        out_d.append(d)
+                        out_s.append(s)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "s": pd.Series(out_s, dtype="object"),
+            }
+        )
+
+
 def _decon_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs for the whole corpus.
+
+    Shingling runs in Arrow-batched ``mapInPandas`` rather than the
+    equivalent higher-order-function chain (``transform`` + ``slice`` +
+    ``concat_ws`` + ``array_distinct``): HOF lambdas evaluate
+    interpreted (no whole-stage codegen), measured ~8x slower at sf0.1
+    (4.4s → 0.5s). The scan stays shuffle-free and embarrassingly
+    parallel either way — the batched Python pass is a per-split linear
+    cost, which is the right trade for a 100 TB corpus scan."""
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
-    return (
-        docs.withColumn("ws", F.expr("filter(split(text, '\\\\s+'), w -> w != '')"))
-        .filter(F.size("ws") >= DECON_K)
-        .withColumn("shingles", F.expr(_DECON_SHINGLES))
-        .select("doc_id", "shingles")
+    return docs.select("doc_id", "text").mapInPandas(
+        _shingle_pair_batches, _SHINGLE_PAIR_SCHEMA
     )
 
 
@@ -104,11 +140,9 @@ def dd_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, so the corpus scan stays shuffle-free and the flagged set
     is the only small output."""
     sh = _decon_shingled(spark, sf_dir)
-    train = sh.filter(f"NOT ({EVAL_PRED})").select(
-        "doc_id", F.explode("shingles").alias("s")
-    )
+    train = sh.filter(f"NOT ({EVAL_PRED})")
     eval_sh = sh.filter(EVAL_PRED).select(
-        F.col("doc_id").alias("eval_doc_id"), F.explode("shingles").alias("s")
+        F.col("doc_id").alias("eval_doc_id"), "s"
     )
     return (
         train.join(F.broadcast(eval_sh), "s")
@@ -148,11 +182,11 @@ def dd_decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision only ever *adds* a flag — decontamination stays safe."""
     sh = _decon_shingled(spark, sf_dir)
     train = sh.filter(f"NOT ({EVAL_PRED})").select(
-        "doc_id", F.explode("shingles").alias("s")
-    ).select("doc_id", hash60(F.col("s")).alias("h"))
+        "doc_id", hash60(F.col("s")).alias("h")
+    )
     eval_sh = sh.filter(EVAL_PRED).select(
-        F.col("doc_id").alias("eval_doc_id"), F.explode("shingles").alias("s")
-    ).select("eval_doc_id", hash60(F.col("s")).alias("h"))
+        F.col("doc_id").alias("eval_doc_id"), hash60(F.col("s")).alias("h")
+    )
     return (
         train.join(F.broadcast(eval_sh), "h")
         .groupBy("doc_id")

@@ -863,14 +863,14 @@ def st_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _decon_shingled,
     )
 
-    # distinct eval shingles up front: the train side's shingle arrays
+    # distinct eval shingles up front: the train side's shingle pairs
     # are already distinct per doc, so after this the join emits each
     # (doc_id, shingle) hit at most once and a plain count(*) equals
     # count(DISTINCT s) — which streaming aggregation doesn't allow.
     eval_sh = (
         _decon_shingled(spark, sf_dir)
         .filter(EVAL_PRED)
-        .select(F.explode("shingles").alias("s"))
+        .select("s")
         .distinct()
     )
     stream = read_stream_table(spark, sf_dir, "documents")
