@@ -199,3 +199,233 @@ def dd_cross_source_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("n_docs") > 1) & (F.col("n_sources") > 1))
     )
+
+
+@register(
+    "tx_ngram_novelty",
+    # _SQL_DECON_CTE twin inlined: 8-gram shingles per doc (distinct),
+    # first-seen = min(doc_id) per shingle, novelty = owned fraction.
+    """
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(ws[i:i+7], ' ')
+                              for i in generate_series(1, len(ws) - 7)]) AS shingles
+        FROM toks WHERE len(ws) >= 8
+    ), pairs AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), firsts AS (
+        SELECT s, min(doc_id) AS first_doc FROM pairs GROUP BY s
+    )
+    SELECT p.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) * 1000
+                // count(*) AS BIGINT) AS novelty_permille
+    FROM pairs p JOIN firsts f USING (s)
+    GROUP BY 1
+    """,
+    doc="curation: per-doc n-gram novelty vs all earlier docs (curriculum signal)",
+)
+def tx_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty scoring: the fraction of a document's 8-gram shingles it
+    introduces to the corpus (first occurrence by doc_id order) — low
+    scores mark recombined/boilerplate content even when no single
+    near-duplicate exists; the signal curriculum samplers and dedup
+    tie-breakers use. Reuses the Arrow-batched shingle pairs; one
+    shuffle on the shingle for first-seen, one on doc_id for the score.
+    At 100 TB both shuffles carry (hashable-key, small-payload) pairs —
+    the same profile as exact dedup."""
+    from big_data_training_spark.extensions.curation import _decon_shingled
+
+    pairs = _decon_shingled(spark, sf_dir)
+    firsts = pairs.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        pairs.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+            F.expr(
+                "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000"
+                " div count(*) AS BIGINT)"
+            ).alias("novelty_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): 64-dim vectors → 4 subspaces × 16 dims, 8
+# codes per subspace (seeded like the k-means family: decimal-exact means
+# of vec_id % 8 groups). The compressed code is 4 small ints per vector —
+# the memory layout ANN systems ship to serve billion-vector indexes —
+# and ADC (asymmetric distance computation) scores a query against codes
+# via a 32-entry lookup table instead of touching raw vectors.
+# ---------------------------------------------------------------------------
+
+PQ_SUBS = 4
+PQ_SUB_DIM = 16
+PQ_CODES = 8
+
+_SQL_PQ_CB_CTE = f"""
+    WITH cb AS (
+        SELECT s, vec_id % {PQ_CODES} AS code, i,
+               round(CAST(sum(CAST(embedding[s * {PQ_SUB_DIM} + i] AS DECIMAL(38,12)))
+                          AS DOUBLE) / count(*), 6) AS c
+        FROM embeddings,
+             generate_series(0, {PQ_SUBS - 1}) AS ss(s),
+             generate_series(1, {PQ_SUB_DIM}) AS g(i)
+        GROUP BY 1, 2, 3
+    ), cbv AS (
+        SELECT s, code, list(c ORDER BY i) AS cv FROM cb GROUP BY 1, 2
+    ), scored AS (
+        SELECT e.vec_id, c.s, c.code,
+               (SELECT sum((CAST(e.embedding[c.s * {PQ_SUB_DIM} + i] AS DOUBLE) - c.cv[i])
+                           * (CAST(e.embedding[c.s * {PQ_SUB_DIM} + i] AS DOUBLE) - c.cv[i]))
+                FROM generate_series(1, {PQ_SUB_DIM}) AS g(i)) AS d
+        FROM embeddings e, cbv c
+    ), assigned AS (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY round(d, 6), code) AS rk
+        FROM scored
+    )
+"""
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-row (subspace, code) → 16-dim centroid table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = (
+        emb.select(
+            (F.col("vec_id") % PQ_CODES).alias("code"),
+            F.posexplode("embedding").alias("pos", "v"),
+        )
+        .select(
+            "code",
+            F.expr(f"pos div {PQ_SUB_DIM}").alias("s"),
+            (F.col("pos") % PQ_SUB_DIM).alias("i"),
+            "v",
+        )
+        .groupBy("s", "code", "i")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,12)")).cast("double") / F.count("*"),
+                6,
+            ).alias("c")
+        )
+    )
+    return cells.groupBy("s", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda x: x["c"]
+        ).alias("cv")
+    )
+
+
+_PQ_SUBDIST = (
+    f"aggregate(zip_with(slice(cast(embedding AS array<double>), s * {PQ_SUB_DIM} + 1,"
+    f" {PQ_SUB_DIM}), cv, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+)
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_codebook(spark, sf_dir)
+    scored = emb.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "s",
+        "code",
+        F.round(F.expr(_PQ_SUBDIST), 6).alias("d"),
+    )
+    return (
+        scored.groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d", "code")).alias("m"))
+        .select("vec_id", F.col("s").alias("subspace"), F.col("m.code").alias("code"))
+    )
+
+
+@register(
+    "sim_pq_codes",
+    _SQL_PQ_CB_CTE
+    + """
+    SELECT vec_id, s AS subspace, code FROM assigned WHERE rk = 1
+    """,
+    doc="product quantization: per-subspace code assignment (4 codes per vector)",
+)
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode: each vector's 4 subvectors snapped to their nearest
+    codebook centroid (rounded-distance, code-id tiebreak — identical
+    determinism contract to the k-means family). The 32-row codebook is
+    broadcast; the corpus is scanned once and never shuffled — at scale
+    the output is the 4-byte-per-vector compressed index."""
+    return _pq_codes(spark, sf_dir)
+
+
+PQ_QUERY_VEC_ID = 0
+PQ_TOP_K = 10
+
+
+@register(
+    "sim_pq_adc_topk",
+    _SQL_PQ_CB_CTE
+    + f"""
+    , q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = {PQ_QUERY_VEC_ID}
+    ), dtable AS (
+        SELECT c.s, c.code,
+               CAST(floor((SELECT sum((CAST(q.qv[c.s * {PQ_SUB_DIM} + i] AS DOUBLE) - c.cv[i])
+                                      * (CAST(q.qv[c.s * {PQ_SUB_DIM} + i] AS DOUBLE) - c.cv[i]))
+                           FROM generate_series(1, {PQ_SUB_DIM}) AS g(i)) * 1000000)
+                    AS BIGINT) AS dmic
+        FROM cbv c, q
+    )
+    SELECT a.vec_id, CAST(sum(t.dmic) AS BIGINT) AS adc_dist_micro
+    FROM assigned a JOIN dtable t ON a.s = t.s AND a.code = t.code
+    WHERE a.rk = 1 AND a.vec_id <> {PQ_QUERY_VEC_ID}
+    GROUP BY 1
+    ORDER BY adc_dist_micro, vec_id LIMIT {PQ_TOP_K}
+    """,
+    doc="product quantization ADC top-k: query scored against codes via lookup table",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search: the query's 32-entry asymmetric distance table
+    (micro-quantized so the 4-term per-vector sum is integer-exact in
+    any engine) joined to the compressed codes, summed per vector,
+    global top-k via TakeOrderedAndProject. At scale this is the serving
+    path: the raw corpus is never read — only 4 small ints per vector
+    plus a broadcast 32-row table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = _pq_codes(spark, sf_dir)
+    cb = _pq_codebook(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == PQ_QUERY_VEC_ID).select(
+        F.col("embedding").alias("qemb")
+    )
+    dtable = cb.crossJoin(F.broadcast(q)).select(
+        "s",
+        "code",
+        F.floor(
+            F.expr(
+                f"aggregate(zip_with(slice(cast(qemb AS array<double>),"
+                f" s * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}), cv,"
+                f" (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+                f" * 1000000"
+            )
+        )
+        .cast("bigint")
+        .alias("dmic"),
+    )
+    return (
+        codes.filter(F.col("vec_id") != PQ_QUERY_VEC_ID)
+        .join(
+            F.broadcast(dtable),
+            (codes["subspace"] == dtable["s"]) & (codes["code"] == dtable["code"]),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("dmic").cast("bigint").alias("adc_dist_micro"))
+        .orderBy("adc_dist_micro", "vec_id")
+        .limit(PQ_TOP_K)
+    )

@@ -228,3 +228,78 @@ def j_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(dt_prev, dt_next).cast("bigint").alias("dt_seconds"),
         )
     )
+
+
+@register(
+    "dq_distribution_drift",
+    """
+    WITH bounds AS (
+        SELECT make_timestamp(epoch_us(min(ts))
+               + (epoch_us(max(ts)) - epoch_us(min(ts))) // 2) AS t_mid
+        FROM events
+    ), halves AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN ts < t_mid THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN ts >= t_mid THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM events, bounds GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+               CAST(sum(n_b) AS BIGINT) AS tot_b
+        FROM halves
+    )
+    SELECT event_type, n_a, n_b,
+           CAST(n_a * 1000 // tot_a AS BIGINT) AS share_a_permille,
+           CAST(n_b * 1000 // tot_b AS BIGINT) AS share_b_permille,
+           CAST(abs(n_a * 1000 // tot_a - n_b * 1000 // tot_b) AS BIGINT)
+               AS drift_permille
+    FROM halves, tot
+    """,
+    doc="data quality: event-type distribution drift between time halves",
+)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the event-type mix of the first time
+    half vs the second (per-type permille shares and their absolute
+    delta — the integer-exact total-variation components). The snapshot
+    boundary is the timespan midpoint, computed from a 1-row broadcast
+    aggregate; one shuffle on event_type. This is the check a pipeline
+    runs per ingest window to catch upstream mix changes before they
+    skew training mixtures."""
+    ev = load_table(spark, sf_dir, "events")
+    # integer-exact midpoint in microseconds: t_mid = t0 + (t1 - t0) div 2
+    bounds = ev.agg(
+        F.unix_micros(F.min("ts")).alias("t0u"),
+        F.unix_micros(F.max("ts")).alias("t1u"),
+    ).select(
+        F.timestamp_micros(
+            F.col("t0u") + F.expr("(t1u - t0u) div 2")
+        ).alias("t_mid")
+    )
+    halves = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("ts") < F.col("t_mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("ts") >= F.col("t_mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+        )
+    )
+    tot = halves.agg(
+        F.sum("n_a").cast("bigint").alias("tot_a"),
+        F.sum("n_b").cast("bigint").alias("tot_b"),
+    )
+    share_a = F.expr("n_a * 1000 div tot_a")
+    share_b = F.expr("n_b * 1000 div tot_b")
+    return (
+        halves.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            share_a.cast("bigint").alias("share_a_permille"),
+            share_b.cast("bigint").alias("share_b_permille"),
+            F.abs(share_a - share_b).cast("bigint").alias("drift_permille"),
+        )
+    )

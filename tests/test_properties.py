@@ -288,3 +288,41 @@ def test_deletion_blocking_sound_for_ed1(s, pos, op, ch):
         i = pos % (len(s) + 1)
         t = s[:i] + ch + s[i:]
     assert _deletion_variants(s) & _deletion_variants(t)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(0, 10**9),
+    st.integers(0, 100_000),
+    st.binary(min_size=0, max_size=400),
+)
+def test_wav_roundtrip_header_fields(doc_id, n_chars, body):
+    """synth_wav → parse_wav_header must recover exactly the fields the
+    generator encoded, for arbitrary payloads (incl. bodies that contain
+    'data'/'fmt ' byte sequences — the chunk walk must not be fooled)."""
+    from big_data_training_spark.extensions.multimodal_av import (
+        _RATES,
+        parse_wav_header,
+        synth_wav,
+    )
+
+    payload = synth_wav(doc_id, n_chars, body)
+    parsed = parse_wav_header(payload)
+    assert parsed is not None
+    channels, rate, bits, n_frames = parsed
+    block_align = (1 + doc_id % 2) * 2
+    assert channels == 1 + doc_id % 2
+    assert rate == _RATES[doc_id % 3]
+    assert bits == 16
+    assert n_frames == len(body) // block_align
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=0, max_size=64))
+def test_wav_parser_rejects_non_wav(junk):
+    """Arbitrary junk without RIFF/WAVE framing parses to None."""
+    from big_data_training_spark.extensions.multimodal_av import parse_wav_header
+
+    if junk[:4] == b"RIFF" and junk[8:12] == b"WAVE":
+        return  # astronomically unlikely, but not this test's subject
+    assert parse_wav_header(junk) is None
