@@ -183,14 +183,14 @@ def _pagerank(spark: SparkSession, sf_dir: str, co_partitioned: bool) -> DataFra
     # projection preserves the parent's pinned partitioning
     ranks = nodes.select("node", F.lit(SCALE).cast("bigint").alias("rank"))
     for _ in range(N_ITER):
-        # eager per-round checkpoint: truncates the growing lineage and
-        # (co-partitioned) re-pins the node layout for the next round.
         round_df = pagerank_round(ranks, edges, outdeg, nodes, co_partitioned)
-        ranks = (
-            _pinned_checkpoint(round_df)
-            if co_partitioned
-            else round_df.localCheckpoint(eager=True)
-        )
+        # Co-partitioned: eager per-round checkpoint re-pins the node
+        # layout (and truncates lineage) for the next round. Plain: with
+        # a small fixed N_ITER the chained 3-round plan is cheaper than
+        # three eager materializations (measured 4.1s → 3.4s at sf0.1);
+        # a long-running iterative job would checkpoint every ~10 rounds
+        # to bound lineage, as dd_cluster_components does.
+        ranks = _pinned_checkpoint(round_df) if co_partitioned else round_df
     out = materialize(ranks.orderBy(F.desc("rank"), F.asc("node")).limit(TOP_N))
     for df in cached:
         df.unpersist()
