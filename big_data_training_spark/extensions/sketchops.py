@@ -429,3 +429,79 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist_micro", "vec_id")
         .limit(PQ_TOP_K)
     )
+
+
+@register(
+    "sim_pq_recall_at_k",
+    _SQL_PQ_CB_CTE
+    + f"""
+    , q AS (
+        SELECT embedding AS qv FROM embeddings WHERE vec_id = {PQ_QUERY_VEC_ID}
+    ), dtable AS (
+        SELECT c.s, c.code,
+               CAST(floor((SELECT sum((CAST(q.qv[c.s * {PQ_SUB_DIM} + i] AS DOUBLE) - c.cv[i])
+                                      * (CAST(q.qv[c.s * {PQ_SUB_DIM} + i] AS DOUBLE) - c.cv[i]))
+                           FROM generate_series(1, {PQ_SUB_DIM}) AS g(i)) * 1000000)
+                    AS BIGINT) AS dmic
+        FROM cbv c, q
+    ), pq_top AS (
+        SELECT a.vec_id
+        FROM assigned a JOIN dtable t ON a.s = t.s AND a.code = t.code
+        WHERE a.rk = 1 AND a.vec_id <> {PQ_QUERY_VEC_ID}
+        GROUP BY 1
+        ORDER BY CAST(sum(t.dmic) AS BIGINT), vec_id LIMIT {PQ_TOP_K}
+    ), truth AS (
+        SELECT e.vec_id
+        FROM embeddings e, q
+        WHERE e.vec_id <> {PQ_QUERY_VEC_ID}
+        ORDER BY (SELECT sum((CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+                             * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))
+                  FROM generate_series(1, 64) AS g(i)), e.vec_id
+        LIMIT {PQ_TOP_K}
+    )
+    SELECT CAST({PQ_TOP_K} AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM pq_top WHERE vec_id IN (SELECT vec_id FROM truth))
+                AS BIGINT) AS n_hits,
+           CAST((SELECT count(*) FROM pq_top WHERE vec_id IN (SELECT vec_id FROM truth))
+                * 1000 // {PQ_TOP_K} AS BIGINT) AS recall_permille
+    """,
+    doc="product quantization recall@k against exact L2 ground truth",
+)
+def sim_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ accuracy audit: how many of the compressed-index top-k
+    survive against the exact L2 top-k — the number that decides
+    codebook size and subspace count before a PQ index ships. Both
+    rankings are deterministic (micro-quantized ADC, vec_id tiebreaks);
+    the intersection is a broadcast join of two k-row sets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pq_top = sim_pq_adc_topk(spark, sf_dir).select("vec_id")
+    q = emb.filter(F.col("vec_id") == PQ_QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    sqdist = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("qv").cast("array<double>"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    truth = (
+        emb.filter(F.col("vec_id") != PQ_QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select("vec_id", sqdist.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(PQ_TOP_K)
+        .select("vec_id")
+    )
+    hits = pq_top.join(F.broadcast(truth), "vec_id").agg(
+        F.count("*").cast("bigint").alias("n_hits")
+    )
+    return hits.select(
+        F.lit(PQ_TOP_K).cast("bigint").alias("k"),
+        "n_hits",
+        F.expr(f"n_hits * 1000 div {PQ_TOP_K}").cast("bigint").alias(
+            "recall_permille"
+        ),
+    )

@@ -80,6 +80,7 @@ _OPERATOR_MODULES = (
     "operators.behavior",
     "extensions.sketchops",
     "extensions.multimodal_av",
+    "operators.layout",
 )
 
 import_errors: dict[str, str] = {}
