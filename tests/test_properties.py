@@ -326,3 +326,23 @@ def test_wav_parser_rejects_non_wav(junk):
     if junk[:4] == b"RIFF" and junk[8:12] == b"WAVE":
         return  # astronomically unlikely, but not this test's subject
     assert parse_wav_header(junk) is None
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 65535), st.integers(0, 65535)),
+                min_size=1, max_size=200))
+def test_zvalue_interleave_bijective(spark, pairs):
+    """The Z-order bit-interleave must be a bijection on 16-bit pairs:
+    de-interleaving the Spark-computed z recovers (a, b) exactly, and z
+    is within 32 bits. One Spark roundtrip per example, batched."""
+    from big_data_training_spark.operators.layout import _z_expr
+
+    sdf = spark.createDataFrame(pairs, "a int, b int").selectExpr(
+        "a", "b", _z_expr("a", "b") + " AS z"
+    )
+    for r in sdf.collect():
+        z = r.z
+        assert 0 <= z < (1 << 32)
+        a = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+        b = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (a, b) == (r.a, r.b)

@@ -390,3 +390,34 @@ def test_triangle_count_plan_and_value(spark, sf_dir):
         ).count()
     )
     assert got == expected
+
+
+def test_pq_adc_serving_plan(spark, sf_dir):
+    """PQ ADC top-k must plan TakeOrderedAndProject (per-partition heads)
+    with the 32-entry distance table broadcast; never a cartesian or
+    sort-based global top-k."""
+    from big_data_training_spark.extensions.sketchops import sim_pq_adc_topk
+
+    plan = physical_plan(sim_pq_adc_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_buckets_cover_tight_squares(spark, sf_dir):
+    """Z-order audit invariants: buckets partition the table (counts sum
+    to |lineitem|) and every bucket's (a, b) ranges are proper subsets of
+    the global range — each top-bits bucket is one quadrant-of-quadrants,
+    so no bucket may span a full dimension."""
+    from big_data_training_spark.operators.layout import s9_zorder_layout
+
+    rows = s9_zorder_layout(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.count()
+    ga, gb = li.agg(
+        F.max("l_orderkey"), F.max("l_partkey")
+    ).collect()[0]
+    assert sum(r["n"] for r in rows) == total
+    assert len(rows) > 1
+    for r in rows:
+        assert r["max_a"] - r["min_a"] < ga
+        assert r["max_b"] - r["min_b"] < gb
