@@ -505,3 +505,52 @@ def sim_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_permille"
         ),
     )
+
+
+@register(
+    "st_pq_encode_stream",
+    _SQL_PQ_CB_CTE
+    + """
+    SELECT s AS subspace, code, count(*) AS n_vectors
+    FROM assigned WHERE rk = 1
+    GROUP BY 1, 2
+    """,
+    doc="streaming PQ encode: ingest-time vector compression, per-code histogram",
+)
+def st_pq_encode_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time PQ encoding: embeddings arrive as a stream, each
+    micro-batch is snapped to the broadcast static codebook (a
+    stream-static join, stateless per row) and the running per-code
+    population histogram is the streaming aggregate — the shape of an
+    ANN indexer that compresses vectors the moment they land. The
+    oracle is the batch assignment's histogram, identical because
+    encoding is per-row deterministic."""
+    from big_data_training_spark.streaming.replay import (
+        read_stream_table,
+        run_to_completion,
+    )
+
+    # one row per subspace carrying all 8 code vectors, so the argmin is
+    # a per-row array fold (stateless) and the query has a SINGLE
+    # stateful operator — two chained streaming aggregations would trip
+    # Spark's global-watermark correctness check.
+    cb_rows = (
+        _pq_codebook(spark, sf_dir)
+        .groupBy("s")
+        .agg(F.collect_list(F.struct("code", "cv")).alias("codes"))
+    )
+    stream = read_stream_table(spark, sf_dir, "embeddings")
+    best_code = F.expr(
+        f"array_sort(transform(codes, c -> struct("
+        f"round(aggregate(zip_with(slice(cast(embedding AS array<double>),"
+        f" s * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}), c.cv,"
+        f" (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x), 6) AS d,"
+        f" c.code AS code)))[0].code"
+    )
+    hist = (
+        stream.join(F.broadcast(cb_rows))
+        .select(F.col("s").alias("subspace"), best_code.alias("code"))
+        .groupBy("subspace", "code")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+    return run_to_completion(hist, "complete")
