@@ -126,6 +126,7 @@ def _synth_and_parse_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     FROM meta
     """,
     doc="multimodal audio: real RIFF/WAVE header parse (chunk walk → metadata)",
+    bench=True,
 )
 def mm_audio_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trips every document's bytes through a structurally-valid

@@ -229,6 +229,7 @@ def dd_cross_source_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     doc="curation: per-doc n-gram novelty vs all earlier docs (curriculum signal)",
+    bench=True,
 )
 def tx_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Novelty scoring: the fraction of a document's 8-gram shingles it
@@ -390,6 +391,7 @@ PQ_TOP_K = 10
     ORDER BY adc_dist_micro, vec_id LIMIT {PQ_TOP_K}
     """,
     doc="product quantization ADC top-k: query scored against codes via lookup table",
+    bench=True,
 )
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ search: the query's 32-entry asymmetric distance table

@@ -102,6 +102,7 @@ N_RFM_BUCKETS = 5
     FROM per_user, g
     """,
     doc="behavior: RFM (recency/frequency/monetary) quintile segmentation per user",
+    bench=True,
 )
 def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-user recency (days before the dataset's
@@ -177,6 +178,7 @@ def ev_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND (prev_click_ts IS NOT NULL OR next_click_ts IS NOT NULL)
     """,
     doc="behavior: bidirectional as-of — nearest click in time per purchase",
+    bench=True,
 )
 def j_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-event join: for every purchase, the user's closest click

@@ -58,6 +58,7 @@ def _sql_z(a: str, b: str) -> str:
     FROM z GROUP BY 1
     """,
     doc="S9 layout: Z-order bucket stats — both dims clustered per bucket",
+    bench=True,
 )
 def s9_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering audit: normalize (l_orderkey, l_partkey) into
