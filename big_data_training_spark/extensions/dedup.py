@@ -97,6 +97,49 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hashed_shingle_batches(batches):
+    """Arrow-batched shingle+hash: distinct (doc_id, h) pairs with
+    h = hash60 of the k-word shingle — bit-identical to the JVM
+    ``conv(substr(md5(s), 1, 15), 16, 10)`` path, but ~8x faster than
+    the interpreted transform/slice/concat_ws lambda chain (HOFs get no
+    whole-stage codegen; same finding as curation._decon_shingled)."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        out_d: list[int] = []
+        out_h: list[int] = []
+        for d, t in zip(pdf["doc_id"], pdf["text"]):
+            ws = t.split()
+            n = len(ws) - SHINGLE_K + 1
+            if n > 0:
+                seen = set()
+                for i in range(n):
+                    s = " ".join(ws[i : i + SHINGLE_K])
+                    if s not in seen:
+                        seen.add(s)
+                        out_d.append(d)
+                        out_h.append(
+                            int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                        )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "h": pd.Series(out_h, dtype="int64"),
+            }
+        )
+
+
+def _hashed_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle-hash) pairs — the inverted-index input
+    shared by the Jaccard and containment miners. Shuffle-free scan."""
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", "text").mapInPandas(
+        _hashed_shingle_batches, "doc_id bigint, h bigint"
+    )
+
+
 @register(
     "dd_exact_dedup",
     """
@@ -181,24 +224,13 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 60-bit shingle hash (8-byte shuffle keys instead of ~20-byte
     strings), self-join on the hash (blocking — only co-occurring docs
     pair up), count intersections, Jaccard from |A|+|B|-|A∩B|."""
-    sh = (
-        _shingled(spark, sf_dir)
-        .withColumn(
-            "hs",
-            F.expr(
-                f"array_distinct(transform(shingles, s -> {hash60_expr('s')}))"
-            ),
-        )
-        .select("doc_id", "hs")
-    )
-    sh = _cache_tracked(sh)
-    inv = sh.select("doc_id", F.explode("hs").alias("h"))
+    inv0 = _cache_tracked(_hashed_shingle_pairs(spark, sf_dir))
     # Semantics-preserving pre-filter: a shingle seen in only one doc
     # cannot produce a pair, and unique shingles are the long tail of
     # any real corpus — dropping them before the self-join removes the
     # bulk of the join input (decisive at large scale, measurable here).
-    shared = inv.groupBy("h").count().filter(F.col("count") >= 2).select("h")
-    inv = inv.join(shared, "h")
+    shared = inv0.groupBy("h").count().filter(F.col("count") >= 2).select("h")
+    inv = inv0.join(shared, "h")
     a = inv.alias("a")
     b = inv.alias("b")
     common = (
@@ -208,7 +240,7 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("c"))
     )
-    sizes = sh.select("doc_id", F.size("hs").alias("n"))
+    sizes = inv0.groupBy("doc_id").agg(F.count("*").alias("n"))
     si = sizes.alias("si")
     sj = sizes.alias("sj")
     jac = F.col("c") / (F.col("si.n") + F.col("sj.n") - F.col("c"))
@@ -647,20 +679,9 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     while Jaccard stays tiny — the signal quote/boilerplate removal
     needs. Reuses the hashed inverted-index blocking (same shuffle shape
     as the Jaccard join: only co-occurring docs ever pair)."""
-    sh = (
-        _shingled(spark, sf_dir)
-        .withColumn(
-            "hs",
-            F.expr(
-                f"array_distinct(transform(shingles, s -> {hash60_expr('s')}))"
-            ),
-        )
-        .select("doc_id", "hs")
-    )
-    sh = _cache_tracked(sh)
-    inv = sh.select("doc_id", F.explode("hs").alias("h"))
-    shared = inv.groupBy("h").count().filter(F.col("count") >= 2).select("h")
-    inv = inv.join(shared, "h")
+    inv0 = _cache_tracked(_hashed_shingle_pairs(spark, sf_dir))
+    shared = inv0.groupBy("h").count().filter(F.col("count") >= 2).select("h")
+    inv = inv0.join(shared, "h")
     a = inv.alias("a")
     b = inv.alias("b")
     common = (
@@ -672,7 +693,7 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j"))
         .agg(F.count("*").alias("c"))
     )
-    sizes = sh.select("doc_id", F.size("hs").alias("n"))
+    sizes = inv0.groupBy("doc_id").agg(F.count("*").alias("n"))
     si = sizes.alias("si")
     sj = sizes.alias("sj")
     cont_i = F.col("c") / F.col("si.n")
