@@ -1,0 +1,184 @@
+"""Modern Spark-4 SQL surface: recursive CTEs, LATERAL subqueries,
+VARIANT semi-structured extraction, and Python UDTFs.
+
+The reference's type system names semi-structured JSON events and
+schema evolution as first-class (kafka/README.md:294-296, 312) and its
+UDF surface includes table-generating user functions (the Flink
+flatMap/process family, flink/README.md:20-28). These queries exercise
+the corresponding *engine* surfaces Spark 4 added natively — recursive
+CTE (date-spine generation), LATERAL correlated subqueries (per-row
+top-k without a window), VARIANT (binary semi-structured values with
+typed path extraction), and registered Python UDTFs (1→n row user
+functions callable from SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_training_spark.data import load_table
+from big_data_training_spark.registry import register
+
+
+@register(
+    "cal_date_spine_gap_fill",
+    """
+    WITH RECURSIVE b AS (
+        SELECT min(date_trunc('day', ts)) AS d0,
+               max(date_trunc('day', ts)) AS d1
+        FROM events
+    ), spine AS (
+        SELECT d0 AS day FROM b
+        UNION ALL
+        SELECT day + INTERVAL 1 DAY FROM spine, b WHERE day < d1
+    ), daily AS (
+        SELECT date_trunc('day', ts) AS day, count(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN daily d USING (day)
+    """,
+    doc="recursive CTE date spine: every calendar day gap-filled with 0",
+)
+def cal_date_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse date-spine pattern via a genuine recursive CTE
+    (Spark 4): generate every calendar day between the dataset's bounds,
+    left-join the daily counts, and surface gap days as explicit zeros —
+    the shape every reporting layer needs and GROUP BY alone cannot
+    produce. The recursion depth is the day span (bounded, driver-side
+    plan growth only); the join is |days| rows against a grouped
+    aggregate. Identical SQL runs on DuckDB as the oracle."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "msql_events_spine"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE b AS (
+            SELECT min(date_trunc('day', ts)) AS d0,
+                   max(date_trunc('day', ts)) AS d1
+            FROM msql_events_spine
+        ), spine AS (
+            SELECT d0 AS day FROM b
+            UNION ALL
+            SELECT day + INTERVAL 1 DAY FROM spine, b WHERE day < d1
+        ), daily AS (
+            SELECT date_trunc('day', ts) AS day, count(*) AS n
+            FROM msql_events_spine GROUP BY 1
+        )
+        SELECT s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
+        FROM spine s LEFT JOIN daily d USING (day)
+        """
+    )
+
+
+@register(
+    "j_lateral_topk_nation",
+    """
+    SELECT n.n_name, c.c_custkey, c.acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 2
+    ) c
+    """,
+    doc="LATERAL correlated top-k: 2 richest customers per nation",
+)
+def j_lateral_topk_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row correlated top-k through a LATERAL subquery — the SQL
+    surface for 'top N related rows per outer row' that window-rank
+    rewrites approximate. Catalyst decorrelates this into a ranked join
+    (same physical shape as k_topk_per_group), so the declarative form
+    costs nothing extra; the query proves the engine accepts it."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("msql_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("msql_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.acctbal
+        FROM msql_nation n, LATERAL (
+            SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+            FROM msql_customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey
+            LIMIT 2
+        ) c
+        """
+    )
+
+
+@register(
+    "f_variant_props_stats",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events GROUP BY 1
+    """,
+    doc="VARIANT semi-structured extraction: typed path reads over JSON props",
+)
+def f_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` path extraction — the schema-on-read answer to the
+    reference's evolving-JSON events, without a fixed from_json schema.
+    At scale VARIANT beats string re-parsing per access: the binary
+    form is parsed once at ingest and shredded lazily."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).cast("bigint").alias("min_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+    )
+
+
+@register(
+    "u6_python_udtf_props",
+    """
+    WITH pairs AS (
+        SELECT e.event_type, 'k' AS key,
+               CAST(json_extract_string(e.props, '$.k') AS BIGINT) AS val
+        FROM events e
+    )
+    SELECT event_type, key, count(*) AS n, CAST(sum(val) AS BIGINT) AS sum_val
+    FROM pairs GROUP BY 1, 2
+    """,
+    doc="U-surface UDTF: registered Python table function, 1 row -> n rows in SQL",
+)
+def u6_python_udtf_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A genuine Python UDTF (Spark 4 ``@udtf``): each event's JSON
+    props explode into (key, value) rows via a registered table
+    function invoked with LATERAL correlation from SQL — the
+    table-generating user-function surface (U1/T2's 1→n form) as a
+    first-class engine feature rather than an explode() composition.
+    Row-at-a-time Python: correct for the U-surface demo, kept off hot
+    paths (the JVM explode/flatMap family is the scale path)."""
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="key string, val bigint")
+    class PropsPairs:
+        def eval(self, props: str):
+            if props:
+                for k, v in json.loads(props).items():
+                    yield (str(k), int(v))
+
+    spark.udtf.register("msql_props_pairs", PropsPairs)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("msql_events_udtf")
+    return spark.sql(
+        """
+        SELECT e.event_type, p.key, count(*) AS n,
+               CAST(sum(p.val) AS BIGINT) AS sum_val
+        FROM msql_events_udtf e, LATERAL msql_props_pairs(e.props) p
+        GROUP BY 1, 2
+        """
+    )

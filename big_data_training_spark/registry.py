@@ -81,6 +81,7 @@ _OPERATOR_MODULES = (
     "extensions.sketchops",
     "extensions.multimodal_av",
     "operators.layout",
+    "operators.modern_sql",
 )
 
 import_errors: dict[str, str] = {}
