@@ -1,0 +1,162 @@
+"""File-granular ingestion sources: ``binaryFile`` and whole-file text.
+
+S8's connector family (kafka/README.md:69-84 external systems in/out)
+covers record-oriented formats in operators/sources.py (CSV/JSON/
+Parquet/ORC). This module adds Spark's *file-granular* sources — the
+native ingestion path for multimodal corpora where each object IS one
+record (an image, an audio clip, a raw document):
+
+* ``spark.read.format("binaryFile")`` — one row per file with
+  ``(path, modificationTime, length, content)``; the standard way to
+  lift 100 TB of images off an object store into binary columns.
+* ``spark.read.text(..., wholetext=True)`` — one row per raw text file.
+
+Scale notes: binaryFile splits by *file*, never inside one, so
+parallelism = file count; ``spark.sql.files.maxPartitionBytes`` packs
+small files into shared tasks and ``pathGlobFilter`` /
+``recursiveFileLookup`` prune the listing. Payload bytes stay columnar
+(no Python roundtrip) — header fields are sliced out JVM-side with
+``substring``/``hex``/``conv``, so the scan is whole-stage-codegen
+eligible end to end. Oversized objects are guarded engine-side by
+``spark.sql.sources.binaryFile.maxLength``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import struct
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_training_spark.data import load_table
+from big_data_training_spark.extensions.multimodal import PNG_MAGIC
+from big_data_training_spark.registry import register
+
+
+def synth_png(doc_id: int, text: str) -> bytes:
+    """Minimal structurally-valid PNG prefix: 8-byte magic, IHDR chunk
+    header, big-endian width/height derived deterministically from the
+    doc row (so the oracle can recompute them), then the doc text as
+    opaque trailing bytes. parse_image_header() in extensions/multimodal
+    reads the same 24-byte layout."""
+    w = 16 + doc_id % 64
+    h = 16 + (doc_id * 7) % 64
+    return (
+        PNG_MAGIC
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + text.encode("utf-8")
+    )
+
+
+@register(
+    "mm_binaryfile_ingest",
+    """
+    SELECT count(*) AS n_files,
+           count(*) AS n_png,
+           CAST(sum(24 + octet_length(encode(coalesce(text, '')))) AS BIGINT)
+               AS total_bytes,
+           CAST(min(16 + doc_id % 64) AS BIGINT) AS min_w,
+           CAST(max(16 + doc_id % 64) AS BIGINT) AS max_w,
+           CAST(sum(16 + (doc_id * 7) % 64) AS BIGINT) AS sum_h
+    FROM documents
+    """,
+    doc="S8/multimodal: binaryFile source over an image directory",
+)
+def mm_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize documents as one .png object each (written executor-
+    side via foreachPartition — on a cluster the target would be an
+    object-store prefix), ingest the directory back through the
+    ``binaryFile`` source, and audit the corpus: header width/height are
+    decoded JVM-side from the content bytes (substring → hex → conv),
+    no Python in the read path."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    out_dir = tempfile.mkdtemp(prefix="bdts_binfiles_")
+
+    def write_partition(rows) -> None:
+        for r in rows:
+            payload = synth_png(r.doc_id, r.text)
+            with open(os.path.join(out_dir, f"{r.doc_id:010d}.png"), "wb") as f:
+                f.write(payload)
+
+    docs.foreachPartition(write_partition)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(out_dir)
+    )
+    parsed = files.select(
+        F.col("length"),
+        (F.substring("content", 1, 8) == F.lit(PNG_MAGIC)).cast("long").alias("is_png"),
+        F.conv(F.hex(F.substring("content", 17, 4)), 16, 10).cast("long").alias("w"),
+        F.conv(F.hex(F.substring("content", 21, 4)), 16, 10).cast("long").alias("h"),
+    )
+    out = parsed.agg(
+        F.count("*").alias("n_files"),
+        F.sum("is_png").alias("n_png"),
+        F.sum("length").alias("total_bytes"),
+        F.min("w").alias("min_w"),
+        F.max("w").alias("max_w"),
+        F.sum("h").alias("sum_h"),
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
+@register(
+    "s8_wholetext_ingest",
+    """
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(octet_length(encode(coalesce(text, '')))) AS BIGINT)
+               AS total_bytes
+    FROM documents GROUP BY source
+    """,
+    doc="S8: whole-file text source, one document per object",
+)
+def s8_wholetext_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write each source's docs as one-text-file-per-doc (the raw-crawl
+    layout: s3://bucket/<source>/<id>.txt), read back with
+    ``spark.read.text(wholetext=True)`` so one file = one row, and
+    recover the per-source corpus stats from path + payload alone."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text"), "source"
+    )
+    out_dir = tempfile.mkdtemp(prefix="bdts_rawtext_")
+
+    def write_partition(rows) -> None:
+        for r in rows:
+            d = os.path.join(out_dir, r.source)
+            os.makedirs(d, exist_ok=True)
+            with open(
+                os.path.join(d, f"{r.doc_id:010d}.txt"), "wb"
+            ) as f:
+                f.write(r.text.encode("utf-8"))
+
+    docs.foreachPartition(write_partition)
+    files = (
+        spark.read.option("wholetext", True)
+        .option("recursiveFileLookup", True)
+        .option("pathGlobFilter", "*.txt")
+        .text(out_dir)
+        .withColumn("path", F.input_file_name())
+    )
+    out = (
+        files.select(
+            F.regexp_extract("path", r"([^/]+)/[^/]+\.txt$", 1).alias("source"),
+            F.octet_length(F.encode("value", "UTF-8")).cast("long").alias("n_bytes"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out

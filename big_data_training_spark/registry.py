@@ -82,6 +82,8 @@ _OPERATOR_MODULES = (
     "extensions.multimodal_av",
     "operators.layout",
     "operators.modern_sql",
+    "operators.fileingest",
+    "streaming.statestore",
 )
 
 import_errors: dict[str, str] = {}

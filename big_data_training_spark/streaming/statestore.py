@@ -1,0 +1,78 @@
+"""ST2 at scale: streaming keyed state on the RocksDB state store.
+
+The default (HDFSBackedStateStoreProvider) holds every key's state in
+executor heap — fine for the fixture, a hard wall at 100 TB where a
+per-user aggregation carries billions of keys. RocksDB
+(flink/README.md's RocksDBStateBackend analog; Spark ships
+``RocksDBStateStoreProvider`` + rocksdbjni in-box) keeps state off-heap
+on local SSD with incremental (changelog) checkpointing to the
+checkpoint location, so state size is bounded by disk, not heap, and
+recovery replays a changelog instead of re-uploading full snapshots.
+
+Sessions built by ``session.session_builder`` already default to
+RocksDB; the context manager here pins it (plus changelog
+checkpointing) *per query* so the guarantee also holds on externally
+built sessions — e.g. the driver harness's default-config
+SparkSession, where the provider would otherwise fall back to the
+heap-backed default. The conf is read at query start and restored
+after, so co-resident queries keep their configured backend.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_training_spark.registry import register
+from big_data_training_spark.streaming.replay import read_stream_table, run_to_completion
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_CHANGELOG_KEY = (
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+)
+
+
+@contextmanager
+def rocksdb_state_store(spark: SparkSession):
+    """Pin the RocksDB provider (+ changelog checkpointing) on the
+    session for the duration of one streaming query start."""
+    prev = {
+        k: spark.conf.get(k, None) for k in (_PROVIDER_KEY, _CHANGELOG_KEY)
+    }
+    spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
+    spark.conf.set(_CHANGELOG_KEY, "true")
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@register(
+    "st_rocksdb_state_counts",
+    """
+    SELECT user_id, count(*) AS n_events, max(event_id) AS max_offset
+    FROM events GROUP BY user_id
+    """,
+    doc="ST1/ST2: per-user streaming aggregation on RocksDB state",
+)
+def st_rocksdb_state_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same keyed-aggregation topology as st4_stateful_user_counts but
+    with per-key state held in RocksDB — the backend a billion-key
+    aggregation needs. Stream-batch equivalence: bounded replay in
+    complete mode equals the batch GROUP BY."""
+    events = read_stream_table(spark, sf_dir, "events")
+    agg = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("event_id").alias("max_offset"),
+    )
+    with rocksdb_state_store(spark):
+        return run_to_completion(agg, "complete")

@@ -242,3 +242,48 @@ def test_checkpoint_recovery_resumes_not_reprocesses(spark, sf_dir):
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(sink_dir, ignore_errors=True)
+
+
+def test_rocksdb_state_store_engages(spark, sf_dir):
+    """ST2: the RocksDB provider must actually back the state operator
+    (customMetrics carry rocksdb* counters), and the result must match
+    the batch aggregate (stream-batch equivalence on a different
+    backend)."""
+    import uuid
+
+    from big_data_training_spark.streaming.statestore import rocksdb_state_store
+
+    stream = read_stream_table(spark, sf_dir, "events")
+    agg = stream.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    qname = f"rocks_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="bdts_rocks_ckpt_")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    with rocksdb_state_store(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            progress = q.lastProgress
+        finally:
+            q.stop()
+    # provider conf restored to its pre-context value after exit
+    assert spark.conf.get(provider_key, None) == prior
+    metrics = progress["stateOperators"][0]["customMetrics"]
+    assert any(k.startswith("rocksdb") for k in metrics), metrics
+    got = {tuple(r) for r in spark.table(qname).collect()}
+    want = {
+        tuple(r)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert got == want
+    spark.catalog.dropTempView(qname)
+    shutil.rmtree(ckpt, ignore_errors=True)
