@@ -1,0 +1,302 @@
+"""S1-S4 through Spark 4's official Python DataSource API.
+
+The repo's native-Kafka stand-in reads the topic log with the built-in
+parquet source. This module implements the *connector API itself*:
+a custom ``kafkalog`` data source registered via
+``spark.dataSource.register`` exposing the topic as
+
+* a batch source whose ``partitions()`` are the topic's partitions —
+  one Spark task per topic partition, exactly Kafka's
+  consumer-assignment model (S3), with **filter pushdown**
+  (``pushFilters``, Spark 4): ``partition = k`` prunes entire
+  partitions source-side and ``offset >= o`` is a seek (S4), so the
+  pruning happens before any bytes are read;
+* a streaming source (``SimpleDataSourceStreamReader``) whose offsets
+  are plain ``{"id": n}`` watermarks over the log — subscribe (S1),
+  bounded replay, resume-from-offset, through the same API a real
+  broker connector would implement.
+
+Scale honesty: a Python data source pays one Python worker per task —
+it is the API surface for systems with no JVM connector, not the bulk
+path (native parquet/Kafka readers stay JVM-side). Reads here are
+Arrow ``RecordBatch``-yielding, the fast path the API offers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterable, Sequence
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+from big_data_training_spark.data import load_table
+from big_data_training_spark.registry import register
+from big_data_training_spark.streaming.replay import run_to_completion
+
+N_PARTITIONS = 8
+
+# Spark-side schema of the source (a thin envelope: topic coordinates +
+# the serialized record, mirroring KAFKA_SOURCE_SCHEMA minus binary/ts
+# noise the fixture queries never use).
+ENVELOPE_DDL = "partition int, offset bigint, key string, value string"
+
+
+class _TopicPartition(InputPartition):
+    def __init__(self, k: int):
+        self.k = k
+
+
+def _scan_batches(path: str, k: int, min_offset: int):
+    """Executor-side scan of one topic partition: arrow-native read of
+    the backing log, partition selection + offset seek applied before
+    anything is handed to Spark."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path, columns=["event_id", "user_id", "event_type", "value"])
+    part = pc.bit_wise_and(table["user_id"], N_PARTITIONS - 1)
+    mask = pc.and_(pc.equal(part, k), pc.greater_equal(table["event_id"], min_offset))
+    table = table.filter(mask)
+    import pyarrow as pa
+
+    out = pa.table(
+        {
+            "partition": pa.array([k] * len(table), pa.int32()),
+            "offset": table["event_id"].cast(pa.int64()),
+            "key": table["user_id"].cast(pa.string()),
+            "value": pa.array(
+                [
+                    json.dumps({"event_type": t, "value": v})
+                    for t, v in zip(
+                        table["event_type"].to_pylist(), table["value"].to_pylist()
+                    )
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    yield from out.to_batches(max_chunksize=8192)
+
+
+class KafkaLogBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.assigned: list[int] = list(range(N_PARTITIONS))
+        self.min_offset = 0
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        """Partition pruning + offset seek at the source. Returns the
+        filters we cannot evaluate; Spark re-applies those above."""
+        rest = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("partition",):
+                self.assigned = [int(f.value)]
+            elif isinstance(f, GreaterThanOrEqual) and f.attribute == ("offset",):
+                self.min_offset = max(self.min_offset, int(f.value))
+            elif isinstance(f, GreaterThan) and f.attribute == ("offset",):
+                self.min_offset = max(self.min_offset, int(f.value) + 1)
+            else:
+                rest.append(f)
+        return rest
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [_TopicPartition(k) for k in self.assigned]
+
+    def read(self, partition: _TopicPartition):
+        yield from _scan_batches(self.path, partition.k, self.min_offset)
+
+
+class KafkaLogStreamReader(SimpleDataSourceStreamReader):
+    """Offset-watermark replay: each micro-batch consumes the next
+    ``chunk`` offsets; ``{"id": n}`` is the committed position, so a
+    restart resumes (not reprocesses) — ST3/ST6 semantics through the
+    public connector API."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.chunk = int(options.get("chunk", 5000))
+
+    def initialOffset(self) -> dict:
+        return {"id": 0}
+
+    def read(self, start: dict):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        lo = start["id"]
+        table = pq.read_table(
+            self.path, columns=["event_id", "user_id", "event_type", "value"]
+        )
+        hi_avail = pc.max(table["event_id"]).as_py()
+        if hi_avail is None or lo > hi_avail:
+            return iter([]), start
+        hi = min(lo + self.chunk - 1, hi_avail)
+        mask = pc.and_(
+            pc.greater_equal(table["event_id"], lo),
+            pc.less_equal(table["event_id"], hi),
+        )
+        rows = table.filter(mask)
+        out = [
+            (
+                int(u) & (N_PARTITIONS - 1),
+                int(e),
+                str(u),
+                json.dumps({"event_type": t, "value": v}),
+            )
+            for e, u, t, v in zip(
+                rows["event_id"].to_pylist(),
+                rows["user_id"].to_pylist(),
+                rows["event_type"].to_pylist(),
+                rows["value"].to_pylist(),
+            )
+        ]
+        return iter(out), {"id": hi + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        """Deterministic replay of a committed range [start, end) —
+        recovery path; must NOT be capped by ``chunk``."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(
+            self.path, columns=["event_id", "user_id", "event_type", "value"]
+        )
+        mask = pc.and_(
+            pc.greater_equal(table["event_id"], start["id"]),
+            pc.less(table["event_id"], end["id"]),
+        )
+        rows = table.filter(mask)
+        return iter(
+            [
+                (
+                    int(u) & (N_PARTITIONS - 1),
+                    int(e),
+                    str(u),
+                    json.dumps({"event_type": t, "value": v}),
+                )
+                for e, u, t, v in zip(
+                    rows["event_id"].to_pylist(),
+                    rows["user_id"].to_pylist(),
+                    rows["event_type"].to_pylist(),
+                    rows["value"].to_pylist(),
+                )
+            ]
+        )
+
+
+class KafkaLogDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "kafkalog"
+
+    def schema(self) -> str:
+        return ENVELOPE_DDL
+
+    def reader(self, schema) -> DataSourceReader:
+        return KafkaLogBatchReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return KafkaLogStreamReader(self.options)
+
+
+_PUSHDOWN_KEY = "spark.sql.python.filterPushdown.enabled"
+
+
+@contextmanager
+def python_pushdown(spark: SparkSession):
+    """Spark refuses to plan a ``pushFilters`` reader unless
+    ``spark.sql.python.filterPushdown.enabled`` is on. The engine
+    session enables it at build time; this pins it for one query on
+    externally built sessions (the driver harness's default config)."""
+    prev = spark.conf.get(_PUSHDOWN_KEY, None)
+    spark.conf.set(_PUSHDOWN_KEY, "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_PUSHDOWN_KEY)
+        else:
+            spark.conf.set(_PUSHDOWN_KEY, prev)
+
+
+def register_kafkalog(spark: SparkSession) -> None:
+    """Idempotent registration (re-register is a cheap overwrite)."""
+    spark.dataSource.register(KafkaLogDataSource)
+
+
+def _events_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "events.parquet")
+
+
+@register(
+    "s1_pyds_partition_consume",
+    """
+    SELECT event_type, count(*) AS n, max(event_id) AS max_offset
+    FROM events WHERE user_id % 8 = 3 AND event_id >= 100
+    GROUP BY event_type
+    """,
+    doc="S1/S3/S4: custom Python DataSource, partition-pruned + offset seek",
+)
+def s1_pyds_partition_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consume one assigned topic partition from offset 100 through the
+    custom connector; with Python-source filter pushdown enabled both
+    predicates reach ``pushFilters``, so only that partition's records
+    cross the source boundary. The consumer then decodes the JSON value
+    like the native-envelope query (serde on the read side)."""
+    register_kafkalog(spark)
+    with python_pushdown(spark):
+        env = (
+            spark.read.format("kafkalog")
+            .option("path", _events_path(sf_dir))
+            .load()
+            .filter((F.col("partition") == 3) & (F.col("offset") >= 100))
+        )
+        return (
+            env.select(
+                F.get_json_object("value", "$.event_type").alias("event_type"),
+                "offset",
+            )
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.max("offset").alias("max_offset"))
+            .localCheckpoint(eager=True)
+        )
+
+
+@register(
+    "st_pyds_stream_consume",
+    """
+    SELECT CAST(user_id % 8 AS INT) AS partition, count(*) AS n,
+           max(event_id) AS max_offset
+    FROM events GROUP BY 1
+    """,
+    doc="S1 streaming: custom Python streaming source, offset-chunked replay",
+)
+def st_pyds_stream_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subscribe to the topic through the custom streaming source: the
+    bounded log replays in offset-ordered micro-batches (multiple
+    triggers, not one — the chunked offset range is the progress axis),
+    aggregated per partition in complete mode."""
+    register_kafkalog(spark)
+    env = (
+        spark.readStream.format("kafkalog")
+        .option("path", _events_path(sf_dir))
+        .option("chunk", 4000)
+        .load()
+    )
+    agg = env.groupBy("partition").agg(
+        F.count("*").alias("n"), F.max("offset").alias("max_offset")
+    )
+    return run_to_completion(agg, "complete")

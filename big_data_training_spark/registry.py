@@ -84,6 +84,7 @@ _OPERATOR_MODULES = (
     "operators.modern_sql",
     "operators.fileingest",
     "streaming.statestore",
+    "operators.pydatasource",
 )
 
 import_errors: dict[str, str] = {}

@@ -77,6 +77,9 @@ def session_builder(
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
         )
         .config("spark.sql.shuffle.spill.compress", "true")
+        # Custom Python data sources (operators/pydatasource.py): Spark
+        # refuses to plan a pushFilters-implementing reader without this.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     if master:
         builder = builder.master(master)
