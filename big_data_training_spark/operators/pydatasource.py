@@ -1,4 +1,4 @@
-"""S1-S4 through Spark 4's official Python DataSource API.
+"""S1-S6 through Spark 4's official Python DataSource API.
 
 The repo's native-Kafka stand-in reads the topic log with the built-in
 parquet source. This module implements the *connector API itself*:
@@ -34,12 +34,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from big_data_training_spark.data import load_table
@@ -211,6 +214,12 @@ class KafkaLogDataSource(DataSource):
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return KafkaLogStreamReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "KafkaLogBatchWriter":
+        return KafkaLogBatchWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "KafkaLogStreamWriter":
+        return KafkaLogStreamWriter(self.options)
+
 
 _PUSHDOWN_KEY = "spark.sql.python.filterPushdown.enabled"
 
@@ -300,3 +309,225 @@ def st_pyds_stream_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.max("offset").alias("max_offset")
     )
     return run_to_completion(agg, "complete")
+
+
+# ---------------------------------------------------------------------------
+# Write side: S5 topic append as a *transactional* sink through the same
+# connector API. Tasks stage segments; only the driver-side commit()
+# publishes them to the manifest, so failed/aborted jobs leave the log
+# unchanged (readers resolve the manifest, never the directory listing —
+# the S9 snapshot pattern at the connector layer). The streaming writer
+# keys the manifest by batchId, making micro-batch redelivery idempotent:
+# exactly-once publication over at-least-once execution (ST2/ST6).
+# Single-writer assumption (a topic partition has one leader); commit is
+# an atomic manifest swap (write-temp + rename).
+# ---------------------------------------------------------------------------
+
+
+class _SegmentCommit(WriterCommitMessage):
+    def __init__(self, filename: str | None, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+def _manifest_path(base: str) -> str:
+    return os.path.join(base, "_manifest.json")
+
+
+def _load_manifest(base: str) -> dict:
+    try:
+        with open(_manifest_path(base)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {"segments": [], "batches": {}}
+
+
+def _store_manifest(base: str, manifest: dict) -> None:
+    tmp = _manifest_path(base) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, _manifest_path(base))
+
+
+def _publish(base: str, messages) -> list[str]:
+    """Move staged segments into the log dir; return published names."""
+    published = []
+    for m in messages:
+        if m is None or m.filename is None:
+            continue
+        os.replace(
+            os.path.join(base, ".staging", m.filename),
+            os.path.join(base, m.filename),
+        )
+        published.append(m.filename)
+    return published
+
+
+def _write_segment(base: str, iterator) -> _SegmentCommit:
+    """Executor-side: stage one parquet segment for this task's rows."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [r.asDict() for r in iterator]
+    if not rows:
+        return _SegmentCommit(None, 0)
+    staging = os.path.join(base, ".staging")
+    os.makedirs(staging, exist_ok=True)
+    fname = f"seg-{_uuid.uuid4().hex}.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), os.path.join(staging, fname))
+    return _SegmentCommit(fname, len(rows))
+
+
+class KafkaLogBatchWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.base = options["path"]
+        self.overwrite = overwrite
+        os.makedirs(os.path.join(self.base, ".staging"), exist_ok=True)
+
+    def write(self, iterator) -> _SegmentCommit:
+        return _write_segment(self.base, iterator)
+
+    def commit(self, messages) -> None:
+        manifest = (
+            {"segments": [], "batches": {}} if self.overwrite else _load_manifest(self.base)
+        )
+        manifest["segments"].extend(_publish(self.base, messages))
+        _store_manifest(self.base, manifest)
+
+    def abort(self, messages) -> None:
+        # Staged files from failed attempts may have no commit message;
+        # everything under .staging is by construction unpublished.
+        import shutil as _shutil
+
+        _shutil.rmtree(os.path.join(self.base, ".staging"), ignore_errors=True)
+
+
+class KafkaLogStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options: dict):
+        self.base = options["path"]
+        os.makedirs(os.path.join(self.base, ".staging"), exist_ok=True)
+
+    def write(self, iterator) -> _SegmentCommit:
+        return _write_segment(self.base, iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        manifest = _load_manifest(self.base)
+        key = str(batchId)
+        if key in manifest["batches"]:
+            # redelivered micro-batch: already published — drop the
+            # duplicate staged segments instead of double-appending
+            for m in messages:
+                if m is not None and m.filename is not None:
+                    try:
+                        os.remove(os.path.join(self.base, ".staging", m.filename))
+                    except FileNotFoundError:
+                        pass
+            return
+        published = _publish(self.base, messages)
+        manifest["segments"].extend(published)
+        manifest["batches"][key] = published
+        _store_manifest(self.base, manifest)
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil as _shutil
+
+        _shutil.rmtree(os.path.join(self.base, ".staging"), ignore_errors=True)
+
+
+def read_committed(spark: SparkSession, base: str) -> DataFrame:
+    """Manifest-resolved read of the transactional log: only committed
+    segments are visible, via the native (JVM) parquet reader."""
+    segments = _load_manifest(base)["segments"]
+    return spark.read.parquet(*[os.path.join(base, s) for s in segments])
+
+
+@register(
+    "s5_pyds_transactional_append",
+    """
+    SELECT event_type, count(*) AS n, max(event_id) AS max_offset
+    FROM events WHERE event_id < 4000 GROUP BY event_type
+    """,
+    doc="S5: transactional topic append via the Python DataSource writer",
+)
+def s5_pyds_transactional_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two producer batches append through the connector's commit
+    protocol (stage → commit → manifest swap); the consumer reads only
+    manifest-committed segments back through the native parquet reader."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    register_kafkalog(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = _tempfile.mkdtemp(prefix="bdts_txlog_")
+    try:
+        for lo, hi in ((0, 2000), (2000, 4000)):
+            (
+                events.filter(
+                    (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+                )
+                .write.format("kafkalog")
+                .mode("append")
+                .option("path", base)
+                .save()
+            )
+        return (
+            read_committed(spark, base)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.max("event_id").alias("max_offset"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "st_pyds_exactly_once_sink",
+    """
+    SELECT event_type, count(*) AS n, max(event_id) AS max_offset
+    FROM events GROUP BY event_type
+    """,
+    doc="ST2/ST6: streaming sink with batchId-idempotent commit protocol",
+)
+def st_pyds_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the topic into the transactional sink: each micro-batch
+    stages segments and publishes them under its batchId, so redelivery
+    after failure re-stages but never double-publishes. The readback
+    aggregates only manifest-committed data."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from big_data_training_spark.streaming.replay import (
+        read_stream_table,
+        scratch_dir,
+    )
+
+    register_kafkalog(spark)
+    base = _tempfile.mkdtemp(prefix="bdts_txsink_")
+    ckpt = scratch_dir("bdts_txsink_ckpt_")
+    try:
+        stream = read_stream_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        q = (
+            stream.writeStream.format("kafkalog")
+            .outputMode("append")
+            .option("path", base)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            read_committed(spark, base)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.max("event_id").alias("max_offset"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        _shutil.rmtree(base, ignore_errors=True)

@@ -75,3 +75,80 @@ def test_value_payload_is_decodable_json(spark, sf_dir):
     rows = decoded.collect()
     assert len(rows) == 50
     assert all(r.et is not None and r.v is not None for r in rows)
+
+
+def test_batch_writer_abort_leaves_log_unchanged(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    import pytest as _pytest
+
+    from big_data_training_spark.operators.pydatasource import (
+        _load_manifest,
+        read_committed,
+    )
+
+    register_kafkalog(spark)
+    base = tempfile.mkdtemp(prefix="bdts_txlog_test_")
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    good = events.filter(F.col("event_id") < 100)
+    good.write.format("kafkalog").mode("append").option("path", base).save()
+    n_committed = read_committed(spark, base).count()
+    assert n_committed == good.count()
+
+    # second append fails mid-task → abort() → manifest and log unchanged
+    from pyspark.sql.types import StructType
+
+    def boom(pdf_iter):
+        raise RuntimeError("injected task failure")
+        yield  # pragma: no cover
+
+    bad = events.filter(F.col("event_id") >= 100).mapInPandas(
+        boom, events.schema
+    )
+    with _pytest.raises(Exception):
+        bad.write.format("kafkalog").mode("append").option("path", base).save()
+    # manifest unchanged, committed view unchanged, staging swept
+    assert read_committed(spark, base).count() == n_committed
+    assert len(_load_manifest(base)["segments"]) > 0
+    staging = os.path.join(base, ".staging")
+    assert not os.path.isdir(staging) or os.listdir(staging) == []
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_writer_restart_is_exactly_once(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from big_data_training_spark.operators.pydatasource import read_committed
+
+    register_kafkalog(spark)
+    base = tempfile.mkdtemp(prefix="bdts_txsink_test_")
+    ckpt = tempfile.mkdtemp(prefix="bdts_txsink_ckpt_test_")
+
+    def run_once():
+        # kafkalog stream source: its path is the fixture itself (stable
+        # across restarts), unlike the per-run symlink topic dirs
+        stream = (
+            spark.readStream.format("kafkalog")
+            .option("path", os.path.join(sf_dir, "events.parquet"))
+            .load()
+            .select("partition", "offset", "key")
+        )
+        q = (
+            stream.writeStream.format("kafkalog")
+            .outputMode("append")
+            .option("path", base)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return read_committed(spark, base).count()
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert run_once() == n_events
+    # restart on the same checkpoint: no new input → no re-publication
+    assert run_once() == n_events
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
