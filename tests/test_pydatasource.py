@@ -16,9 +16,6 @@ from big_data_training_spark.operators.pydatasource import (
     register_kafkalog,
 )
 
-from tests.conftest import SF_DIR
-
-
 def test_pushfilters_prunes_and_seeks():
     reader = KafkaLogBatchReader({"path": "unused"})
     leftover = reader.pushFilters(
@@ -97,8 +94,6 @@ def test_batch_writer_abort_leaves_log_unchanged(spark, sf_dir):
     assert n_committed == good.count()
 
     # second append fails mid-task → abort() → manifest and log unchanged
-    from pyspark.sql.types import StructType
-
     def boom(pdf_iter):
         raise RuntimeError("injected task failure")
         yield  # pragma: no cover
@@ -152,3 +147,15 @@ def test_stream_writer_restart_is_exactly_once(spark, sf_dir):
     assert run_once() == n_events
     shutil.rmtree(base, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_pushdown_prunes_scan_tasks(spark, sf_dir):
+    """With pushdown enabled, `partition = 3` must reach the reader:
+    the DSv2 scan plans exactly ONE input partition (of 8) — pruning
+    happened source-side, not as a post-scan filter."""
+    register_kafkalog(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    full = spark.read.format("kafkalog").option("path", path).load()
+    assert full.rdd.getNumPartitions() == N_PARTITIONS
+    pruned = full.filter(F.col("partition") == 3)
+    assert pruned.rdd.getNumPartitions() == 1
