@@ -69,10 +69,15 @@ def _scan_batches(path: str, k: int, min_offset: int):
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    table = pq.read_table(path, columns=["event_id", "user_id", "event_type", "value"])
+    # the offset seek prunes parquet row groups; the partition predicate
+    # (a hash of user_id) can't use column statistics and filters in-memory
+    table = pq.read_table(
+        path,
+        columns=["event_id", "user_id", "event_type", "value"],
+        filters=[("event_id", ">=", min_offset)],
+    )
     part = pc.bit_wise_and(table["user_id"], N_PARTITIONS - 1)
-    mask = pc.and_(pc.equal(part, k), pc.greater_equal(table["event_id"], min_offset))
-    table = table.filter(mask)
+    table = table.filter(pc.equal(part, k))
     import pyarrow as pa
 
     out = pa.table(
@@ -136,22 +141,34 @@ class KafkaLogStreamReader(SimpleDataSourceStreamReader):
         return {"id": 0}
 
     def read(self, start: dict):
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         lo = start["id"]
-        table = pq.read_table(
-            self.path, columns=["event_id", "user_id", "event_type", "value"]
+        # row-group statistics bound the high-watermark probe and the
+        # chunk read prunes via parquet min/max — no full-file scan per
+        # micro-batch
+        meta = pq.ParquetFile(self.path).metadata
+        col_idx = next(
+            i
+            for i in range(meta.num_columns)
+            if meta.row_group(0).column(i).path_in_schema == "event_id"
         )
-        hi_avail = pc.max(table["event_id"]).as_py()
+        hi_avail = max(
+            (
+                meta.row_group(i).column(col_idx).statistics.max
+                for i in range(meta.num_row_groups)
+                if meta.row_group(i).column(col_idx).statistics is not None
+            ),
+            default=None,
+        )
         if hi_avail is None or lo > hi_avail:
             return iter([]), start
         hi = min(lo + self.chunk - 1, hi_avail)
-        mask = pc.and_(
-            pc.greater_equal(table["event_id"], lo),
-            pc.less_equal(table["event_id"], hi),
+        rows = pq.read_table(
+            self.path,
+            columns=["event_id", "user_id", "event_type", "value"],
+            filters=[("event_id", ">=", lo), ("event_id", "<=", hi)],
         )
-        rows = table.filter(mask)
         out = [
             (
                 int(u) & (N_PARTITIONS - 1),
@@ -171,17 +188,13 @@ class KafkaLogStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start: dict, end: dict):
         """Deterministic replay of a committed range [start, end) —
         recovery path; must NOT be capped by ``chunk``."""
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        table = pq.read_table(
-            self.path, columns=["event_id", "user_id", "event_type", "value"]
+        rows = pq.read_table(
+            self.path,
+            columns=["event_id", "user_id", "event_type", "value"],
+            filters=[("event_id", ">=", start["id"]), ("event_id", "<", end["id"])],
         )
-        mask = pc.and_(
-            pc.greater_equal(table["event_id"], start["id"]),
-            pc.less(table["event_id"], end["id"]),
-        )
-        rows = table.filter(mask)
         return iter(
             [
                 (
