@@ -421,3 +421,46 @@ def test_zorder_buckets_cover_tight_squares(spark, sf_dir):
     for r in rows:
         assert r["max_a"] - r["min_a"] < ga
         assert r["max_b"] - r["min_b"] < gb
+
+
+def test_binaryfile_header_parse_stays_jvm_side(spark, sf_dir):
+    """mm_binaryfile_ingest decodes PNG width/height with
+    substring/hex/conv — the plan must contain no Python evaluation
+    (the read path is whole-stage-codegen eligible end to end)."""
+    import tempfile as _tempfile
+
+    from big_data_training_spark.operators.fileingest import synth_png
+
+    base = _tempfile.mkdtemp(prefix="bdts_binplan_")
+    with open(os.path.join(base, "0000000001.png"), "wb") as f:
+        f.write(synth_png(1, "hello world"))
+    files = spark.read.format("binaryFile").load(base)
+    parsed = files.select(
+        F.conv(F.hex(F.substring("content", 17, 4)), 16, 10)
+        .cast("long")
+        .alias("w"),
+        F.col("length"),
+    ).agg(F.count("*").alias("n"), F.min("w").alias("min_w"))
+    plan = parsed._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # no BatchEvalPython / ArrowEvalPython
+    row = parsed.collect()[0]
+    assert (row.n, row.min_w) == (1, 16 + 1 % 64)
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_synth_png_header_roundtrip():
+    """Property: the synthetic PNG prefix is parseable by the public
+    header walker for any doc_id/text."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from big_data_training_spark.extensions.multimodal import parse_image_header
+    from big_data_training_spark.operators.fileingest import synth_png
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=0, max_value=2**40), st.text(max_size=200))
+    def check(doc_id, text):
+        parsed = parse_image_header(synth_png(doc_id, text))
+        assert parsed == ("png", 16 + doc_id % 64, 16 + (doc_id * 7) % 64)
+
+    check()
