@@ -182,3 +182,98 @@ def u6_python_udtf_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         """
     )
+
+
+@register(
+    "f_collated_group_dedup",
+    """
+    WITH v AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN upper(lang || ':' || source)
+                    ELSE lang || ':' || source END AS k
+        FROM documents
+    )
+    SELECT min(k) AS canonical, count(*) AS n,
+           count(DISTINCT k) AS n_case_variants
+    FROM v GROUP BY lower(k)
+    """,
+    doc="collation-aware grouping: case-insensitive dedup via UTF8_LCASE",
+)
+def f_collated_group_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive key dedup through Spark 4's native collation
+    support: group on ``collate(k, 'UTF8_LCASE')`` instead of
+    normalizing with lower() — at scale the collation comparator runs
+    inside the hash aggregate (no derived key column, and it extends to
+    locale/accent-aware collations lower() cannot express). A third of
+    the keys are upper-cased to force real case variance; outputs are
+    computed on the binary form so both engines pick identical
+    representatives."""
+    docs = load_table(spark, sf_dir, "documents")
+    k_raw = F.concat_ws(":", "lang", "source")
+    k = F.when(F.col("doc_id") % 3 == 0, F.upper(k_raw)).otherwise(k_raw)
+    return (
+        docs.select(k.alias("k"))
+        .groupBy(F.collate("k", "UTF8_LCASE").alias("ck"))
+        .agg(
+            F.min("k").alias("canonical"),
+            F.count("*").alias("n"),
+            F.countDistinct("k").alias("n_case_variants"),
+        )
+        .select("canonical", "n", "n_case_variants")
+    )
+
+
+@register(
+    "f_sql_scripting_threshold",
+    """
+    WITH cand AS (SELECT 50.0 * i AS cutoff FROM generate_series(0, 20) t(i)),
+    ok AS (
+        SELECT cutoff FROM cand
+        WHERE (SELECT count(*) FROM events WHERE value > cutoff) * 10
+              <= (SELECT count(*) FROM events)
+    ),
+    pick AS (SELECT min(cutoff) AS cutoff FROM ok)
+    SELECT (SELECT cutoff FROM pick) AS cutoff,
+           count(*) AS n_above,
+           round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2)
+               AS total_above
+    FROM events WHERE value > (SELECT cutoff FROM pick)
+    """,
+    doc="SQL scripting (Spark 4): WHILE-loop threshold search, final SELECT",
+)
+def f_sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Procedural SQL through Spark 4's SQL scripting: a WHILE loop
+    raises the cutoff in fixed steps until at most 10% of events exceed
+    it, then the script's final SELECT reports the tail. The oracle
+    replays the loop declaratively (smallest step-multiple satisfying
+    the predicate). Control flow runs driver-side; every iteration's
+    predicate is a distributed count — exactly the shape of iterative
+    threshold tuning over a 100 TB fact table."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "msql_events_script"
+    )
+    key = "spark.sql.scripting.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE cutoff DOUBLE DEFAULT 0.0;
+              WHILE (SELECT count(*) FROM msql_events_script
+                     WHERE value > cutoff) * 10
+                    > (SELECT count(*) FROM msql_events_script) DO
+                SET cutoff = cutoff + 50.0;
+              END WHILE;
+              SELECT cutoff AS cutoff,
+                     count(*) AS n_above,
+                     round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 2)
+                         AS total_above
+              FROM msql_events_script WHERE value > cutoff;
+            END
+            """
+        ).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
