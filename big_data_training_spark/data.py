@@ -45,28 +45,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def canonicalize_ts(df: DataFrame) -> DataFrame:
-    """ns-epoch ``ts`` (bigint) → TimestampType, truncated to micros."""
-    if dict(df.dtypes).get("ts") == "bigint":
+    """Normalize ``ts`` to session-local TimestampType whatever physical
+    form the fixture took: ns-epoch bigint (legacy nanos read) →
+    truncate to micros; TIMESTAMP_NTZ (naive micros under the default
+    ``inferTimestampNTZ=true``) → cast, which attaches the session zone
+    (UTC everywhere here — engine sessions pin it, the harness runs in
+    a UTC container) and matches the oracle's naive-UTC reading.
+    Event-time ops (watermarks, ``unix_micros``) require TIMESTAMP, so
+    an un-normalized NTZ column would fail on default-config sessions —
+    caught by the round-4 default-session driver simulation."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
 def _read_parquet_nanosafe(spark: SparkSession, path: str) -> DataFrame:
-    # Fixtures store naive timestamps (no isAdjustedToUTC); read them as
-    # session-local TIMESTAMP, not TIMESTAMP_NTZ, so downstream epoch
-    # casts (`cast(ts as bigint)`, unix_* functions) stay legal and the
-    # values match the DuckDB oracle's naive-UTC reading. Scoped to this
-    # read via the parquet reader option — the session conf of an
-    # externally-built SparkSession is never mutated on the happy path.
+    # The parquet reader has no working per-read switch for NTZ
+    # inference (the `inferTimestampNTZ` *option* is silently ignored;
+    # only the session conf works, verified round 4) — so the read takes
+    # whatever the session infers and canonicalize_ts() normalizes the
+    # dtype afterwards, leaving external sessions' conf untouched.
     try:
-        return spark.read.option("inferTimestampNTZ", "false").parquet(path)
+        return spark.read.parquet(path)
     except Exception:
         # TIMESTAMP(NANOS) columns: only the legacy *session* conf exposes
         # them (as raw int64 nanos; no per-read option exists). This is a
         # deliberate session-wide switch, taken only when a nanos file is
         # actually encountered; canonicalize_ts() then truncates to micros.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.option("inferTimestampNTZ", "false").parquet(path)
+        return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
