@@ -84,7 +84,7 @@ def _shingle_pair_batches(batches):
         out_d: list[int] = []
         out_s: list[str] = []
         for d, t in zip(pdf["doc_id"], pdf["text"]):
-            ws = t.split()
+            ws = t.split() if t else []  # NULL text → no shingles, not a crash
             n = len(ws) - DECON_K + 1
             if n > 0:
                 seen = set()

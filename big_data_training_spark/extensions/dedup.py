@@ -111,18 +111,20 @@ def _hashed_shingle_batches(batches):
         out_d: list[int] = []
         out_h: list[int] = []
         for d, t in zip(pdf["doc_id"], pdf["text"]):
-            ws = t.split()
+            ws = t.split() if t else []  # NULL text → no shingles, not a crash
             n = len(ws) - SHINGLE_K + 1
             if n > 0:
+                # dedupe on the HASH, not the shingle string: the oracle
+                # sizes docs as list_distinct of hash60 values, so an
+                # intra-doc 60-bit collision must collapse here too
                 seen = set()
                 for i in range(n):
                     s = " ".join(ws[i : i + SHINGLE_K])
-                    if s not in seen:
-                        seen.add(s)
+                    h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                    if h not in seen:
+                        seen.add(h)
                         out_d.append(d)
-                        out_h.append(
-                            int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
-                        )
+                        out_h.append(h)
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(out_d, dtype="int64"),

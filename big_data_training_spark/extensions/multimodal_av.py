@@ -28,7 +28,7 @@ from big_data_training_spark.registry import register
 _RATES = (8000, 16000, 32000)
 
 
-def synth_wav(doc_id: int, n_chars: int, body: bytes) -> bytes:
+def synth_wav(doc_id: int, body: bytes) -> bytes:
     """Wrap ``body`` in a structurally-valid PCM WAV container whose
     header fields derive deterministically from the doc row: real RIFF
     framing, little-endian fields, canonical 44-byte layout (RIFF spec /
@@ -89,8 +89,8 @@ _WAV_SCHEMA = (
 def _synth_and_parse_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         parsed = [
-            parse_wav_header(synth_wav(d, n, bytes(b)))
-            for d, n, b in zip(pdf["doc_id"], pdf["n_chars"], pdf["body"])
+            parse_wav_header(synth_wav(d, bytes(b)))
+            for d, b in zip(pdf["doc_id"], pdf["body"])
         ]
         yield pd.DataFrame(
             {
@@ -137,7 +137,7 @@ def mm_audio_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-alignment rule hash-mismatches immediately."""
     docs = load_table(spark, sf_dir, "documents")
     payloads = repartition_for_compute(
-        docs.select("doc_id", "n_chars", F.encode("text", "UTF-8").alias("body"))
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("body"))
     )
     return payloads.mapInPandas(_synth_and_parse_wav, schema=_WAV_SCHEMA)
 

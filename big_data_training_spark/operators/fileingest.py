@@ -85,28 +85,35 @@ def mm_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(os.path.join(out_dir, f"{r.doc_id:010d}.png"), "wb") as f:
                 f.write(payload)
 
-    docs.foreachPartition(write_partition)
-    files = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.png")
-        .load(out_dir)
-    )
-    parsed = files.select(
-        F.col("length"),
-        (F.substring("content", 1, 8) == F.lit(PNG_MAGIC)).cast("long").alias("is_png"),
-        F.conv(F.hex(F.substring("content", 17, 4)), 16, 10).cast("long").alias("w"),
-        F.conv(F.hex(F.substring("content", 21, 4)), 16, 10).cast("long").alias("h"),
-    )
-    out = parsed.agg(
-        F.count("*").alias("n_files"),
-        F.sum("is_png").alias("n_png"),
-        F.sum("length").alias("total_bytes"),
-        F.min("w").alias("min_w"),
-        F.max("w").alias("max_w"),
-        F.sum("h").alias("sum_h"),
-    ).localCheckpoint(eager=True)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    return out
+    try:
+        docs.foreachPartition(write_partition)
+        files = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.png")
+            .load(out_dir)
+        )
+        parsed = files.select(
+            F.col("length"),
+            (F.substring("content", 1, 8) == F.lit(PNG_MAGIC))
+            .cast("long")
+            .alias("is_png"),
+            F.conv(F.hex(F.substring("content", 17, 4)), 16, 10)
+            .cast("long")
+            .alias("w"),
+            F.conv(F.hex(F.substring("content", 21, 4)), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        return parsed.agg(
+            F.count("*").alias("n_files"),
+            F.sum("is_png").alias("n_png"),
+            F.sum("length").alias("total_bytes"),
+            F.min("w").alias("min_w"),
+            F.max("w").alias("max_w"),
+            F.sum("h").alias("sum_h"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 @register(
@@ -138,25 +145,28 @@ def s8_wholetext_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) as f:
                 f.write(r.text.encode("utf-8"))
 
-    docs.foreachPartition(write_partition)
-    files = (
-        spark.read.option("wholetext", True)
-        .option("recursiveFileLookup", True)
-        .option("pathGlobFilter", "*.txt")
-        .text(out_dir)
-        .withColumn("path", F.input_file_name())
-    )
-    out = (
-        files.select(
-            F.regexp_extract("path", r"([^/]+)/[^/]+\.txt$", 1).alias("source"),
-            F.octet_length(F.encode("value", "UTF-8")).cast("long").alias("n_bytes"),
+    try:
+        docs.foreachPartition(write_partition)
+        files = (
+            spark.read.option("wholetext", True)
+            .option("recursiveFileLookup", True)
+            .option("pathGlobFilter", "*.txt")
+            .text(out_dir)
+            .withColumn("path", F.input_file_name())
         )
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_bytes").alias("total_bytes"),
+        return (
+            files.select(
+                F.regexp_extract("path", r"([^/]+)/[^/]+\.txt$", 1).alias("source"),
+                F.octet_length(F.encode("value", "UTF-8"))
+                .cast("long")
+                .alias("n_bytes"),
+            )
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("n_bytes").alias("total_bytes"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .localCheckpoint(eager=True)
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    return out
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)

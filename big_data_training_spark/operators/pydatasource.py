@@ -127,6 +127,34 @@ class KafkaLogBatchReader(DataSourceReader):
         yield from _scan_batches(self.path, partition.k, self.min_offset)
 
 
+def _envelope_rows(path: str, lo: int, hi_exclusive: int) -> list[tuple]:
+    """Shared row builder for the streaming source's normal and
+    recovery paths — one definition of the envelope tuple, so a schema
+    change can never make replay diverge from first delivery. The
+    offset bounds prune parquet row groups via min/max statistics."""
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(
+        path,
+        columns=["event_id", "user_id", "event_type", "value"],
+        filters=[("event_id", ">=", lo), ("event_id", "<", hi_exclusive)],
+    )
+    return [
+        (
+            int(u) & (N_PARTITIONS - 1),
+            int(e),
+            str(u),
+            json.dumps({"event_type": t, "value": v}),
+        )
+        for e, u, t, v in zip(
+            rows["event_id"].to_pylist(),
+            rows["user_id"].to_pylist(),
+            rows["event_type"].to_pylist(),
+            rows["value"].to_pylist(),
+        )
+    ]
+
+
 class KafkaLogStreamReader(SimpleDataSourceStreamReader):
     """Offset-watermark replay: each micro-batch consumes the next
     ``chunk`` offsets; ``{"id": n}`` is the committed position, so a
@@ -144,9 +172,8 @@ class KafkaLogStreamReader(SimpleDataSourceStreamReader):
         import pyarrow.parquet as pq
 
         lo = start["id"]
-        # row-group statistics bound the high-watermark probe and the
-        # chunk read prunes via parquet min/max — no full-file scan per
-        # micro-batch
+        # row-group statistics bound the high-watermark probe — no
+        # full-file scan per micro-batch
         meta = pq.ParquetFile(self.path).metadata
         col_idx = next(
             i
@@ -164,53 +191,12 @@ class KafkaLogStreamReader(SimpleDataSourceStreamReader):
         if hi_avail is None or lo > hi_avail:
             return iter([]), start
         hi = min(lo + self.chunk - 1, hi_avail)
-        rows = pq.read_table(
-            self.path,
-            columns=["event_id", "user_id", "event_type", "value"],
-            filters=[("event_id", ">=", lo), ("event_id", "<=", hi)],
-        )
-        out = [
-            (
-                int(u) & (N_PARTITIONS - 1),
-                int(e),
-                str(u),
-                json.dumps({"event_type": t, "value": v}),
-            )
-            for e, u, t, v in zip(
-                rows["event_id"].to_pylist(),
-                rows["user_id"].to_pylist(),
-                rows["event_type"].to_pylist(),
-                rows["value"].to_pylist(),
-            )
-        ]
-        return iter(out), {"id": hi + 1}
+        return iter(_envelope_rows(self.path, lo, hi + 1)), {"id": hi + 1}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         """Deterministic replay of a committed range [start, end) —
         recovery path; must NOT be capped by ``chunk``."""
-        import pyarrow.parquet as pq
-
-        rows = pq.read_table(
-            self.path,
-            columns=["event_id", "user_id", "event_type", "value"],
-            filters=[("event_id", ">=", start["id"]), ("event_id", "<", end["id"])],
-        )
-        return iter(
-            [
-                (
-                    int(u) & (N_PARTITIONS - 1),
-                    int(e),
-                    str(u),
-                    json.dumps({"event_type": t, "value": v}),
-                )
-                for e, u, t, v in zip(
-                    rows["event_id"].to_pylist(),
-                    rows["user_id"].to_pylist(),
-                    rows["event_type"].to_pylist(),
-                    rows["value"].to_pylist(),
-                )
-            ]
-        )
+        return iter(_envelope_rows(self.path, start["id"], end["id"]))
 
 
 class KafkaLogDataSource(DataSource):
@@ -451,8 +437,12 @@ class KafkaLogStreamWriter(DataSourceStreamWriter):
 
 def read_committed(spark: SparkSession, base: str) -> DataFrame:
     """Manifest-resolved read of the transactional log: only committed
-    segments are visible, via the native (JVM) parquet reader."""
+    segments are visible, via the native (JVM) parquet reader. An empty
+    manifest (a committed write of zero rows) is a valid log state and
+    reads as an empty envelope DataFrame, not an error."""
     segments = _load_manifest(base)["segments"]
+    if not segments:
+        return spark.createDataFrame([], ENVELOPE_DDL)
     return spark.read.parquet(*[os.path.join(base, s) for s in segments])
 
 

@@ -293,10 +293,9 @@ def test_deletion_blocking_sound_for_ed1(s, pos, op, ch):
 @settings(max_examples=50, deadline=None)
 @given(
     st.integers(0, 10**9),
-    st.integers(0, 100_000),
     st.binary(min_size=0, max_size=400),
 )
-def test_wav_roundtrip_header_fields(doc_id, n_chars, body):
+def test_wav_roundtrip_header_fields(doc_id, body):
     """synth_wav → parse_wav_header must recover exactly the fields the
     generator encoded, for arbitrary payloads (incl. bodies that contain
     'data'/'fmt ' byte sequences — the chunk walk must not be fooled)."""
@@ -306,7 +305,7 @@ def test_wav_roundtrip_header_fields(doc_id, n_chars, body):
         synth_wav,
     )
 
-    payload = synth_wav(doc_id, n_chars, body)
+    payload = synth_wav(doc_id, body)
     parsed = parse_wav_header(payload)
     assert parsed is not None
     channels, rate, bits, n_frames = parsed

@@ -18,7 +18,11 @@ import traceback
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
+
+from conftest import dtype_mismatches  # shared dtype policy (tests/conftest.py)
 
 from big_data_training_spark import TABLES, get_session
 from big_data_training_spark.registry import all_queries
@@ -79,15 +83,8 @@ def main() -> int:
             # Driver-faithful: the external gate hashes *typed* values, so
             # dtype kind/width must match (HUGEINT-vs-BIGINT was invisible
             # under check_dtype=False and cost 3 red driver rows in r3).
-            mism = [
-                f"{c}: spark {s[c].dtype} vs oracle {o[c].dtype}"
-                for c in s.columns
-                if s[c].dtype.kind != o[c].dtype.kind
-                or (
-                    s[c].dtype.kind in "iuf"
-                    and s[c].dtype.itemsize != o[c].dtype.itemsize
-                )
-            ]
+            # Single source of truth for the policy: tests/conftest.py.
+            mism = dtype_mismatches(s, o)
             if mism:
                 status.append(f"dtype mismatch: {mism}")
         if not status:
