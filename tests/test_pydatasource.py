@@ -159,3 +159,43 @@ def test_pushdown_prunes_scan_tasks(spark, sf_dir):
     assert full.rdd.getNumPartitions() == N_PARTITIONS
     pruned = full.filter(F.col("partition") == 3)
     assert pruned.rdd.getNumPartitions() == 1
+
+
+def test_stream_source_progresses_in_chunks(spark, sf_dir):
+    """The kafkalog streaming source must advance its {'id': n} offset
+    in chunk-sized micro-batches — several committed batches, not one
+    big replay (the checkpoint offsets log is the progress record)."""
+    import tempfile
+
+    register_kafkalog(spark)
+    ckpt = tempfile.mkdtemp(prefix="bdts_chunk_ckpt_")
+    stream = (
+        spark.readStream.format("kafkalog")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("chunk", 300)
+        .load()
+    )
+    import uuid
+
+    qname = f"chunk_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_rows = spark.table(qname).count()
+    n_batches = len(
+        [f for f in os.listdir(os.path.join(ckpt, "offsets")) if f.isdigit()]
+    )
+    assert n_rows == load_table(spark, sf_dir, "events").count()
+    assert n_batches >= 3, f"expected chunked progression, got {n_batches} batches"
+    spark.catalog.dropTempView(qname)
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
