@@ -76,3 +76,62 @@ def st_rocksdb_state_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with rocksdb_state_store(spark):
         return run_to_completion(agg, "complete")
+
+
+@register(
+    "st_state_store_inspect",
+    """
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+    doc="ST1/ST3: offline queryable state via the statestore reader",
+)
+def st_state_store_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interactive/queryable state (the Kafka Streams interactive-query
+    and Flink state-processor analog): run a keyed streaming
+    aggregation, then read the *checkpointed state itself* back as a
+    DataFrame with Spark 4's ``statestore`` reader — the keyed counts
+    come from the store, not the sink. At scale this is how you audit,
+    migrate, or debug billions of keys of streaming state offline
+    (partition-parallel read of the store files, no query restart)."""
+    import uuid
+
+    from big_data_training_spark.streaming.replay import (
+        cleanup_scratch,
+        materialize,
+        read_stream_table,
+        scratch_dir,
+    )
+
+    events = read_stream_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(F.count("*").alias("n"))
+    ckpt = scratch_dir("bdts_stateread_ckpt_")
+    qname = f"stateq_{uuid.uuid4().hex[:10]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        state = spark.read.format("statestore").load(ckpt)
+        # the aggregate's internal value column name is engine-internal
+        # (e.g. `count(1)`): resolve it structurally, don't hardcode
+        n_col = state.select("value.*").columns[0]
+        out = materialize(
+            state.select(
+                F.col("key.event_type").alias("event_type"),
+                F.col(f"value.`{n_col}`").alias("n"),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.catalog.dropTempView(qname)
+        cleanup_scratch()
+    return out
