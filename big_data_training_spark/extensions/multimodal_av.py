@@ -184,3 +184,164 @@ def mm_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_frames").alias("max_frames"),
         )
     )
+
+
+# --- Video: ISO-BMFF (MP4) container ---------------------------------------
+# Same plumbing contract as WAV/PNG: payloads are opaque binary columns,
+# metadata comes from a pure-Python walk over the real wire format (the
+# ISO base media file format box structure: big-endian [size][4cc] boxes,
+# ftyp / moov{mvhd, trak{tkhd}} / mdat). Actual frame decode would need
+# ffmpeg (absent); the container fields — timescale, duration, display
+# dimensions — come straight from the spec'd byte offsets, so the box
+# walker is exercised against the true format.
+
+_TIMESCALES = (600, 1000, 90000)
+_FPS = (24, 25, 30)
+
+
+def synth_mp4(doc_id: int, body: bytes) -> bytes:
+    """Wrap ``body`` in a structurally-valid minimal MP4: ftyp, then
+    moov holding a spec-complete mvhd (v0, 108 bytes) and one trak/tkhd
+    (v0, 92 bytes) carrying 16.16 fixed-point display dimensions, then
+    the payload as mdat. Every field derives deterministically from the
+    doc row so the oracle can recompute the parse."""
+    timescale = _TIMESCALES[doc_id % 3]
+    fps = _FPS[doc_id % 3]
+    n_frames = len(body) // 256
+    duration = n_frames * timescale // fps
+    width = 320 + 16 * (doc_id % 8)
+    height = 240 + 16 * ((doc_id * 3) % 8)
+
+    ftyp = struct.pack(">I", 20) + b"ftypisom" + struct.pack(">I", 0) + b"isom"
+    mvhd = (
+        struct.pack(">I", 108)
+        + b"mvhd"
+        + struct.pack(">BBH", 0, 0, 0)  # version 0 + flags
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2)  # next_track_ID
+    )
+    tkhd = (
+        struct.pack(">I", 92)
+        + b"tkhd"
+        + struct.pack(">BBH", 0, 0, 7)  # v0, flags: enabled|in_movie|in_preview
+        + struct.pack(">IIIII", 0, 0, 1, 0, duration)  # ctime mtime id rsvd dur
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)  # layer alt_group volume rsvd
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16)  # 16.16 fixed point
+    )
+    trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    moov = struct.pack(">I", 8 + len(mvhd) + len(trak)) + b"moov" + mvhd + trak
+    mdat = struct.pack(">I", 8 + len(body)) + b"mdat" + body
+    return ftyp + moov + mdat
+
+
+def _walk_boxes(payload: bytes, lo: int, hi: int):
+    """Yield (type, start, size) for each box in payload[lo:hi] — sizes
+    drive the walk, so payload bytes that *look* like box headers inside
+    mdat can never be misparsed."""
+    i = lo
+    while i + 8 <= hi:
+        (size,) = struct.unpack(">I", payload[i : i + 4])
+        if size < 8 or i + size > hi:
+            return
+        yield payload[i + 4 : i + 8], i, size
+        i += size
+
+
+def parse_mp4(payload: bytes) -> tuple[int, int, int, int, int] | None:
+    """Pure-Python ISO-BMFF walk. Returns (timescale, duration_units,
+    width, height, n_top_boxes) or None for non-MP4 bytes."""
+    if payload[4:8] != b"ftyp":
+        return None
+    timescale = duration = width = height = None
+    n_top = 0
+    for btype, start, size in _walk_boxes(payload, 0, len(payload)):
+        n_top += 1
+        if btype == b"moov":
+            for ctype, cstart, csize in _walk_boxes(payload, start + 8, start + size):
+                if ctype == b"mvhd" and csize >= 28:
+                    timescale, duration = struct.unpack(
+                        ">II", payload[cstart + 20 : cstart + 28]
+                    )
+                elif ctype == b"trak":
+                    for t, ts_, tsz in _walk_boxes(
+                        payload, cstart + 8, cstart + csize
+                    ):
+                        if t == b"tkhd" and tsz >= 92:
+                            w_fixed, h_fixed = struct.unpack(
+                                ">II", payload[ts_ + 84 : ts_ + 92]
+                            )
+                            width, height = w_fixed >> 16, h_fixed >> 16
+    if timescale is None:
+        return None
+    return timescale, duration, width, height, n_top
+
+
+_MP4_SCHEMA = (
+    "doc_id bigint, timescale int, width int, height int, "
+    "n_boxes int, duration_ms bigint"
+)
+
+
+def _synth_and_parse_mp4(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        parsed = [
+            parse_mp4(synth_mp4(d, bytes(b)))
+            for d, b in zip(pdf["doc_id"], pdf["body"])
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "timescale": [p[0] if p else None for p in parsed],
+                "width": [p[2] if p else None for p in parsed],
+                "height": [p[3] if p else None for p in parsed],
+                "n_boxes": [p[4] if p else None for p in parsed],
+                "duration_ms": [
+                    p[1] * 1000 // p[0] if p else None for p in parsed
+                ],
+            }
+        )
+
+
+@register(
+    "mm_video_header_parse",
+    """
+    WITH meta AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                    ELSE 90000 END AS timescale,
+               CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 25
+                    ELSE 30 END AS fps,
+               octet_length(encode(text)) // 256 AS n_frames,
+               320 + 16 * (doc_id % 8) AS width,
+               240 + 16 * ((doc_id * 3) % 8) AS height
+        FROM documents
+    )
+    SELECT doc_id, CAST(timescale AS INT) AS timescale,
+           CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(3 AS INT) AS n_boxes,
+           CAST((n_frames * timescale // fps) * 1000 // timescale AS BIGINT)
+               AS duration_ms
+    FROM meta
+    """,
+    doc="multimodal video: real ISO-BMFF (MP4) box walk → container metadata",
+)
+def mm_video_header_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the image/audio/video multimodal trio: every document's
+    bytes ride as the mdat payload of a structurally-valid MP4 whose
+    moov/mvhd/tkhd fields derive from the doc row; the Arrow-batched box
+    walk recovers timescale, duration and display dimensions from the
+    actual container bytes — nested box traversal (moov → trak → tkhd),
+    size-driven so mdat content can never be misparsed. The oracle
+    recomputes the deterministic header arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = repartition_for_compute(
+        docs.select("doc_id", F.encode("text", "UTF-8").alias("body"))
+    )
+    return payloads.mapInPandas(_synth_and_parse_mp4, schema=_MP4_SCHEMA)

@@ -345,3 +345,38 @@ def test_zvalue_interleave_bijective(spark, pairs):
         a = sum(((z >> (2 * i)) & 1) << i for i in range(16))
         b = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
         assert (a, b) == (r.a, r.b)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(0, 10**9), st.binary(min_size=0, max_size=600))
+def test_mp4_roundtrip_header_fields(doc_id, body):
+    """synth_mp4 → parse_mp4 must recover exactly the encoded container
+    fields for arbitrary payloads — including bodies embedding fake
+    'moov'/'mvhd' box headers, which the size-driven walk must ignore."""
+    from big_data_training_spark.extensions.multimodal_av import (
+        _FPS,
+        _TIMESCALES,
+        parse_mp4,
+        synth_mp4,
+    )
+
+    parsed = parse_mp4(synth_mp4(doc_id, body))
+    assert parsed is not None
+    timescale, duration, width, height, n_top = parsed
+    assert timescale == _TIMESCALES[doc_id % 3]
+    assert duration == (len(body) // 256) * timescale // _FPS[doc_id % 3]
+    assert width == 320 + 16 * (doc_id % 8)
+    assert height == 240 + 16 * ((doc_id * 3) % 8)
+    assert n_top == 3  # ftyp, moov, mdat
+
+
+def test_mp4_walker_not_fooled_by_embedded_boxes():
+    from big_data_training_spark.extensions.multimodal_av import parse_mp4, synth_mp4
+    import struct
+
+    # body contains a byte-perfect fake moov+mvhd with a bogus timescale
+    fake = struct.pack(">I", 116) + b"moov" + struct.pack(">I", 108) + b"mvhd" + b"\x00" * 100
+    payload = synth_mp4(7, fake * 3)
+    parsed = parse_mp4(payload)
+    assert parsed is not None
+    assert parsed[0] == 1000  # real timescale (7 % 3 == 1), not the fake 0
