@@ -556,3 +556,96 @@ def st_pq_encode_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vectors"))
     )
     return run_to_completion(hist, "complete")
+
+
+_SQL_SPLIT_CTE = """
+    , splits AS (
+        SELECT doc_id,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                          1, 15)) AS BIGINT) % 100 AS b
+              FROM documents)
+    ), fam_split AS (
+        SELECT l.comp, s.split, count(*) AS cnt
+        FROM labels l JOIN splits s ON s.doc_id = l.node
+        GROUP BY 1, 2
+    )
+"""
+
+
+from big_data_training_spark.extensions.dedup import (  # noqa: E402
+    _SQL_COMPONENTS_CTES,
+)
+
+_SQL_LEAKAGE = (
+    _SQL_COMPONENTS_CTES
+    + _SQL_SPLIT_CTE
+    + """
+    SELECT a.split AS split_a, c.split AS split_b,
+           count(*) AS n_families,
+           CAST(sum(a.cnt * c.cnt) AS BIGINT) AS n_pairs
+    FROM fam_split a JOIN fam_split c
+      ON a.comp = c.comp AND a.split < c.split
+    GROUP BY 1, 2
+    """
+)
+
+
+@register(
+    "dd_split_leakage_audit",
+    _SQL_LEAKAGE,
+    doc="train/test leakage through near-duplicate families",
+)
+def dd_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination audit a training pipeline must run before shipping
+    splits: a near-duplicate family (MinHash-LSH connected component)
+    whose members land in *different* splits leaks evaluation data into
+    training. Scale-safe formulation: never materialize cross-split doc
+    PAIRS (a million-member dup family would explode quadratically) —
+    aggregate per (family, split) counts first, then the 3x3 split
+    grid per family gives pair counts as cnt_a * cnt_b. Output: for
+    each unordered split pair, how many leaking families and how many
+    leaked doc pairs."""
+    from big_data_training_spark.extensions.dedup import dd_cluster_components
+
+    labels = dd_cluster_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    splits = docs.select(
+        "doc_id",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+    fam_split = (
+        labels.join(splits, labels["doc_id"] == splits["doc_id"])
+        .groupBy(F.col("component_id").alias("comp"), "split")
+        .agg(F.count("*").alias("cnt"))
+    )
+    a = fam_split.alias("a")
+    c = fam_split.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("a.comp") == F.col("c.comp"))
+            & (F.col("a.split") < F.col("c.split")),
+        )
+        .groupBy(
+            F.col("a.split").alias("split_a"), F.col("c.split").alias("split_b")
+        )
+        .agg(
+            F.count("*").alias("n_families"),
+            F.sum(F.col("a.cnt") * F.col("c.cnt")).cast("bigint").alias("n_pairs"),
+        )
+    )
