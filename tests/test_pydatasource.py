@@ -199,3 +199,24 @@ def test_stream_source_progresses_in_chunks(spark, sf_dir):
     import shutil
 
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_read_committed_empty_manifest(spark, sf_dir):
+    """A committed write of zero rows is a valid log state: the manifest
+    exists with no segments and read_committed returns an empty
+    DataFrame instead of raising."""
+    import shutil
+    import tempfile
+
+    from big_data_training_spark.operators.pydatasource import read_committed
+
+    register_kafkalog(spark)
+    base = tempfile.mkdtemp(prefix="bdts_txlog_empty_")
+    empty = load_table(spark, sf_dir, "events").filter("event_id < 0").select(
+        "event_id", "event_type"
+    )
+    empty.write.format("kafkalog").mode("append").option("path", base).save()
+    out = read_committed(spark, base)
+    assert out.count() == 0
+    assert len(out.schema.fields) > 0
+    shutil.rmtree(base, ignore_errors=True)
