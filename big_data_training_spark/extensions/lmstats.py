@@ -1,0 +1,142 @@
+"""Language-model data statistics: BPE-style merge mining and an
+n-gram continuation table.
+
+Two corpus passes a tokenizer/LM training pipeline runs before any
+model sees the data (the "process: clean/transform/analyze" stage of
+the reference's pipeline, README.md:18-22, over the documents corpus):
+
+* **BPE merge candidates** — the first induction step of byte-pair
+  encoding: count every adjacent within-word symbol pair corpus-wide
+  and rank. One JVM-only scan (split → per-word 2-char windows →
+  count), top-K via TakeOrderedAndProject; at 100 TB this is a single
+  map-side-combined aggregation on a small key space (|alphabet|²).
+* **Bigram continuation table** — for the highest-frequency tokens,
+  the most likely next tokens with conditional counts: the classic
+  count-based LM table (and a quality signal: corpora whose
+  continuation mass is too concentrated are templated/boilerplate).
+  Two aggregations + one broadcast-sized join (top tokens are a
+  constant-size set); the per-token top-k is a window over groups
+  already reduced to counts, never over raw token instances.
+
+All arithmetic is integer (counts, ranks) with total-order tie-breaks,
+so the DuckDB oracles hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_training_spark.data import load_table
+from big_data_training_spark.functions.text import SQL_TOKENS, tokens
+from big_data_training_spark.registry import register
+
+TOP_MERGES = 20
+TOP_HEADS = 10
+TOP_CONTINUATIONS = 3
+
+
+@register(
+    "lm_bpe_merge_candidates",
+    f"""
+    WITH words AS (
+        SELECT unnest({SQL_TOKENS.format(col='text')}) AS w FROM documents
+    ), pairs AS (
+        SELECT unnest([substring(w, i, 2)
+                       for i in generate_series(1, length(w) - 1)]) AS pair
+        FROM words WHERE length(w) >= 2
+    )
+    SELECT pair, count(*) AS n FROM pairs
+    GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {TOP_MERGES}
+    """,
+    doc="LM: BPE merge mining — top adjacent symbol pairs corpus-wide",
+)
+def lm_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE induction round: every word occurrence contributes
+    its adjacent character pairs (a 2-char sliding window — pair
+    frequency weighted by word frequency, exactly the statistic the
+    merge rule greedily maximizes). The plan is one whole-stage-codegen
+    scan into a partial-aggregated count on an |alphabet|²-bounded key
+    space, then TakeOrderedAndProject — no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens("text")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(TOP_MERGES)
+    )
+
+
+@register(
+    "lm_bigram_continuations",
+    f"""
+    WITH toks AS (
+        SELECT {SQL_TOKENS.format(col='text')} AS ws FROM documents
+    ), pairs AS (
+        SELECT unnest([struct_pack(w1 := ws[i], w2 := ws[i + 1])
+                       for i in generate_series(1, len(ws) - 1)]) AS b
+        FROM toks WHERE len(ws) >= 2
+    ), bigrams AS (
+        SELECT b.w1 AS w1, b.w2 AS w2 FROM pairs
+    ), heads AS (
+        SELECT w1, count(*) AS head_n FROM bigrams
+        GROUP BY w1 ORDER BY head_n DESC, w1 ASC LIMIT {TOP_HEADS}
+    ), conts AS (
+        SELECT b.w1, b.w2, count(*) AS n
+        FROM bigrams b JOIN heads h ON h.w1 = b.w1
+        GROUP BY b.w1, b.w2
+    ), ranked AS (
+        SELECT w1, w2, n,
+               row_number() OVER (PARTITION BY w1 ORDER BY n DESC, w2 ASC)
+                   AS rank
+        FROM conts
+    )
+    SELECT w1, w2, n, rank FROM ranked WHERE rank <= {TOP_CONTINUATIONS}
+    """,
+    doc="LM: conditional bigram continuation table for top head tokens",
+)
+def lm_bigram_continuations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based next-token table: for the {TOP_HEADS} most frequent
+    bigram heads, the top continuations with conditional counts. Heads
+    are a constant-size set (broadcast join prunes the bigram stream
+    before the per-head aggregation); the ranking window runs over
+    (head, continuation) *counts*, already reduced — never over raw
+    bigram instances. row_number is cast to bigint to match DuckDB's
+    window output type (the r4 dtype-strict rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("ws")).filter(F.size("ws") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> struct(element_at(ws, i) AS w1,"
+                "             element_at(ws, i + 1) AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    heads = (
+        bigrams.groupBy("w1")
+        .agg(F.count("*").alias("head_n"))
+        .orderBy(F.desc("head_n"), F.asc("w1"))
+        .limit(TOP_HEADS)
+        .select("w1")
+    )
+    conts = (
+        bigrams.join(F.broadcast(heads), "w1")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("w1").orderBy(F.desc("n"), F.asc("w2"))
+    return (
+        conts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_CONTINUATIONS)
+        .select("w1", "w2", "n", "rank")
+    )

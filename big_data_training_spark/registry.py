@@ -85,6 +85,7 @@ _OPERATOR_MODULES = (
     "operators.fileingest",
     "streaming.statestore",
     "operators.pydatasource",
+    "extensions.lmstats",
 )
 
 import_errors: dict[str, str] = {}
