@@ -140,3 +140,48 @@ def lm_bigram_continuations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_CONTINUATIONS)
         .select("w1", "w2", "n", "rank")
     )
+
+
+@register(
+    "lm_unigram_doc_score",
+    f"""
+    WITH occ AS (
+        SELECT doc_id, unnest({SQL_TOKENS.format(col='text')}) AS w
+        FROM documents
+    ), uni AS (
+        SELECT w, count(*) AS cnt FROM occ GROUP BY w
+    ), total AS (
+        SELECT count(*) AS n FROM occ
+    )
+    SELECT o.doc_id, count(*) AS n_tokens,
+           CAST(sum(u.cnt) * 1000 // (count(*) * max(t.n)) AS BIGINT)
+               AS score_permille
+    FROM occ o JOIN uni u ON u.w = o.w CROSS JOIN total t
+    GROUP BY o.doc_id
+    """,
+    doc="LM: per-doc mean unigram corpus-frequency (permille, integer-exact)",
+)
+def lm_unigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy without floats: score each document by
+    the mean corpus frequency of its tokens, in permille with floor
+    division, so the statistic is bit-identical in any engine (a true
+    log-prob perplexity would hinge on ln() ULPs). Low scores flag
+    rare-token-heavy docs (OCR noise, codey spam); high scores flag
+    stopword soup. Two aggregations + one shuffle join keyed on the
+    token — the key space is the vocabulary, not the corpus, and the
+    grand-total join is a broadcast of one row."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    uni = occ.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = occ.agg(F.count("*").alias("n"))
+    return (
+        occ.join(uni, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.expr("sum(cnt) * 1000 div (count(*) * max(n))")
+            ).cast("bigint").alias("score_permille"),
+        )
+    )
