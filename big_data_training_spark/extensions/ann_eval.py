@@ -1,0 +1,210 @@
+"""ANN index-compression evaluation: recall@k of reduced-precision
+representations against the full-precision brute-force truth.
+
+Two compression schemes every 100 TB vector deployment weighs:
+
+* **Matryoshka truncation** — rank by cosine over only the first
+  ``TRUNC_DIMS`` coordinates (Kusupati et al. 2022: embeddings trained
+  so nested prefixes are themselves usable), a 4x index-size cut with
+  zero re-encoding. The measured recall@k is the number that decides
+  how many dims the serving tier can drop.
+* **Int8 symmetric quantization** — rank by cosine over the per-vector
+  max-abs int8 codes (the storage layout of ``emb_int8_quantize``).
+  Cosine is scale-invariant, so the per-vector scale factors cancel
+  and the quantized ranking is pure integer dot products — bit-exact
+  in any engine.
+
+Both reuse the recall skeleton of ``sim_ivf_recall_at_k``: truth and
+candidate top-k are TakeOrderedAndProject scans (broadcast 1-row query,
+no corpus shuffle), the overlap is a semi-join of two k-row sets, and
+the report is integer permille.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_training_spark.data import load_table
+from big_data_training_spark.extensions.similarity import (
+    QUERY_VEC_ID,
+    TOP_K,
+    _cos_expr,
+    _sql_dot,
+    sim_bruteforce_topk,
+)
+from big_data_training_spark.registry import register
+
+TRUNC_DIMS = 16
+
+
+def _recall_report(truth: DataFrame, cand: DataFrame) -> DataFrame:
+    truth = truth.localCheckpoint(eager=False)
+    cand = cand.localCheckpoint(eager=False)
+    recalled = truth.join(cand, "vec_id", "left_semi")
+    return (
+        truth.agg(F.count("*").alias("k"))
+        .crossJoin(F.broadcast(recalled.agg(F.count("*").alias("n_recalled"))))
+        .select(
+            "k",
+            "n_recalled",
+            F.expr("(n_recalled * 1000) div greatest(k, 1)").alias(
+                "recall_permille"
+            ),
+        )
+    )
+
+
+_SQL_RECALL_TAIL = f"""
+    SELECT (SELECT count(*) FROM truth) AS k,
+           (SELECT count(*) FROM truth t JOIN cand c USING (vec_id))
+               AS n_recalled,
+           CAST((SELECT count(*) FROM truth t JOIN cand c USING (vec_id)) * 1000
+                // greatest((SELECT count(*) FROM truth), 1)
+                AS BIGINT) AS recall_permille
+"""
+
+
+@register(
+    "sim_matryoshka_recall",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    scored AS (
+        SELECT e.vec_id,
+               {_sql_dot('e.embedding', 'q.qv')} /
+               (sqrt({_sql_dot('e.embedding', 'e.embedding')}) *
+                sqrt({_sql_dot('q.qv', 'q.qv')})) AS cos_full,
+               {_sql_dot('e.embedding', 'q.qv', TRUNC_DIMS)} /
+               (sqrt({_sql_dot('e.embedding', 'e.embedding', TRUNC_DIMS)}) *
+                sqrt({_sql_dot('q.qv', 'q.qv', TRUNC_DIMS)})) AS cos_trunc
+        FROM embeddings e, q
+        WHERE e.vec_id <> {QUERY_VEC_ID}
+    ),
+    truth AS (
+        SELECT vec_id FROM scored ORDER BY cos_full DESC, vec_id ASC LIMIT {TOP_K}
+    ),
+    cand AS (
+        SELECT vec_id FROM scored ORDER BY cos_trunc DESC, vec_id ASC LIMIT {TOP_K}
+    )
+    {_SQL_RECALL_TAIL}
+    """,
+    doc=f"matryoshka recall@k: first-{TRUNC_DIMS}-dims ranking vs full cosine",
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} when the serving index keeps only the first
+    {TRUNC_DIMS} of 64 coordinates. Both rankings are single pipelined
+    scans over a broadcast query vector; the truncated scan reads the
+    same column and slices in the expression, so at scale the only
+    saved cost is index bytes — exactly what the trade-off measures."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .withColumn("te", F.expr(f"slice(embedding, 1, {TRUNC_DIMS})"))
+        .withColumn("tq", F.expr(f"slice(qv, 1, {TRUNC_DIMS})"))
+        .withColumn("cos_trunc", F.expr(_cos_expr("te", "tq")))
+    )
+    truth = sim_bruteforce_topk(spark, sf_dir).select("vec_id")
+    cand = (
+        scored.orderBy(F.desc("cos_trunc"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    return _recall_report(truth, cand)
+
+
+# Int8 code for coordinate i (1-based), given a per-vector maxabs alias.
+def _sql_q(vec: str, maxabs: str, i: str = "i") -> str:
+    return f"CAST(round(CAST({vec}[{i}] AS DOUBLE) / {maxabs} * 127) AS BIGINT)"
+
+
+_SQL_MAXABS = (
+    "(SELECT max(abs(CAST({v}[i] AS DOUBLE))) FROM generate_series(1, 64) AS g(i))"
+)
+
+
+@register(
+    "sim_int8_recall_at_k",
+    f"""
+    WITH q AS (
+        SELECT embedding AS qv, {_SQL_MAXABS.format(v='embedding')} AS qm
+        FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ),
+    coded AS (
+        SELECT e.vec_id, e.embedding, q.qv, q.qm,
+               {_SQL_MAXABS.format(v='e.embedding')} AS em
+        FROM embeddings e, q WHERE e.vec_id <> {QUERY_VEC_ID}
+    ),
+    scored AS (
+        SELECT vec_id,
+               {_sql_dot('embedding', 'qv')} /
+               (sqrt({_sql_dot('embedding', 'embedding')}) *
+                sqrt({_sql_dot('qv', 'qv')})) AS cos_full,
+               (SELECT sum({_sql_q('embedding', 'em')} * {_sql_q('qv', 'qm')})
+                FROM generate_series(1, 64) AS g(i)) /
+               (sqrt((SELECT sum({_sql_q('embedding', 'em')} *
+                                 {_sql_q('embedding', 'em')})
+                      FROM generate_series(1, 64) AS g(i))) *
+                sqrt((SELECT sum({_sql_q('qv', 'qm')} * {_sql_q('qv', 'qm')})
+                      FROM generate_series(1, 64) AS g(i)))) AS cos_q
+        FROM coded
+    ),
+    truth AS (
+        SELECT vec_id FROM scored ORDER BY cos_full DESC, vec_id ASC LIMIT {TOP_K}
+    ),
+    cand AS (
+        SELECT vec_id FROM scored ORDER BY cos_q DESC, vec_id ASC LIMIT {TOP_K}
+    )
+    {_SQL_RECALL_TAIL}
+    """,
+    doc="int8-quantization recall@k: integer-code cosine vs float cosine",
+)
+def sim_int8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} when vectors are served as per-vector-scaled int8
+    codes (4x smaller index). The quantized ranking needs no scale
+    factors at all — cosine's scale invariance cancels them — so the
+    candidate ordering is integer dot products of the codes, exact in
+    every engine; only the final cosine normalization is float."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    maxabs = (
+        "aggregate({v}, cast(0 as double), (m, x) -> greatest(m, abs(cast(x as"
+        " double))))"
+    )
+    qcode = (
+        "transform({v}, x -> cast(round(cast(x as double) / {m} * 127) as bigint))"
+    )
+    idot = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as bigint),"
+        " (acc, v) -> acc + v)"
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.expr(qcode.format(v="embedding", m=maxabs.format(v="embedding"))).alias(
+            "qc"
+        )
+    )
+    coded = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .withColumn(
+            "ec",
+            F.expr(qcode.format(v="embedding", m=maxabs.format(v="embedding"))),
+        )
+        .withColumn(
+            "cos_q",
+            F.expr(
+                f"cast({idot.format(a='ec', b='qc')} as double) /"
+                f" (sqrt(cast({idot.format(a='ec', b='ec')} as double)) *"
+                f"  sqrt(cast({idot.format(a='qc', b='qc')} as double)))"
+            ),
+        )
+    )
+    truth = sim_bruteforce_topk(spark, sf_dir).select("vec_id")
+    cand = (
+        coded.orderBy(F.desc("cos_q"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id")
+    )
+    return _recall_report(truth, cand)

@@ -1,0 +1,151 @@
+"""Community detection over the supplier↔customer graph: synchronous
+label propagation plus the degree-distribution profile.
+
+Complements the iterative-graph suite (extensions/graph.py PageRank,
+extensions/components.py converged connected components) with the other
+classic Pregel workload, at a fixed round count so the DuckDB oracle
+can replay the exact rounds as chained CTEs (the same trick as the
+PageRank oracle): labels start as node ids and each synchronous round
+takes the min over the closed neighborhood. All-integer arithmetic,
+deterministic, value-exact.
+
+Scale notes: one round = one join (labels × undirected edges, shuffle
+on the edge key) + one min-aggregation (shuffle on node) — identical
+cost shape to a PageRank round, so the co-partitioning lever proven
+there (pin edges by src once, keep labels on the node layout) applies
+unchanged. The degree histogram is two aggregations whose second input
+is at most |distinct degrees| rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_training_spark.data import load_table
+from big_data_training_spark.extensions.graph import _SQL_EDGES
+from big_data_training_spark.registry import register
+
+LP_ROUNDS = 2
+
+_SQL_LP_ROUND = """
+    , l{next} AS (
+        SELECT l.node,
+               least(l.label, coalesce(m.nbr_min, l.label)) AS label
+        FROM l{cur} l LEFT JOIN (
+            SELECT u.a AS node, min(x.label) AS nbr_min
+            FROM und u JOIN l{cur} x ON x.node = u.b
+            GROUP BY u.a
+        ) m ON m.node = l.node
+    )
+"""
+
+
+def _lp_oracle() -> str:
+    rounds = "".join(
+        _SQL_LP_ROUND.format(cur=i, next=i + 1) for i in range(LP_ROUNDS)
+    )
+    return f"""
+    WITH edges AS ({_SQL_EDGES}
+    ), und AS (
+        SELECT src AS a, dst AS b FROM edges
+        UNION ALL
+        SELECT dst AS a, src AS b FROM edges
+    ), nodes AS (
+        SELECT DISTINCT a AS node FROM und
+    ), l0 AS (
+        SELECT node, node AS label FROM nodes
+    ){rounds}
+    SELECT label, count(*) AS n_members
+    FROM l{LP_ROUNDS} GROUP BY label
+    """
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "gr_label_propagation",
+    _lp_oracle(),
+    doc=f"label propagation: {LP_ROUNDS} synchronous min-label rounds",
+)
+def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous min-label propagation for {LP_ROUNDS} rounds over the
+    undirected supplier↔customer graph, reported as community sizes.
+    Each round joins the current labels to the edge list and takes the
+    minimum over the closed neighborhood — the deterministic LPA variant
+    (ties cannot occur under min), which after convergence equals
+    connected components; at a fixed horizon it exposes the radius-
+    bounded community structure. The edge list is reused across rounds
+    (cached); at cluster scale it would be hash-partitioned once and
+    pinned exactly as gr_pagerank_copartitioned does."""
+    edges = _edges(spark, sf_dir)
+    und = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    und = und.cache()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(LP_ROUNDS):
+        nbr_min = (
+            und.join(labels, und.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+        )
+    out = labels.groupBy("label").agg(F.count("*").alias("n_members"))
+    # Materialization happens in the caller/driver; unpersist would be
+    # premature here — the cache is scoped to the session and tiny
+    # (distinct edge pairs), matching graph.py's plain-variant policy.
+    return out
+
+
+@register(
+    "gr_degree_histogram",
+    f"""
+    WITH edges AS ({_SQL_EDGES}
+    ), und AS (
+        SELECT src AS a, dst AS b FROM edges
+        UNION ALL
+        SELECT dst AS a, src AS b FROM edges
+    ), deg AS (
+        SELECT a AS node, count(*) AS degree FROM und GROUP BY a
+    )
+    SELECT degree, count(*) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+    doc="degree distribution of the undirected supplier↔customer graph",
+)
+def gr_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first diagnostic before any iterative graph job: the degree
+    histogram (skew here predicts shuffle skew in every join-based
+    round — a power-law tail is what the salting/AQE-skew levers are
+    for). Two cascaded aggregations; the second runs over at most
+    |distinct degrees| rows."""
+    edges = _edges(spark, sf_dir)
+    und = edges.select(F.col("src").alias("a")).unionAll(
+        edges.select(F.col("dst").alias("a"))
+    )
+    deg = und.groupBy("a").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))

@@ -86,6 +86,9 @@ _OPERATOR_MODULES = (
     "streaming.statestore",
     "operators.pydatasource",
     "extensions.lmstats",
+    "extensions.filters",
+    "extensions.ann_eval",
+    "extensions.communities",
 )
 
 import_errors: dict[str, str] = {}
