@@ -96,6 +96,14 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans over a broadcast query vector; the truncated scan reads the
     same column and slices in the expression, so at scale the only
     saved cost is index bytes — exactly what the trade-off measures."""
+    truth = sim_bruteforce_topk(spark, sf_dir).select("vec_id")
+    return _recall_report(truth, matryoshka_candidates(spark, sf_dir))
+
+
+def matryoshka_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k under the truncated-prefix cosine (the serving-side ranking;
+    exposed separately so plan tests can assert TakeOrderedAndProject
+    before the recall report checkpoints it away)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qv")
@@ -107,13 +115,11 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tq", F.expr(f"slice(qv, 1, {TRUNC_DIMS})"))
         .withColumn("cos_trunc", F.expr(_cos_expr("te", "tq")))
     )
-    truth = sim_bruteforce_topk(spark, sf_dir).select("vec_id")
-    cand = (
+    return (
         scored.orderBy(F.desc("cos_trunc"), F.asc("vec_id"))
         .limit(TOP_K)
         .select("vec_id")
     )
-    return _recall_report(truth, cand)
 
 
 # Int8 code for coordinate i (1-based), given a per-vector maxabs alias.
@@ -168,6 +174,13 @@ def sim_int8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     factors at all — cosine's scale invariance cancels them — so the
     candidate ordering is integer dot products of the codes, exact in
     every engine; only the final cosine normalization is float."""
+    truth = sim_bruteforce_topk(spark, sf_dir).select("vec_id")
+    return _recall_report(truth, int8_candidates(spark, sf_dir))
+
+
+def int8_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k under the int8-code cosine (scale factors cancel); exposed
+    for the serving-plan test, as with :func:`matryoshka_candidates`."""
     emb = load_table(spark, sf_dir, "embeddings")
     maxabs = (
         "aggregate({v}, cast(0 as double), (m, x) -> greatest(m, abs(cast(x as"
@@ -201,10 +214,8 @@ def sim_int8_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    truth = sim_bruteforce_topk(spark, sf_dir).select("vec_id")
-    cand = (
+    return (
         coded.orderBy(F.desc("cos_q"), F.asc("vec_id"))
         .limit(TOP_K)
         .select("vec_id")
     )
-    return _recall_report(truth, cand)

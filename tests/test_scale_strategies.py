@@ -464,3 +464,85 @@ def test_synth_png_header_roundtrip():
         assert parsed == ("png", 16 + doc_id % 64, 16 + (doc_id * 7) % 64)
 
     check()
+
+
+def test_gopher_rules_is_shuffle_free_scan(spark, sf_dir):
+    """tx_gopher_rules is a pure per-row map — the plan must contain no
+    Exchange at all (the cheapest possible 100 TB pass)."""
+    from big_data_training_spark.extensions.filters import tx_gopher_rules
+
+    df = tx_gopher_rules(spark, sf_dir)
+    assert "Exchange" not in physical_plan(df)
+    rows = df.collect()
+    assert all(
+        r["keep"]
+        == (
+            r["flag_word_count"]
+            and r["flag_word_length"]
+            and r["flag_stopwords"]
+            and r["flag_alpha"]
+        )
+        for r in rows
+    )
+
+
+def test_dsir_broadcasts_vocab_ratio_table(spark, sf_dir):
+    """lm_dsir_importance joins the corpus-occurrence stream to a
+    vocabulary-sized ratio table — that side must be broadcast so the
+    corpus scan never shuffles for the join."""
+    from big_data_training_spark.extensions.filters import lm_dsir_importance
+
+    assert "BroadcastHashJoin" in physical_plan(lm_dsir_importance(spark, sf_dir))
+
+
+def test_substring_dup_spans_no_pair_blowup(spark, sf_dir):
+    """The sliding-window dup audit counts window-hash multiplicity and
+    joins back — equi-joins only, never a pairwise product; and the
+    duplicated-window count is bounded by the window count per doc."""
+    from big_data_training_spark.extensions.filters import dd_substring_dup_spans
+
+    df = dd_substring_dup_spans(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert rows
+    assert all(0 <= r["n_dup_windows"] <= r["n_windows"] for r in rows)
+    assert all(0 <= r["dup_permille"] <= 1000 for r in rows)
+
+
+def test_label_propagation_invariants(spark, sf_dir):
+    """Min-label propagation: labels only decrease, so every community
+    label is a real node id <= its members', member counts sum to the
+    node count, and the round joins are equi-joins (no cartesian)."""
+    from big_data_training_spark.extensions.communities import (
+        gr_degree_histogram,
+        gr_label_propagation,
+    )
+
+    df = gr_label_propagation(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    sizes = df.collect()
+    n_nodes = sum(r["n_members"] for r in sizes)
+    deg = gr_degree_histogram(spark, sf_dir).collect()
+    assert n_nodes == sum(r["n_nodes"] for r in deg)
+
+
+def test_compression_recall_serving_plans(spark, sf_dir):
+    """Matryoshka and int8 recall candidates must rank via
+    TakeOrderedAndProject (per-partition heads merged on the driver),
+    like every other ANN serving path in the suite."""
+    from big_data_training_spark.extensions.ann_eval import (
+        int8_candidates,
+        matryoshka_candidates,
+        sim_int8_recall_at_k,
+        sim_matryoshka_recall,
+    )
+
+    for cand in (matryoshka_candidates, int8_candidates):
+        assert "TakeOrderedAndProject" in physical_plan(cand(spark, sf_dir))
+    for q in (sim_matryoshka_recall, sim_int8_recall_at_k):
+        row = q(spark, sf_dir).collect()[0]
+        assert 0 <= row["n_recalled"] <= row["k"]
