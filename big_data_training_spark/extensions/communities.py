@@ -78,6 +78,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gr_label_propagation",
     _lp_oracle(),
     doc=f"label propagation: {LP_ROUNDS} synchronous min-label rounds",
+    bench=True,
 )
 def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synchronous min-label propagation for {LP_ROUNDS} rounds over the

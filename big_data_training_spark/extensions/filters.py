@@ -50,6 +50,8 @@ DSIR_SELECT_PERMILLE = 450
 
 SPAN_W = 8  # sliding-window width in tokens
 
+TEMP_SALT = "temp:"  # salted hash domain for the temperature sampler
+
 
 @register(
     "tx_gopher_rules",
@@ -206,6 +208,7 @@ def lm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY w.doc_id
     """,
     doc="substring-level dup audit: corpus-duplicated sliding-window fraction",
+    bench=True,
 )
 def dd_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suffix-array dedup, approximated: hash every overlapping
@@ -243,5 +246,79 @@ def dd_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("dup_permille"),
+        )
+    )
+
+
+@register(
+    "tx_temperature_sample",
+    f"""
+    WITH cnt AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ), mn AS (
+        SELECT min(n_docs) AS n_min FROM cnt
+    ), rates AS (
+        SELECT c.source, c.n_docs,
+               CAST(floor(sqrt((1000000 * m.n_min) // c.n_docs)) AS BIGINT)
+                   AS rate_permille
+        FROM cnt c CROSS JOIN mn m
+    ), kept AS (
+        SELECT d.source
+        FROM documents d JOIN rates r ON r.source = d.source
+        WHERE CAST(('0x' || substr(md5('{TEMP_SALT}' || CAST(d.doc_id AS VARCHAR)),
+                                   1, 15)) AS BIGINT) % 1000 < r.rate_permille
+    )
+    SELECT r.source, r.n_docs, r.rate_permille,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN (
+        SELECT source, count(*) AS n_kept FROM kept GROUP BY source
+    ) k ON k.source = r.source
+    """,
+    doc="temperature-scaled (alpha=0.5) mixture sampling across sources",
+)
+def tx_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling over source shards: each source keeps
+    sqrt(n_min/n_s) of its documents (alpha = 0.5 — the UniMax/multilingual
+    rebalancing curve between proportional and uniform), decided by a
+    salted content-key hash so membership is deterministic, join-stable
+    and incremental-rewrite-safe (no rand(), no global sort). The rate
+    table is |sources| rows — broadcast; the corpus pass is a pure map
+    filter. floor(sqrt(integer)) is exact for these magnitudes, so the
+    rates are bit-identical in any engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    mn = cnt.agg(F.min("n_docs").alias("n_min"))
+    rates = cnt.crossJoin(F.broadcast(mn)).select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.expr("(1000000 * n_min) div n_docs")))
+        .cast("bigint")
+        .alias("rate_permille"),
+    )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(TEMP_SALT), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(b < F.col("rate_permille"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "rate_permille",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         )
     )

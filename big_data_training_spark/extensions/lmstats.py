@@ -185,3 +185,94 @@ def lm_unigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("score_permille"),
         )
     )
+
+
+@register(
+    "lm_bpe_second_round",
+    f"""
+    WITH words AS (
+        SELECT unnest({SQL_TOKENS.format(col='text')}) AS w FROM documents
+    ), w2 AS (
+        SELECT w FROM words WHERE length(w) >= 2
+    ), p1 AS (
+        SELECT unnest([substring(w, i, 2)
+                       for i in generate_series(1, length(w) - 1)]) AS pair
+        FROM w2
+    ), ab AS (
+        SELECT substring(pair, 1, 1) AS a, substring(pair, 2, 1) AS b
+        FROM (SELECT pair FROM p1 GROUP BY pair
+              ORDER BY count(*) DESC, pair ASC LIMIT 1)
+    ), folded AS (
+        SELECT list_reduce(
+                   [w[i] for i in generate_series(1, length(w))],
+                   (acc, x) -> CASE
+                       WHEN (acc = ab.a OR ends_with(acc, '|' || ab.a))
+                            AND x = ab.b
+                       THEN acc || x ELSE acc || '|' || x END) AS s
+        FROM w2 CROSS JOIN ab
+    ), syms AS (
+        SELECT string_split(s, '|') AS ss FROM folded
+    ), p2 AS (
+        SELECT unnest([ss[i] || '+' || ss[i + 1]
+                       for i in generate_series(1, len(ss) - 1)]) AS pair
+        FROM syms WHERE len(ss) >= 2
+    )
+    SELECT pair, count(*) AS n FROM p2
+    GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {TOP_MERGES}
+    """,
+    doc="LM: second BPE induction round — apply top merge, recount pairs",
+)
+def lm_bpe_second_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE loop made visible: take round 1's winning merge (a, b),
+    apply it greedily left-to-right to every word (a string fold over
+    the character sequence — symbols joined by '|', merge = append
+    without separator), and recount adjacent *symbol* pairs. The merge
+    rule is a broadcast 1-row table; the fold is a JVM higher-order
+    aggregate, so round 2 costs the same single scan + small-key-space
+    aggregation as round 1 — the shape a full BPE trainer iterates K
+    times with the merge table growing by one row per round. Pair keys
+    use a '+' separator so ('ab','c') never collides with ('a','bc')."""
+    docs = load_table(spark, sf_dir, "documents")
+    w2 = docs.select(F.explode(tokens("text")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    p1 = w2.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    ab = (
+        p1.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(1)
+        .select(
+            F.expr("substring(pair, 1, 1)").alias("a"),
+            F.expr("substring(pair, 2, 1)").alias("b"),
+        )
+    )
+    folded = w2.crossJoin(F.broadcast(ab)).select(
+        F.expr(
+            "aggregate(transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
+            " cast('' as string),"
+            " (acc, x) -> CASE WHEN acc = '' THEN x"
+            "   WHEN (acc = a OR endswith(acc, concat('|', a))) AND x = b"
+            "   THEN concat(acc, x)"
+            "   ELSE concat(acc, '|', x) END)"
+        ).alias("s")
+    )
+    syms = folded.select(F.expr("split(s, '\\\\|')").alias("ss"))
+    p2 = syms.filter(F.size("ss") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ss) - 1),"
+                " i -> concat(element_at(ss, i), '+', element_at(ss, i + 1)))"
+            )
+        ).alias("pair")
+    )
+    return (
+        p2.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(TOP_MERGES)
+    )
