@@ -219,3 +219,168 @@ def int8_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .select("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ: the combined billion-vector serving architecture — coarse cells
+# route the query (IVF), PQ codes score the candidates (ADC). Composed
+# from the audited building blocks so the deployed path and its parts
+# can never diverge: cells/probe from extensions.similarity, codebook/
+# codes/distance-table from extensions.sketchops.
+# ---------------------------------------------------------------------------
+
+from big_data_training_spark.extensions.similarity import (  # noqa: E402
+    N_PROBE,
+    _SQL_CENTROIDS,
+    _SQL_IVF_PROBE,
+)
+from big_data_training_spark.extensions.sketchops import (  # noqa: E402
+    PQ_SUB_DIM,
+    _SQL_PQ_CB_CTE,
+    _pq_codebook,
+    _pq_codes,
+)
+
+
+def _ivfpq_sql_body() -> str:
+    return (
+        _SQL_PQ_CB_CTE
+        + f"""
+    , q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+{_SQL_CENTROIDS},
+{_SQL_IVF_PROBE}
+    dtable AS (
+        SELECT c.s, c.code,
+               CAST(floor((SELECT sum((CAST(q.qv[c.s * {PQ_SUB_DIM} + i] AS DOUBLE) - c.cv[i])
+                                      * (CAST(q.qv[c.s * {PQ_SUB_DIM} + i] AS DOUBLE) - c.cv[i]))
+                           FROM generate_series(1, {PQ_SUB_DIM}) AS g(i)) * 1000000)
+                    AS BIGINT) AS dmic
+        FROM cbv c, q
+    ), ivfpq AS (
+        SELECT a.vec_id, CAST(sum(t.dmic) AS BIGINT) AS adc_dist_micro
+        FROM assigned a
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN dtable t ON a.s = t.s AND a.code = t.code
+        WHERE a.rk = 1 AND a.vec_id <> {QUERY_VEC_ID}
+          AND e.label IN (SELECT label FROM probe)
+        GROUP BY 1
+    )"""
+    )
+
+
+@register(
+    "sim_ivfpq_topk",
+    _ivfpq_sql_body()
+    + f"""
+    SELECT vec_id, adc_dist_micro FROM ivfpq
+    ORDER BY adc_dist_micro, vec_id LIMIT {TOP_K}
+    """,
+    doc="IVF+PQ top-k: probe coarse cells, ADC-score codes inside them",
+)
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The billion-vector serving architecture in one query: the query
+    routes to its N_PROBE nearest coarse cells (IVF), and only the PQ
+    codes of vectors in those cells are scored against the query's
+    32-entry asymmetric distance table. Raw vectors are never read at
+    query time. Locally the cell id is joined from the embeddings table;
+    a production index stores (cell, codes) together, so the candidate
+    restriction is partition pruning, not a join — the micro-quantized
+    integer distances make the ranking bit-exact either way."""
+    return _ivfpq_candidates(spark, sf_dir, with_dist=True)
+
+
+def _ivfpq_candidates(
+    spark: SparkSession, sf_dir: str, with_dist: bool = False
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,12)")).cast("double") / F.count("*"),
+                6,
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
+            ).alias("cv")
+        )
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    probe = (
+        cent.join(F.broadcast(q))
+        .withColumn("ccos", F.expr(_cos_expr("cv", "qv")))
+        .orderBy(F.desc("ccos"), F.asc("label"))
+        .limit(N_PROBE)
+        .select("label")
+    )
+    cb = _pq_codebook(spark, sf_dir)
+    qemb = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qemb")
+    )
+    dtable = cb.crossJoin(F.broadcast(qemb)).select(
+        "s",
+        "code",
+        F.floor(
+            F.expr(
+                f"aggregate(zip_with(slice(cast(qemb AS array<double>),"
+                f" s * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}), cv,"
+                f" (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)"
+                f" * 1000000"
+            )
+        )
+        .cast("bigint")
+        .alias("dmic"),
+    )
+    probed_ids = emb.select("vec_id", "label").join(F.broadcast(probe), "label")
+    codes = _pq_codes(spark, sf_dir)
+    ranked = (
+        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(probed_ids.select("vec_id"), "vec_id", "left_semi")
+        .join(
+            F.broadcast(dtable),
+            (codes["subspace"] == dtable["s"]) & (codes["code"] == dtable["code"]),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("dmic").cast("bigint").alias("adc_dist_micro"))
+        .orderBy("adc_dist_micro", "vec_id")
+        .limit(TOP_K)
+    )
+    if with_dist:
+        return ranked.select("vec_id", "adc_dist_micro")
+    return ranked.select("vec_id")
+
+
+@register(
+    "sim_ivfpq_recall_at_k",
+    _ivfpq_sql_body()
+    + f"""
+    , fullscore AS (
+        SELECT e.vec_id,
+               {_sql_dot('e.embedding', 'q.qv')} /
+               (sqrt({_sql_dot('e.embedding', 'e.embedding')}) *
+                sqrt({_sql_dot('q.qv', 'q.qv')})) AS cos_full
+        FROM embeddings e, q WHERE e.vec_id <> {QUERY_VEC_ID}
+    ),
+    truth AS (
+        SELECT vec_id FROM fullscore ORDER BY cos_full DESC, vec_id ASC LIMIT {TOP_K}
+    ),
+    cand AS (
+        SELECT vec_id FROM ivfpq ORDER BY adc_dist_micro, vec_id LIMIT {TOP_K}
+    )
+    {_SQL_RECALL_TAIL}
+    """,
+    doc="IVF+PQ recall@k against the brute-force truth (both approximations stacked)",
+)
+def sim_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{TOP_K} of the stacked approximation — cell routing misses
+    (IVF) compound with quantization error (PQ), so this is the number a
+    deployment actually serves at; comparing it to sim_ivf_recall_at_k
+    and sim_pq_recall_at_k attributes the loss between the two stages."""
+    truth = sim_bruteforce_topk(spark, sf_dir).select("vec_id")
+    return _recall_report(truth, _ivfpq_candidates(spark, sf_dir))
