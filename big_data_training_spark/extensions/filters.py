@@ -25,15 +25,17 @@ stage, README.md:18-22, specialized to LLM data work):
   One shuffle on the window hash; window count is ~token count, the
   same order as the tokenize pass itself.
 
-All scans are JVM-side built-ins (no Python in the hot path).
+The rule/score scans are JVM-side built-ins; the window hashing runs
+as an Arrow-batched ``mapInPandas`` pass (HOF lambdas don't codegen —
+see ``dd_substring_dup_spans``).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from big_data_training_spark.data import load_table
+from big_data_training_spark.data import load_table, repartition_for_compute
 from big_data_training_spark.extensions.textstats import EN_STOPWORDS, _SQL_STOP
 from big_data_training_spark.functions.text import SQL_TOKENS, tokens
 from big_data_training_spark.registry import register
@@ -185,6 +187,32 @@ def lm_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _window_hash_batches(batches):
+    """Arrow-batched sliding-window hashing: every overlapping SPAN_W-token
+    window as (doc_id, md5 hex) — one row per window occurrence (NOT
+    deduped: within-doc repeats must count toward corpus multiplicity,
+    matching the oracle's semantics)."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        out_d: list[int] = []
+        out_h: list[str] = []
+        for d, t in zip(pdf["doc_id"], pdf["text"]):
+            ws = t.split() if t else []
+            for i in range(len(ws) - SPAN_W + 1):
+                s = " ".join(ws[i : i + SPAN_W])
+                out_d.append(d)
+                out_h.append(hashlib.md5(s.encode()).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_d, dtype="int64"),
+                "h": pd.Series(out_h, dtype="object"),
+            }
+        )
+
+
 @register(
     "dd_substring_dup_spans",
     f"""
@@ -217,26 +245,24 @@ def dd_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-paragraph granularity (templated boilerplate, quoted spans,
     near-identical mirrors). Unlike dd_paragraph_dedup's aligned chunks,
     windows overlap, so a duplicated run of any alignment is caught.
-    Plan: one explode (window count ~ token count), one count shuffle on
-    the hash, one join back, one per-doc aggregate — the same cost
-    envelope as the tokenize pass, no pairwise blowup."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", tokens("text").alias("ws")).filter(
-        F.size("ws") >= SPAN_W
+    Plan: one window-hash scan (window count ~ token count), ONE shuffle
+    keyed on the hash (a keyed count window annotates multiplicity in
+    place — a groupBy+join-back would shuffle twice and run the scan
+    twice), then the per-doc aggregate. No pairwise blowup anywhere.
+    Windowing+hashing runs in Arrow-batched ``mapInPandas``, not the
+    equivalent ``transform``/``slice``/``md5`` higher-order chain: HOF
+    lambdas evaluate interpreted (no whole-stage codegen) — the same
+    measured ~8x lesson as the decontamination shingler
+    (curation._decon_shingled). Measured at sf0.1: 3.0s (HOF + join) →
+    1.15s (batched + keyed window)."""
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    win = docs.select("doc_id", "text").mapInPandas(
+        _window_hash_batches, "doc_id bigint, h string"
     )
-    win = t.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(ws) - {SPAN_W - 1}),"
-                f" i -> md5(array_join(slice(ws, i, {SPAN_W}), ' ')))"
-            )
-        ).alias("h"),
-    )
-    cnt = win.groupBy("h").agg(F.count("*").alias("n"))
+    n = F.count("*").over(Window.partitionBy("h"))
     dup = F.sum(F.when(F.col("n") >= 2, 1).otherwise(0)).cast("bigint")
     return (
-        win.join(cnt, "h")
+        win.withColumn("n", n)
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_windows"),
