@@ -95,12 +95,17 @@ def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("a"), F.col("dst").alias("b")
     ).unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
     und = und.cache()
+    # Round 1 specialized: labels ARE node ids, so
+    # l1(v) = least(v, min neighbor id) is a single aggregation over the
+    # edge list — no label join, no separate node-derivation shuffle
+    # (every node appears as `a` since both directions are present).
+    # Measured at sf0.1: 4.7s -> 2.2s vs running round 1 generically.
     labels = (
-        und.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        und.groupBy("a")
+        .agg(F.least(F.col("a"), F.min("b")).alias("label"))
+        .select(F.col("a").alias("node"), "label")
     )
-    for _ in range(LP_ROUNDS):
+    for _ in range(LP_ROUNDS - 1):
         nbr_min = (
             und.join(labels, und.b == labels.node)
             .groupBy("a")
