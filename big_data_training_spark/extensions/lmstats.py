@@ -276,3 +276,115 @@ def lm_bpe_second_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(TOP_MERGES)
     )
+
+
+KN_DISCOUNT_PERMILLE = 750  # the standard 0.75 absolute discount
+
+
+@register(
+    "lm_kneser_ney_bigrams",
+    f"""
+    WITH toks AS (
+        SELECT {SQL_TOKENS.format(col='text')} AS ws FROM documents
+    ), pairs AS (
+        SELECT unnest([struct_pack(w1 := ws[i], w2 := ws[i + 1])
+                       for i in generate_series(1, len(ws) - 1)]) AS b
+        FROM toks WHERE len(ws) >= 2
+    ), bigrams AS (
+        SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS n
+        FROM pairs GROUP BY 1, 2
+    ), heads AS (
+        SELECT w1, sum(n) AS head_n FROM bigrams
+        GROUP BY w1 ORDER BY sum(n) DESC, w1 ASC LIMIT {TOP_HEADS}
+    ), fert AS (
+        SELECT w1, count(*) AS n_types FROM bigrams GROUP BY w1
+    ), cont AS (
+        SELECT w2, count(*) AS n_left FROM bigrams GROUP BY w2
+    ), total AS (
+        SELECT count(*) AS n_bigram_types FROM bigrams
+    ), scored AS (
+        SELECT b.w1, b.w2, b.n,
+               CAST(greatest(b.n * 1000 - {KN_DISCOUNT_PERMILLE}, 0)
+                    // h.head_n AS BIGINT)
+                   + CAST(({KN_DISCOUNT_PERMILLE} * f.n_types // h.head_n)
+                          * (c.n_left * 1000 // t.n_bigram_types)
+                          // 1000 AS BIGINT) AS pkn_permille
+        FROM bigrams b
+        JOIN heads h USING (w1)
+        JOIN fert f USING (w1)
+        JOIN cont c ON c.w2 = b.w2
+        CROSS JOIN total t
+    ), ranked AS (
+        SELECT w1, w2, n, pkn_permille,
+               row_number() OVER (PARTITION BY w1
+                                  ORDER BY n DESC, w2 ASC) AS rank
+        FROM scored
+    )
+    SELECT w1, w2, n, pkn_permille, rank
+    FROM ranked WHERE rank <= {TOP_CONTINUATIONS}
+    """,
+    doc="LM: Kneser-Ney discounted bigram table (integer permille, exact)",
+)
+def lm_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney in permille integer arithmetic:
+    p_kn(w2|w1) = max(c - D, 0)/c(w1) + lambda(w1) * p_cont(w2), with
+    D = 0.75, lambda = D * |{{w2: c(w1,w2)>0}}| / c(w1) and the
+    continuation probability counting distinct LEFT contexts — the
+    smoothing every count-based LM tutorial lands on, quantized with
+    floor division at each stage so the table is bit-identical in any
+    engine. Plan: one bigram aggregation (vocab²-bounded keys), three
+    small derived tables joined back — the head set is a broadcast
+    constant, fertility/continuation tables are vocabulary-sized, and
+    the grand-total join is one broadcast row; the ranking window runs
+    over already-reduced counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens("text").alias("ws")).filter(F.size("ws") >= 2)
+    bigrams = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1,"
+                    "             element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+    )
+    heads = (
+        bigrams.groupBy("w1")
+        .agg(F.sum("n").alias("head_n"))
+        .orderBy(F.desc("head_n"), F.asc("w1"))
+        .limit(TOP_HEADS)
+    )
+    fert = bigrams.groupBy("w1").agg(F.count("*").alias("n_types"))
+    cont = bigrams.groupBy("w2").agg(F.count("*").alias("n_left"))
+    total = bigrams.agg(F.count("*").alias("n_bigram_types"))
+    scored = (
+        bigrams.join(F.broadcast(heads), "w1")
+        .join(F.broadcast(fert), "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n",
+            (
+                F.expr(
+                    f"greatest(n * 1000 - {KN_DISCOUNT_PERMILLE}, 0) div head_n"
+                ).cast("bigint")
+                + F.expr(
+                    f"(({KN_DISCOUNT_PERMILLE} * n_types div head_n)"
+                    f" * (n_left * 1000 div n_bigram_types)) div 1000"
+                ).cast("bigint")
+            ).alias("pkn_permille"),
+        )
+    )
+    w = Window.partitionBy("w1").orderBy(F.desc("n"), F.asc("w2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TOP_CONTINUATIONS)
+        .select("w1", "w2", "n", "pkn_permille", "rank")
+    )
