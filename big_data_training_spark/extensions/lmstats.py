@@ -388,3 +388,62 @@ def lm_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_CONTINUATIONS)
         .select("w1", "w2", "n", "pkn_permille", "rank")
     )
+
+
+TOKEN_BUDGET = 500_000  # fixture-scaled total training-token budget
+EPOCH_CAP_CENTI = 400  # >4 epochs of repetition ~ diminishing returns
+
+
+@register(
+    "lm_token_budget_plan",
+    f"""
+    WITH tok AS (
+        SELECT source, CAST(sum(len({SQL_TOKENS.format(col='text')})) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ), alloc AS (
+        SELECT source, n_tokens,
+               CAST({TOKEN_BUDGET} // (SELECT count(*) FROM tok) AS BIGINT)
+                   AS tokens_requested
+        FROM tok
+    )
+    SELECT source, n_tokens, tokens_requested,
+           CAST(tokens_requested * 100 // n_tokens AS BIGINT) AS epochs_centi,
+           tokens_requested * 100 // n_tokens > {EPOCH_CAP_CENTI}
+               AS over_epoch_cap
+    FROM alloc
+    """,
+    doc="LM: data-constrained budget plan — epochs of repetition per source",
+)
+def lm_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-constrained-scaling audit (Muennighoff et al. 2023):
+    given a training-token budget split uniformly across sources, how
+    many epochs of each source does the budget imply, and which sources
+    exceed the ~4-epoch repetition cap beyond which repeated data stops
+    helping. One token-count aggregation (map-side combined) plus a
+    broadcast scalar; epochs are centi-integer so the report is
+    bit-exact. At 100 TB this runs on scan statistics, not data — the
+    per-source token count is the only corpus-wide pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tokens")
+    )
+    nsrc = tok.agg(F.count("*").alias("n_sources"))
+    alloc = tok.crossJoin(F.broadcast(nsrc)).select(
+        "source",
+        "n_tokens",
+        F.expr(f"{TOKEN_BUDGET} div n_sources").cast("bigint").alias(
+            "tokens_requested"
+        ),
+    )
+    return alloc.select(
+        "source",
+        "n_tokens",
+        "tokens_requested",
+        F.expr("tokens_requested * 100 div n_tokens").cast("bigint").alias(
+            "epochs_centi"
+        ),
+        (F.expr("tokens_requested * 100 div n_tokens") > EPOCH_CAP_CENTI).alias(
+            "over_epoch_cap"
+        ),
+    )
