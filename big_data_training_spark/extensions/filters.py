@@ -348,3 +348,66 @@ def tx_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         )
     )
+
+
+N_PHASES = 3  # curriculum stages
+
+
+@register(
+    "tx_curriculum_order",
+    f"""
+    WITH scored AS (
+        SELECT source,
+               CAST(len(list_filter({SQL_TOKENS.format(col='text')},
+                                    w -> list_contains({_SQL_STOP}, w))) * 1000
+                    // len({SQL_TOKENS.format(col='text')}) AS BIGINT)
+                   AS doc_score
+        FROM documents
+        WHERE len({SQL_TOKENS.format(col='text')}) > 0
+    ), per_source AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(doc_score) // count(*) AS BIGINT)
+                   AS mean_score_permille
+        FROM scored GROUP BY source
+    )
+    SELECT source, n_docs, mean_score_permille,
+           CAST(ntile({N_PHASES}) OVER (ORDER BY mean_score_permille DESC,
+                                        source ASC) AS BIGINT) AS phase
+    FROM per_source
+    """,
+    doc="curriculum ordering: sources ranked into training phases by quality",
+)
+def tx_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment: sources ranked by mean document quality
+    (integer permille stopword density as the proxy score) and cut into
+    {N_PHASES} training phases — cleanest sources first, the standard
+    staged-pretraining schedule. The per-source table is |sources| rows,
+    so the ntile window is trivially small; the corpus pass is one
+    map-side-combined aggregation. ntile is cast to bigint per the
+    dtype-strict rule (Spark emits int where DuckDB emits BIGINT)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens("text")
+    scored = docs.filter(F.size(ws) > 0).select(
+        "source",
+        F.expr(
+            "size(filter(filter(split(text, ' '), w -> w != ''),"
+            f" w -> array_contains(array({','.join(repr(w) for w in EN_STOPWORDS)}), w)))"
+            " * cast(1000 as bigint)"
+            " div size(filter(split(text, ' '), w -> w != ''))"
+        )
+        .cast("bigint")
+        .alias("doc_score"),
+    )
+    per_source = scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("sum(doc_score) div count(*)").cast("bigint").alias(
+            "mean_score_permille"
+        ),
+    )
+    w = Window.orderBy(F.desc("mean_score_permille"), F.asc("source"))
+    return per_source.select(
+        "source",
+        "n_docs",
+        "mean_score_permille",
+        F.ntile(N_PHASES).over(w).cast("bigint").alias("phase"),
+    )
