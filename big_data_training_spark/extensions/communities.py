@@ -155,3 +155,95 @@ def gr_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = und.groupBy("a").agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# Iterative-job observability: convergence audit for the PageRank family.
+# Registers late (this module) so the driver rotation order is untouched.
+# ---------------------------------------------------------------------------
+
+from big_data_training_spark.extensions.graph import (  # noqa: E402
+    N_ITER,
+    SCALE,
+    _SQL_ITER,
+    pagerank_round,
+)
+
+
+def _convergence_oracle() -> str:
+    from big_data_training_spark.extensions.graph import _SQL_EDGES
+
+    base = (15 * SCALE) // 100
+    iters = "".join(
+        _SQL_ITER.format(cur=i, next=i + 1, base=base) for i in range(N_ITER)
+    )
+    return f"""
+    WITH edges AS ({_SQL_EDGES}
+    ), nodes AS (
+        SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), outdeg AS (
+        SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1
+    ), r0 AS (
+        SELECT node, CAST({SCALE} AS BIGINT) AS rank FROM nodes
+    ){iters}
+    SELECT count(*) AS n_nodes,
+           CAST(sum(abs(a.rank - b.rank)) AS BIGINT) AS l1_delta,
+           CAST(max(abs(a.rank - b.rank)) AS BIGINT) AS max_delta,
+           CAST(sum(abs(a.rank - b.rank)) * 1000000
+                // (count(*) * {SCALE}) AS BIGINT) AS delta_ppm
+    FROM r{N_ITER} a JOIN r{N_ITER - 1} b USING (node)
+    """
+
+
+@register(
+    "gr_pagerank_convergence_audit",
+    _convergence_oracle(),
+    doc="PageRank convergence audit: L1/max rank delta of the final round",
+)
+def gr_pagerank_convergence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stopping-criterion monitor every production iterative job
+    runs: the L1 and max rank movement of the last round, normalized to
+    ppm of total rank mass. Fixed-point integer ranks make the deltas
+    value-exact, so the audit doubles as a cross-engine correctness
+    probe of every intermediate round (a single wrong contribution
+    anywhere shows up in the delta). Cost: the same three Pregel rounds
+    plus one node-keyed join of the last two rank frames."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    edges = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+        .cache()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    outdeg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    ranks = nodes.select("node", F.lit(SCALE).cast("bigint").alias("rank"))
+    prev = ranks
+    for _ in range(N_ITER):
+        prev = ranks
+        ranks = pagerank_round(ranks, edges, outdeg, nodes, co_partitioned=False)
+    a = ranks.select("node", F.col("rank").alias("r_new"))
+    b = prev.select("node", F.col("rank").alias("r_old"))
+    d = F.abs(F.col("r_new") - F.col("r_old"))
+    return (
+        a.join(b, "node")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(d).cast("bigint").alias("l1_delta"),
+            F.max(d).cast("bigint").alias("max_delta"),
+            F.expr(f"sum(abs(r_new - r_old)) * 1000000 div (count(*) * {SCALE})")
+            .cast("bigint")
+            .alias("delta_ppm"),
+        )
+    )
