@@ -252,14 +252,7 @@ def lm_bpe_second_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     folded = w2.crossJoin(F.broadcast(ab)).select(
-        F.expr(
-            "aggregate(transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
-            " cast('' as string),"
-            " (acc, x) -> CASE WHEN acc = '' THEN x"
-            "   WHEN (acc = a OR endswith(acc, concat('|', a))) AND x = b"
-            "   THEN concat(acc, x)"
-            "   ELSE concat(acc, '|', x) END)"
-        ).alias("s")
+        F.expr(BPE_FOLD_EXPR).alias("s")
     )
     syms = folded.select(F.expr("split(s, '\\\\|')").alias("ss"))
     p2 = syms.filter(F.size("ss") >= 2).select(
@@ -276,6 +269,20 @@ def lm_bpe_second_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(TOP_MERGES)
     )
+
+
+# Greedy leftmost application of merge (a, b) to word `w` as a string
+# fold: symbols joined by '|', a merge appends without the separator.
+# Shared with the property test that cross-checks the SQL fold against
+# a reference Python implementation on arbitrary words.
+BPE_FOLD_EXPR = (
+    "aggregate(transform(sequence(1, length(w)), i -> substring(w, i, 1)),"
+    " cast('' as string),"
+    " (acc, x) -> CASE WHEN acc = '' THEN x"
+    "   WHEN (acc = a OR endswith(acc, concat('|', a))) AND x = b"
+    "   THEN concat(acc, x)"
+    "   ELSE concat(acc, '|', x) END)"
+)
 
 
 KN_DISCOUNT_PERMILLE = 750  # the standard 0.75 absolute discount

@@ -380,3 +380,97 @@ def test_mp4_walker_not_fooled_by_embedded_boxes():
     parsed = parse_mp4(payload)
     assert parsed is not None
     assert parsed[0] == 1000  # real timescale (7 % 3 == 1), not the fake 0
+
+
+_words = st.text(
+    alphabet=st.sampled_from("abcde"), min_size=2, max_size=10
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(_words, min_size=1, max_size=20), st.sampled_from("abcde"), st.sampled_from("abcde"))
+def test_bpe_greedy_fold_invariants(words, a, b):
+    """The lm_bpe_second_round string fold must implement greedy
+    leftmost merging: after applying merge (a, b), (1) no adjacent
+    symbol pair is exactly (a, b); (2) concatenating the symbols
+    reproduces the word; (3) every symbol is either one char or the
+    merged pair. Verified against a reference Python implementation of
+    the same fold rule."""
+
+    def fold(w: str) -> list[str]:
+        syms: list[str] = []
+        for ch in w:
+            if syms and syms[-1] == a and ch == b:
+                syms[-1] = syms[-1] + ch
+            else:
+                syms.append(ch)
+        return syms
+
+    for w in words:
+        syms = fold(w)
+        assert "".join(syms) == w
+        assert all(s == a + b or len(s) == 1 for s in syms)
+        assert not any(
+            syms[i] == a and syms[i + 1] == b for i in range(len(syms) - 1)
+        )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(_words, min_size=1, max_size=10, unique=True),
+    st.sampled_from("abcde"),
+    st.sampled_from("abcde"),
+)
+def test_bpe_sql_fold_matches_reference(spark, words, a, b):
+    """The ACTUAL SQL fold used by lm_bpe_second_round (BPE_FOLD_EXPR) must produce the reference greedy-leftmost merge for arbitrary words and any merge pair - the cross-engine contract the oracle relies on."""
+    from big_data_training_spark.extensions.lmstats import BPE_FOLD_EXPR
+
+    def fold(w: str) -> list[str]:
+        syms: list[str] = []
+        for ch in w:
+            if syms and syms[-1] == a and ch == b:
+                syms[-1] = syms[-1] + ch
+            else:
+                syms.append(ch)
+        return syms
+
+    sdf = spark.createDataFrame(
+        [(w, a, b) for w in words], "w string, a string, b string"
+    )
+    got = {
+        r.w: r.s for r in sdf.select("w", F.expr(BPE_FOLD_EXPR).alias("s")).collect()
+    }
+    for w in words:
+        assert got[w] == "|".join(fold(w)), (w, a, b, got[w])
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(alphabet=st.sampled_from("xyz "), min_size=0, max_size=60), min_size=1, max_size=6))
+def test_window_hash_batches_counts(texts):
+    """The Arrow-batched sliding-window hasher must emit exactly
+    max(len(tokens) - W + 1, 0) windows per doc, in md5-hex form, and
+    identical tokens must yield identical hashes across docs."""
+    import pandas as pd
+
+    from big_data_training_spark.extensions.filters import (
+        SPAN_W,
+        _window_hash_batches,
+    )
+
+    pdf = pd.DataFrame(
+        {"doc_id": list(range(len(texts))), "text": texts}
+    ).astype({"doc_id": "int64"})
+    out = pd.concat(list(_window_hash_batches([pdf])), ignore_index=True)
+    for i, t in enumerate(texts):
+        n_tok = len(t.split())
+        expect = max(n_tok - SPAN_W + 1, 0)
+        assert (out["doc_id"] == i).sum() == expect
+    assert all(len(h) == 32 for h in out["h"])
+    # determinism: same text twice -> same hash multiset
+    pdf2 = pd.DataFrame({"doc_id": [0, 1], "text": [texts[0], texts[0]]}).astype(
+        {"doc_id": "int64"}
+    )
+    out2 = pd.concat(list(_window_hash_batches([pdf2])), ignore_index=True)
+    assert sorted(out2[out2.doc_id == 0]["h"]) == sorted(
+        out2[out2.doc_id == 1]["h"]
+    )
