@@ -89,6 +89,7 @@ _OPERATOR_MODULES = (
     "extensions.filters",
     "extensions.ann_eval",
     "extensions.communities",
+    "extensions.lshtuning",
 )
 
 import_errors: dict[str, str] = {}
