@@ -384,3 +384,69 @@ def sim_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     and sim_pq_recall_at_k attributes the loss between the two stages."""
     truth = sim_bruteforce_topk(spark, sf_dir).select("vec_id")
     return _recall_report(truth, _ivfpq_candidates(spark, sf_dir))
+
+
+@register(
+    "dq_embedding_health",
+    f"""
+    WITH m AS (
+        SELECT vec_id, embedding,
+               len(embedding) AS dim,
+               {_sql_dot('embedding', 'embedding')} AS sq
+        FROM embeddings
+    )
+    SELECT count(*) AS n_vectors,
+           CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_wrong_dim,
+           CAST(sum(CASE WHEN len(list_filter(embedding, x -> x IS NULL)) > 0
+                          OR isnan(sq) OR NOT isfinite(sq)
+                     THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nonfinite,
+           CAST(sum(CASE WHEN sq = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_norm,
+           round(min(sqrt(sq)), 6) AS min_norm,
+           round(max(sqrt(sq)), 6) AS max_norm
+    FROM m
+    """,
+    doc="embedding index health: dim/NaN/zero-norm audit + norm envelope",
+)
+def dq_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-index gate every vector pipeline runs: wrong-dimension,
+    non-finite, and zero-norm vectors each break a different stage
+    (zip_with misalignment, NaN-poisoned distances, division by zero in
+    normalization), so they are counted separately (null elements are
+    flagged explicitly — Spark's fold propagates element nulls where
+    DuckDB's sum skips them, so the audit must not lean on either
+    engine's null arithmetic); the norm envelope
+    catches scale drift between embedding batches. One pipelined scan,
+    one scalar aggregate — shuffle-free at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.expr(
+        "aggregate(zip_with(embedding, embedding,"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0 as double), (acc, v) -> acc + v)"
+    )
+    m = emb.select("embedding", F.size("embedding").alias("dim"), sq.alias("sq"))
+    return m.agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.when(F.col("dim") != 64, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_wrong_dim"),
+        F.sum(
+            F.when(
+                F.expr("exists(embedding, x -> x IS NULL)")
+                | F.col("sq").isNull()
+                | F.isnan("sq")
+                | (F.col("sq") == F.expr("double('Infinity')"))
+                | (F.col("sq") == F.expr("double('-Infinity')")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_nonfinite"),
+        F.sum(F.when(F.col("sq") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_norm"),
+        F.round(F.min(F.sqrt("sq")), 6).alias("min_norm"),
+        F.round(F.max(F.sqrt("sq")), 6).alias("max_norm"),
+    )
