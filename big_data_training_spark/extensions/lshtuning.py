@@ -137,15 +137,19 @@ def dd_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("est").alias("est"))
         )
 
+    cands = {(b, r): candidates(b, r) for b, r in SWEEP_CONFIGS}
     b0, r0 = SWEEP_CONFIGS[0]
+    # The permissive config feeds both the truth count and its own row;
+    # checkpoint so the 16-band self-join runs once, not twice.
+    cands[(b0, r0)] = cands[(b0, r0)].localCheckpoint(eager=False)
     truth_n = (
-        candidates(b0, r0)
+        cands[(b0, r0)]
         .filter(F.col("est") >= MINHASH_TAU)
         .agg(F.count("*").alias("n_truth"))
     )
     per_config = []
     for b, r in SWEEP_CONFIGS:
-        cand = candidates(b, r)
+        cand = cands[(b, r)]
         stats = cand.agg(
             F.count("*").alias("n_candidates"),
             F.sum(F.when(F.col("est") >= MINHASH_TAU, 1).otherwise(0))
