@@ -18,6 +18,11 @@ Both reuse the recall skeleton of ``sim_ivf_recall_at_k``: truth and
 candidate top-k are TakeOrderedAndProject scans (broadcast 1-row query,
 no corpus shuffle), the overlap is a semi-join of two k-row sets, and
 the report is integer permille.
+
+The module also composes the two production approximations into the
+full serving architecture (``sim_ivfpq_topk`` — IVF cell routing over
+PQ ADC scoring — with its stacked recall audit) and carries the
+pre-index data-quality gate (``dq_embedding_health``).
 """
 
 from __future__ import annotations
