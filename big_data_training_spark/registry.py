@@ -90,6 +90,7 @@ _OPERATOR_MODULES = (
     "extensions.ann_eval",
     "extensions.communities",
     "extensions.lshtuning",
+    "streaming.curation_stream",
 )
 
 import_errors: dict[str, str] = {}
