@@ -454,3 +454,72 @@ def lm_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "over_epoch_cap"
         ),
     )
+
+
+PRUNE_THRESHOLDS = (2, 5, 10, 20)
+
+
+@register(
+    "lm_vocab_pruning_plan",
+    f"""
+    WITH uni AS (
+        SELECT w, count(*) AS cnt
+        FROM (SELECT unnest({SQL_TOKENS.format(col='text')}) AS w
+              FROM documents) AS t
+        GROUP BY w
+    ), total AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_occ FROM uni
+    )
+    SELECT t.thr AS min_count,
+           CAST((SELECT count(*) FROM uni WHERE cnt >= t.thr) AS BIGINT)
+               AS vocab_size,
+           CAST((SELECT coalesce(sum(cnt), 0) FROM uni WHERE cnt < t.thr)
+                AS BIGINT) AS oov_occurrences,
+           CAST((SELECT coalesce(sum(cnt), 0) FROM uni WHERE cnt < t.thr)
+                * 1000 // (SELECT n_occ FROM total) AS BIGINT)
+               AS oov_permille
+    FROM (VALUES {', '.join(f'({t})' for t in PRUNE_THRESHOLDS)}) AS t(thr)
+    """,
+    doc="LM: vocabulary pruning curve — vocab size vs OOV mass per threshold",
+)
+def lm_vocab_pruning_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-design table: for each min-frequency cutoff, the
+    surviving vocabulary size and the token mass that becomes OOV —
+    the curve that picks a vocab size before BPE training spends
+    anything. One unigram aggregation (vocabulary-keyed, map-side
+    combined); the per-threshold rows are scalar aggregates over that
+    vocabulary table, which at 100 TB is millions of rows, not the
+    corpus. All counts integer, OOV share in permille floor-division."""
+    docs = load_table(spark, sf_dir, "documents")
+    uni = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .cache()
+    )
+    total = uni.agg(F.sum("cnt").cast("bigint").alias("n_occ"))
+    rows = []
+    for t in PRUNE_THRESHOLDS:
+        stats = uni.agg(
+            F.sum(F.when(F.col("cnt") >= t, 1).otherwise(0))
+            .cast("bigint")
+            .alias("vocab_size"),
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") < t, F.col("cnt"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("oov_occurrences"),
+        )
+        rows.append(
+            stats.crossJoin(F.broadcast(total)).select(
+                F.lit(t).cast("int").alias("min_count"),
+                "vocab_size",
+                "oov_occurrences",
+                F.expr("oov_occurrences * 1000 div n_occ")
+                .cast("bigint")
+                .alias("oov_permille"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(DataFrame.unionAll, rows)
