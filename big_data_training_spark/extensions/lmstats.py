@@ -523,3 +523,50 @@ def lm_vocab_pruning_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     return reduce(DataFrame.unionAll, rows)
+
+
+@register(
+    "lm_fertility_by_lang",
+    r"""
+    WITH per_doc AS (
+        SELECT lang,
+               len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+               len(regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe
+        FROM documents
+    )
+    SELECT lang,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(n_bpe) * 100 // sum(n_words) AS BIGINT)
+               AS fertility_centi
+    FROM per_doc WHERE n_words > 0
+    GROUP BY lang
+    """,
+    doc="LM: tokenizer fertility per language (BPE-ish tokens per word, centi)",
+)
+def lm_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility — subword tokens emitted per whitespace word — per
+    language: THE tokenizer-equity metric for multilingual corpora
+    (languages the tokenizer segments poorly pay more compute per word
+    and fit less text per context window). Uses the same regex
+    segmentation as tx_token_count_bpe so the two reports compose; one
+    map-side-combined aggregation keyed on |langs| values, centi-integer
+    ratio so the table is bit-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(tokens("text"))
+    n_bpe = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), F.lit(0)
+        )
+    )
+    per_doc = docs.select(
+        "lang", n_words.alias("n_words"), n_bpe.alias("n_bpe")
+    ).filter(F.col("n_words") > 0)
+    return per_doc.groupBy("lang").agg(
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        F.expr("sum(n_bpe) * 100 div sum(n_words)")
+        .cast("bigint")
+        .alias("fertility_centi"),
+    )
