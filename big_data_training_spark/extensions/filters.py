@@ -411,3 +411,82 @@ def tx_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_score_permille",
         F.ntile(N_PHASES).over(w).cast("bigint").alias("phase"),
     )
+
+
+from big_data_training_spark.extensions.dedup import (  # noqa: E402
+    _SQL_COMPONENTS_CTES,
+    dd_cluster_components,
+)
+
+
+@register(
+    "dd_inflation_report",
+    _SQL_COMPONENTS_CTES
+    + """
+    , keep_exact AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ), keep_near AS (
+        SELECT min(node) AS doc_id FROM labels GROUP BY comp
+        UNION ALL
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM labels)
+    )
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN ke.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after_exact,
+           CAST(sum(CASE WHEN kn.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after_near,
+           CAST((count(*) - sum(CASE WHEN kn.doc_id IS NOT NULL THEN 1 ELSE 0 END))
+                * 1000 // count(*) AS BIGINT) AS inflation_permille
+    FROM documents d
+    LEFT JOIN keep_exact ke ON ke.doc_id = d.doc_id
+    LEFT JOIN keep_near kn ON kn.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+    doc="dedup accounting: per-source corpus shrinkage under exact and near dedup",
+)
+def dd_inflation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number a curation run reports upward: how much of each source
+    survives exact dedup (keep min doc_id per content hash) and
+    near-dup family dedup (keep min doc_id per LSH connected component;
+    docs in no family keep themselves), with the duplicated share in
+    permille. Sources whose inflation is high are mirror-heavy — the
+    candidates for crawler-side blocking. Reuses the certified
+    clustering (dd_cluster_components), so the report and the dedup it
+    describes can never disagree; the extra cost over clustering is two
+    vocabulary-of-keepers semi-joins and one per-source aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep_exact = docs.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    labels = dd_cluster_components(spark, sf_dir)
+    in_family = labels.select("doc_id")
+    keep_family = labels.groupBy("component_id").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    keep_near = keep_family.unionAll(
+        docs.select("doc_id").join(in_family, "doc_id", "left_anti")
+    )
+    flagged = (
+        docs.select("doc_id", "source")
+        .join(
+            keep_exact.withColumn("ke", F.lit(1)), "doc_id", "left"
+        )
+        .join(keep_near.withColumn("kn", F.lit(1)), "doc_id", "left")
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("ke").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_after_exact"),
+        F.sum(F.when(F.col("kn").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_after_near"),
+        F.expr(
+            "(count(*) - sum(CASE WHEN kn IS NOT NULL THEN 1 ELSE 0 END))"
+            " * 1000 div count(*)"
+        )
+        .cast("bigint")
+        .alias("inflation_permille"),
+    )
