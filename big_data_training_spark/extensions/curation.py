@@ -487,3 +487,168 @@ def dd_keep_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
+
+
+# --- Bloom-filter decontamination -------------------------------------
+#
+# The hashed variant above broadcasts one 8-byte hash per benchmark
+# shingle; for a very large eval suite that broadcast is still
+# O(shingles). A bloom filter caps the shipped state at a fixed size
+# (here 16384 words x 63 usable bits = ~126 KB) at the cost of a
+# bounded, one-sided false-positive rate — a false positive only ever
+# ADDS a flag, so decontamination stays safe (no false negatives, the
+# bloom guarantee). Geometry: ~22.5k eval shingles at sf0.1 against
+# ~1.03M bits with 3 probes -> ~2.5e-4 per-shingle FP, under ~2% per
+# document. 63 bits per word keeps every shift below the bigint sign
+# bit so shift/mask semantics are engine-identical (same convention as
+# extensions/sketches.py).
+DECON_BLOOM_WORDS = 16384
+DECON_BLOOM_BITS = DECON_BLOOM_WORDS * 63
+DECON_BLOOM_PROBES = 3
+
+
+def _sql_decon_bloom_pos(i: int, key_expr: str) -> str:
+    salted = f"'dbf{i}:' || {key_expr}"
+    return f"{sql_hash60(salted)} % {DECON_BLOOM_BITS}"
+
+
+_SQL_DECON_BLOOM = (
+    _SQL_DECON_CTE
+    + f"""
+    , eval_sh AS (
+        SELECT DISTINCT s FROM (SELECT unnest(shingles) AS s FROM sh
+                                WHERE {EVAL_PRED})
+    ), build_pos AS (
+        {" UNION ALL ".join(f"SELECT {_sql_decon_bloom_pos(i, 's')} AS pos FROM eval_sh" for i in range(DECON_BLOOM_PROBES))}
+    ), words AS (
+        SELECT pos // 63 AS word,
+               bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS w
+        FROM build_pos GROUP BY 1
+    ), corpus_sh AS (
+        SELECT doc_id, unnest(shingles) AS s FROM sh
+        WHERE NOT ({EVAL_PRED})
+    ), probe_pos AS (
+        {" UNION ALL ".join(f"SELECT doc_id, s, {_sql_decon_bloom_pos(i, 's')} AS pos FROM corpus_sh" for i in range(DECON_BLOOM_PROBES))}
+    ), shingle_hits AS (
+        SELECT doc_id, s,
+               min(CASE WHEN ((coalesce(w.w, 0) >> CAST(p.pos % 63 AS INT)) & 1) = 1
+                        THEN 1 ELSE 0 END) AS maybe
+        FROM probe_pos p LEFT JOIN words w ON w.word = p.pos // 63
+        GROUP BY doc_id, s
+    ), doc_flags AS (
+        SELECT h.doc_id,
+               max(h.maybe) AS bloom_flag,
+               max(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END) AS exact_flag
+        FROM shingle_hits h LEFT JOIN eval_sh e ON e.s = h.s
+        GROUP BY h.doc_id
+    )
+    SELECT d.source AS source,
+           count(*) AS n_docs,
+           CAST(sum(coalesce(f.bloom_flag, 0)) AS BIGINT) AS n_flagged_bloom,
+           CAST(sum(coalesce(f.exact_flag, 0)) AS BIGINT) AS n_flagged_exact,
+           CAST(sum(coalesce(f.bloom_flag, 0) - coalesce(f.exact_flag, 0))
+                AS BIGINT) AS n_false_pos
+    FROM documents d LEFT JOIN doc_flags f ON f.doc_id = d.doc_id
+    WHERE NOT (d.{EVAL_PRED})
+    GROUP BY 1
+    """
+)
+
+
+@register(
+    "dd_decontaminate_bloom",
+    _SQL_DECON_BLOOM,
+    doc="decontamination via a fixed-size bloom filter of benchmark shingles:"
+    " constant broadcast state, one-sided error, per-source FP audit",
+)
+def dd_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination where the benchmark index is a ~126 KB bloom
+    filter instead of a per-shingle hash set: build is one bit_or
+    aggregate over the eval shingles' probe positions, the corpus scan
+    probes each shingle against the broadcast word table (16384 rows,
+    an equi-join — never key-to-key against the eval set), and a doc is
+    flagged if any shingle has all probe bits set. The exact string
+    semi-join runs alongside purely as the audit truth: the report
+    proves no false negatives (bloom >= exact per source) and counts
+    the bounded false positives the fixed-size state buys. At 100 TB
+    the broadcast is constant-size no matter how large the eval suite
+    grows — the difference between shipping kilobytes and shipping the
+    whole benchmark index to 1000 executors."""
+    sh = _decon_shingled(spark, sf_dir)
+    eval_sh = sh.filter(EVAL_PRED).select("s").distinct()
+    build_pos = eval_sh.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        hash60(F.concat(F.lit(f"dbf{i}:"), F.col("s"))),
+                        F.lit(DECON_BLOOM_BITS),
+                    )
+                    for i in range(DECON_BLOOM_PROBES)
+                ]
+            )
+        ).alias("pos")
+    )
+    words = build_pos.groupBy(
+        (F.col("pos") / 63).cast("bigint").alias("word")
+    ).agg(F.bit_or(F.expr("shiftleft(1L, cast(pos % 63 as int))")).alias("w"))
+
+    corpus_sh = sh.filter(f"NOT ({EVAL_PRED})")
+    probe_pos = corpus_sh.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        hash60(F.concat(F.lit(f"dbf{i}:"), F.col("s"))),
+                        F.lit(DECON_BLOOM_BITS),
+                    )
+                    for i in range(DECON_BLOOM_PROBES)
+                ]
+            )
+        ).alias("pos"),
+    )
+    shingle_hits = (
+        probe_pos.join(
+            F.broadcast(words),
+            (F.col("pos") / 63).cast("bigint") == F.col("word"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "s",
+            F.when(
+                F.expr("(shiftright(coalesce(w, 0L), cast(pos % 63 as int)) & 1) = 1"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("hit"),
+        )
+        .groupBy("doc_id", "s")
+        .agg(F.min("hit").alias("maybe"))
+    )
+    doc_flags = (
+        shingle_hits.join(
+            F.broadcast(eval_sh.withColumn("in_eval", F.lit(1))), "s", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("maybe").alias("bloom_flag"),
+            F.max(F.coalesce("in_eval", F.lit(0))).alias("exact_flag"),
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(f"NOT ({EVAL_PRED})")
+    return (
+        docs.join(doc_flags, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("bloom_flag", F.lit(0))).alias("n_flagged_bloom"),
+            F.sum(F.coalesce("exact_flag", F.lit(0))).alias("n_flagged_exact"),
+            F.sum(
+                F.coalesce("bloom_flag", F.lit(0))
+                - F.coalesce("exact_flag", F.lit(0))
+            ).alias("n_false_pos"),
+        )
+    )

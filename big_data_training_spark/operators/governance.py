@@ -1,0 +1,246 @@
+"""Data-governance and physical-layout audits: k-anonymity risk,
+zone-map pruning effectiveness, and sequence-padding waste.
+
+The reference's pipeline story (README.md:18-22, collect → store →
+process) leaves two questions every 100 TB deployment must answer
+about the "store" stage — *is the data safe to share* and *is the
+layout worth scanning* — plus one the training-prep stage must answer
+about sequence batching. All three are single-pass integer-exact
+aggregate reports:
+
+* **k-anonymity** — group rows by their quasi-identifier tuple and
+  count equivalence classes smaller than k: the standard
+  re-identification risk audit run before a corpus (or its metadata)
+  is released. One shuffle on the QID, then a few-hundred-row class
+  table is re-aggregated per k threshold.
+* **Zone-map pruning audit** — simulate per-file min/max statistics
+  (the parquet row-group / Iceberg manifest mechanism) under two
+  physical layouts — ingest order vs date-clustered — and measure how
+  many files a time-range predicate could skip in each. This is the
+  quantitative case for clustering: on uncorrelated ingest order the
+  zone maps prune ~nothing; binned by month they prune almost
+  everything outside the window.
+* **Padding waste** — bucket documents by token length and report the
+  tokens lost to padding at a fixed sequence length vs padding to the
+  bucket top (the length-bucketed batching trick), plus tokens lost to
+  truncation: the report that motivates sequence packing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_training_spark.data import load_table
+from big_data_training_spark.registry import register
+
+K_THRESHOLDS = (2, 5, 10, 20)
+QID_CHAR_BUCKET = 64  # n_chars coarsened to 64-char buckets
+
+ZONE_ORDERKEYS_PER_FILE = 256  # ingest-order files: ~1k rows each
+ZONE_LO = "1998-06-01"
+ZONE_HI = "1998-07-01"  # half-open [LO, HI)
+
+SEQ_LEN = 2048
+LEN_BUCKET = 64
+
+
+@register(
+    "dq_k_anonymity",
+    f"""
+    WITH cls AS (
+        SELECT lang, source, n_chars // {QID_CHAR_BUCKET} AS b,
+               count(*) AS n
+        FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT k,
+           CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_classes_below,
+           CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk
+    FROM cls, (VALUES (2), (5), (10), (20)) AS ks(k)
+    GROUP BY k
+    """,
+    doc="privacy: k-anonymity audit over (lang, source, length-bucket)"
+    " quasi-identifiers at several k thresholds",
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk report: every document's quasi-identifier
+    is (lang, source, n_chars bucketed to 64); an equivalence class
+    smaller than k means those rows are distinguishable among fewer
+    than k peers. One shuffle builds the class-size table; the per-k
+    report is a conditional re-aggregate of that (small) table — the
+    threshold list multiplies class rows, never data rows, so the audit
+    costs one corpus pass at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    cls = docs.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / QID_CHAR_BUCKET).alias("b"),
+    ).agg(F.count("*").alias("n"))
+    ks = F.explode(F.array(*[F.lit(k) for k in K_THRESHOLDS])).alias("k")
+    return (
+        cls.select("n", ks)
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("n") < F.col("k"), 1).otherwise(0)).alias(
+                "n_classes_below"
+            ),
+            F.sum(
+                F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(0)
+            ).alias("n_rows_at_risk"),
+        )
+    )
+
+
+_SQL_ZONE_PRED = (
+    f"l_shipdate >= TIMESTAMP '{ZONE_LO} 00:00:00'"
+    f" AND l_shipdate < TIMESTAMP '{ZONE_HI} 00:00:00'"
+)
+
+
+@register(
+    "s9_zonemap_prune_audit",
+    f"""
+    WITH filed AS (
+        SELECT l_shipdate,
+               l_orderkey // {ZONE_ORDERKEYS_PER_FILE} AS f_ingest,
+               year(l_shipdate) * 12 + month(l_shipdate) AS f_clustered
+        FROM lineitem
+    ), layouts AS (
+        SELECT 'ingest_order' AS layout, f_ingest AS file_id, l_shipdate
+        FROM filed
+        UNION ALL
+        SELECT 'date_clustered', f_clustered, l_shipdate FROM filed
+    ), zones AS (
+        SELECT layout, file_id,
+               min(l_shipdate) AS lo, max(l_shipdate) AS hi,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN {_SQL_ZONE_PRED} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_match
+        FROM layouts GROUP BY 1, 2
+    )
+    SELECT layout,
+           count(*) AS n_files,
+           CAST(sum(CASE WHEN hi >= TIMESTAMP '{ZONE_LO} 00:00:00'
+                          AND lo < TIMESTAMP '{ZONE_HI} 00:00:00'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_files_kept,
+           CAST(sum(n_rows) AS BIGINT) AS rows_total,
+           CAST(sum(CASE WHEN hi >= TIMESTAMP '{ZONE_LO} 00:00:00'
+                          AND lo < TIMESTAMP '{ZONE_HI} 00:00:00'
+                         THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(sum(n_match) AS BIGINT) AS rows_matched
+    FROM zones GROUP BY layout
+    """,
+    doc="physical layout: zone-map (file min/max) pruning effectiveness"
+    " for a date predicate, ingest order vs date-clustered",
+)
+def s9_zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies what data clustering buys a 100 TB scan: files are
+    simulated under two layouts (ingest order = orderkey ranges, which
+    is uncorrelated with ship date in this data; date-clustered = one
+    file per calendar month, what a `CLUSTER BY`/Z-order rewrite
+    produces), per-file min/max zone maps are one aggregate, and a
+    30-day predicate keeps a file only if [min,max] intersects the
+    window. rows_scanned/rows_total is the fraction of the table a
+    stats-aware reader (parquet row-group stats, Iceberg manifests)
+    must touch — near 100% on the ingest layout, ~1 file's worth on the
+    clustered one, with rows_matched identical in both rows because
+    pruning never changes the answer."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pred = (
+        (F.col("l_shipdate") >= F.lit(f"{ZONE_LO} 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{ZONE_HI} 00:00:00").cast("timestamp"))
+    )
+    filed = li.select(
+        "l_shipdate",
+        F.floor(F.col("l_orderkey") / ZONE_ORDERKEYS_PER_FILE).alias("f_ingest"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("bigint")
+        .alias("f_clustered"),
+    )
+    layouts = filed.select(
+        F.lit("ingest_order").alias("layout"),
+        F.col("f_ingest").alias("file_id"),
+        "l_shipdate",
+    ).unionByName(
+        filed.select(
+            F.lit("date_clustered").alias("layout"),
+            F.col("f_clustered").alias("file_id"),
+            "l_shipdate",
+        )
+    )
+    zones = layouts.groupBy("layout", "file_id").agg(
+        F.min("l_shipdate").alias("lo"),
+        F.max("l_shipdate").alias("hi"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(pred, 1).otherwise(0)).alias("n_match"),
+    )
+    kept = (
+        F.col("hi") >= F.lit(f"{ZONE_LO} 00:00:00").cast("timestamp")
+    ) & (F.col("lo") < F.lit(f"{ZONE_HI} 00:00:00").cast("timestamp"))
+    return zones.groupBy("layout").agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_files_kept"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum(F.when(kept, F.col("n_rows")).otherwise(0)).alias("rows_scanned"),
+        F.sum("n_match").alias("rows_matched"),
+    )
+
+
+@register(
+    "tx_padding_waste",
+    f"""
+    WITH t AS (
+        SELECT CAST(ceil(len(text) / 4.0) AS BIGINT) AS n_tok
+        FROM documents
+    )
+    SELECT ((n_tok + {LEN_BUCKET - 1}) // {LEN_BUCKET}) * {LEN_BUCKET}
+               AS bucket_top,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(((n_tok + {LEN_BUCKET - 1}) // {LEN_BUCKET})
+                    * {LEN_BUCKET} - n_tok) AS BIGINT) AS pad_to_bucket,
+           CAST(sum({SEQ_LEN} - least(n_tok, {SEQ_LEN})) AS BIGINT)
+               AS pad_to_seqlen,
+           CAST(sum(greatest(n_tok - {SEQ_LEN}, 0)) AS BIGINT)
+               AS truncated_tokens
+    FROM t GROUP BY 1
+    """,
+    doc="training prep: per-length-bucket padding waste at fixed seq-len"
+    " vs length-bucketed batching, plus truncation loss",
+)
+def tx_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report that motivates sequence packing: for each 64-token
+    length bucket, how many tokens a fixed-2048 batcher wastes as
+    padding (pad_to_seqlen), how much the length-bucketed alternative
+    recovers (pad_to_bucket), and what a truncating batcher would
+    discard. Token counts use the same chars/4 BPE-ish estimate as
+    tx_token_pack so the two reports compose. Single aggregate pass,
+    all-integer arithmetic — embarrassingly parallel at any corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_tok")
+    )
+    bucket_top = (
+        F.floor((F.col("n_tok") + (LEN_BUCKET - 1)) / LEN_BUCKET) * LEN_BUCKET
+    ).alias("bucket_top")
+    return (
+        t.groupBy(bucket_top)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum(
+                F.floor((F.col("n_tok") + (LEN_BUCKET - 1)) / LEN_BUCKET)
+                * LEN_BUCKET
+                - F.col("n_tok")
+            ).alias("pad_to_bucket"),
+            F.sum(
+                F.lit(SEQ_LEN) - F.least(F.col("n_tok"), F.lit(SEQ_LEN))
+            ).alias("pad_to_seqlen"),
+            F.sum(
+                F.greatest(F.col("n_tok") - SEQ_LEN, F.lit(0))
+            ).alias("truncated_tokens"),
+        )
+    )

@@ -91,6 +91,7 @@ _OPERATOR_MODULES = (
     "extensions.communities",
     "extensions.lshtuning",
     "streaming.curation_stream",
+    "operators.governance",
 )
 
 import_errors: dict[str, str] = {}
