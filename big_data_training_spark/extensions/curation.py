@@ -652,3 +652,45 @@ def dd_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_false_pos"),
         )
     )
+
+
+@register(
+    "dd_contaminated_eval_report",
+    _SQL_DECON_CTE
+    + f"""
+    SELECT e.doc_id AS eval_doc_id,
+           count(DISTINCT t.doc_id) AS n_corpus_docs,
+           count(DISTINCT e.s) AS n_leaked_shingles
+    FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+          WHERE {EVAL_PRED}) AS e
+    JOIN (SELECT doc_id, unnest(shingles) AS s FROM sh
+          WHERE NOT ({EVAL_PRED})) AS t USING (s)
+    GROUP BY 1
+    """,
+    doc="decontamination observability: which eval docs leak into the"
+    " corpus, by corpus-doc count and distinct leaked shingles",
+)
+def dd_contaminated_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse view of dd_decontaminate_overlap: per BENCHMARK doc,
+    how many training documents share an n-gram with it and how many of
+    its shingles leaked. This is the report an eval-integrity review
+    reads — a benchmark item leaked into thousands of corpus docs is
+    compromised even after decontamination removes them, because the
+    removal only fixes THIS corpus, not the model zoo trained before.
+    Same broadcast-eval join shape as the decontaminate queries: the
+    corpus scans once, the grouped output is eval-sized (tiny)."""
+    sh = _decon_shingled(spark, sf_dir)
+    train = sh.filter(f"NOT ({EVAL_PRED})").select(
+        F.col("doc_id").alias("corpus_doc_id"), "s"
+    )
+    eval_sh = sh.filter(EVAL_PRED).select(
+        F.col("doc_id").alias("eval_doc_id"), "s"
+    )
+    return (
+        train.join(F.broadcast(eval_sh), "s")
+        .groupBy("eval_doc_id")
+        .agg(
+            F.countDistinct("corpus_doc_id").alias("n_corpus_docs"),
+            F.countDistinct("s").alias("n_leaked_shingles"),
+        )
+    )

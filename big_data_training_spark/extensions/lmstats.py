@@ -570,3 +570,96 @@ def lm_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fertility_centi"),
     )
+
+
+# Salted-hash split predicate shared with tx_split_assign
+# (extensions/textstats.py): bucket < 80 of 100 is 'train', the rest is
+# held out. Reusing the exact expression keeps the split consistent
+# across every query that mentions it.
+_SQL_TRAIN_BUCKET = (
+    "CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+    " AS BIGINT) % 100"
+)
+
+
+@register(
+    "lm_bigram_oov_rate",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {SQL_TOKENS.format(col='text')} AS ws,
+               ({_SQL_TRAIN_BUCKET}) < 80 AS is_train
+        FROM documents
+    ), bigrams AS (
+        SELECT lang, is_train,
+               unnest([ws[i] || ' ' || ws[i + 1]
+                       for i in generate_series(1, len(ws) - 1)]) AS bg
+        FROM toks WHERE len(ws) >= 2
+    ), train_types AS (
+        SELECT DISTINCT bg FROM bigrams WHERE is_train
+    ), held AS (
+        SELECT h.lang, h.bg, t.bg IS NULL AS unseen
+        FROM bigrams h LEFT JOIN train_types t ON t.bg = h.bg
+        WHERE NOT h.is_train
+    )
+    SELECT lang,
+           count(*) AS n_bigrams,
+           CAST(sum(CASE WHEN unseen THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unseen,
+           CAST(sum(CASE WHEN unseen THEN 1 ELSE 0 END) * 1000 // count(*)
+                AS BIGINT) AS oov_permille
+    FROM held GROUP BY lang
+    """,
+    doc="LM: held-out bigram OOV rate vs the train split's bigram types,"
+    " per language — the generalization-gap data audit",
+)
+def lm_bigram_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of the held-out split's bigram stream was never seen in
+    training data: the corpus-side generalization audit (a held-out OOV
+    rate near zero means the split leaks or the corpus is templated;
+    near one means the train split undercovers the language). Uses the
+    same salted-hash 80/20 split as tx_split_assign so the report
+    composes with the split assignment. The train bigram-type set is
+    corpus-sized, so membership is an honest shuffle join on the bigram
+    key (hash-partitioned both sides, map-side distinct on the build
+    side) — never a broadcast; per-language rates are integer permille."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    toks = docs.select(
+        "lang",
+        tokens("text").alias("ws"),
+        (bucket < 80).alias("is_train"),
+    ).filter(F.size("ws") >= 2)
+    bigrams = toks.select(
+        "lang",
+        "is_train",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    train_types = bigrams.filter("is_train").select("bg").distinct()
+    held = bigrams.filter(~F.col("is_train")).join(
+        train_types.withColumn("seen", F.lit(1)), "bg", "left"
+    )
+    return held.groupBy("lang").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0)).alias("n_unseen"),
+        F.floor(
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            * 1000
+            / F.count("*")
+        ).alias("oov_permille"),
+    )

@@ -844,3 +844,65 @@ def sim_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+SWEEP_TAUS_PERMILLE = (200, 300, 400, 500, 600)
+
+
+@register(
+    "sim_threshold_sweep",
+    f"""
+    WITH keyed AS (
+        SELECT *, ('' {_SIGN_BITS}) AS bucket FROM embeddings
+    ), pairs AS (
+        SELECT {_sql_dot('a.embedding', 'b.embedding')} /
+               (sqrt({_sql_dot('a.embedding', 'a.embedding')}) *
+                sqrt({_sql_dot('b.embedding', 'b.embedding')})) AS cos
+        FROM keyed a JOIN keyed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT t AS threshold_permille,
+           CAST(sum(CASE WHEN cos >= t / 1000.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pairs
+    FROM pairs, (VALUES {", ".join(f"({t})" for t in SWEEP_TAUS_PERMILLE)})
+                AS ts(t)
+    GROUP BY t
+    """,
+    doc="embedding dedup tuning: near-dup pair count per cosine threshold"
+    " over the sign-LSH blocked candidates",
+)
+def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggressiveness curve for embedding near-dup removal: how many
+    candidate pairs each cosine threshold would merge. Candidates come
+    from the same sign-LSH blocking as dd_embedding_neardup (the
+    all-pairs product never materializes), each pair's exact cosine is
+    computed ONCE, and the threshold list multiplies pair rows, not
+    corpus rows — so sweeping 5 thresholds costs the same single
+    blocked pass as checking one. This is the table you read before
+    committing a dedup threshold on the full corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = F.concat(
+        *[
+            F.when(F.col("embedding").getItem(d) >= 0, "1").otherwise("0")
+            for d in LSH_DIMS
+        ]
+    )
+    keyed = emb.withColumn("bucket", bucket).select("vec_id", "bucket", "embedding")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(F.expr(_cos_expr("a.embedding", "b.embedding")).alias("cos"))
+    ts = F.explode(
+        F.array(*[F.lit(t) for t in SWEEP_TAUS_PERMILLE])
+    ).alias("t")
+    return (
+        pairs.select("cos", ts)
+        .groupBy(F.col("t").alias("threshold_permille"))
+        .agg(
+            F.sum(
+                F.when(F.col("cos") >= F.col("t") / 1000.0, 1).otherwise(0)
+            ).alias("n_pairs")
+        )
+    )
