@@ -294,3 +294,43 @@ def mm_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("image").alias("modality"), "n", "total_bytes", "max_bytes")
     )
+
+
+@register(
+    "mm_content_dedup",
+    """
+    WITH groups AS (
+        SELECT sha256(text) AS sha,
+               count(*) AS n_copies,
+               max(CAST(octet_length(encode(text)) AS BIGINT)) AS n_bytes
+        FROM documents GROUP BY 1
+    )
+    SELECT n_copies,
+           count(*) AS n_groups,
+           CAST(sum((n_copies - 1) * n_bytes) AS BIGINT) AS wasted_bytes
+    FROM groups GROUP BY n_copies
+    """,
+    doc="multimodal: exact binary-content dedup by payload digest —"
+    " copy-count histogram + reclaimable bytes",
+)
+def mm_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup for opaque binary payloads: group by the content
+    digest (sha-256 of the bytes — the only equality that exists for
+    media blobs), then report the copy-count histogram and the storage
+    a keep-one pass would reclaim. The shuffle key is the 32-byte
+    digest, never the payload: at 100 TB the exchange moves hashes and
+    counts while the blobs stay put in their files — the same
+    digest-first shape object stores use for dedup. Composes with
+    mm_binary_metadata, which already computes content_sha per row."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    groups = docs.select(
+        F.sha2(payload, 256).alias("sha"),
+        F.octet_length(payload).cast("bigint").alias("len"),
+    ).groupBy("sha").agg(
+        F.count("*").alias("n_copies"), F.max("len").alias("n_bytes")
+    )
+    return groups.groupBy("n_copies").agg(
+        F.count("*").alias("n_groups"),
+        F.sum((F.col("n_copies") - 1) * F.col("n_bytes")).alias("wasted_bytes"),
+    )
