@@ -963,3 +963,39 @@ def st_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
     return run_to_completion(counts, "complete")
+
+
+@register(
+    "st_zonemap_maintain",
+    """
+    SELECT date_trunc('month', ts) AS month_start,
+           count(*) AS n_rows,
+           min(ts) AS ts_min, max(ts) AS ts_max,
+           min(value) AS v_min, max(value) AS v_max
+    FROM events GROUP BY 1
+    """,
+    doc="S9 streaming form: per-month file zone maps (min/max stats)"
+    " maintained incrementally at ingest",
+)
+def st_zonemap_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone maps maintained AT INGEST instead of recomputed by a table
+    scan: the stream's grouped aggregate keeps per-month min/max/count
+    running state exactly the way an Iceberg/Delta writer accumulates
+    file statistics on commit. min/max/count are associative, so each
+    micro-batch merges into standing state without reprocessing history
+    — the streaming twin of s9_zonemap_prune_audit's batch-side zone
+    maps, and the reason a 100 TB table's pruning stats are always
+    current without a maintenance scan. State is one row per month —
+    bounded by the calendar, not the stream."""
+    events = read_stream_table(spark, sf_dir, "events")
+    agg = (
+        events.groupBy(F.date_trunc("month", "ts").alias("month_start"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("ts").alias("ts_min"),
+            F.max("ts").alias("ts_max"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+    )
+    return run_to_completion(agg, "complete")
