@@ -906,3 +906,81 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_pairs")
         )
     )
+
+
+@register(
+    "sim_kmeans_centroid_drift",
+    _SQL_KMEANS_CENT_CTE
+    + f"""
+    , upd AS (
+        SELECT a.cluster, i - 1 AS pos,
+               round(CAST(sum(CAST(e.embedding[i] AS DECIMAL(38,12))) AS DOUBLE)
+                     / count(*), 6) AS c_new,
+               count(*) AS n
+        FROM assigned a
+        JOIN embeddings e USING (vec_id), generate_series(1, {EMB_DIM}) AS g(i)
+        WHERE a.rk = 1
+        GROUP BY 1, 2
+    )
+    SELECT u.cluster AS cluster,
+           max(u.n) AS n,
+           CAST(sum((CAST(round(u.c_new * 1000000) AS BIGINT)
+                     - CAST(round(i.c * 1000000) AS BIGINT))
+                    * (CAST(round(u.c_new * 1000000) AS BIGINT)
+                       - CAST(round(i.c * 1000000) AS BIGINT))) AS BIGINT)
+               AS drift_e12
+    FROM upd u JOIN init i ON i.cluster = u.cluster AND i.pos = u.pos
+    GROUP BY 1
+    """,
+    doc="k-means convergence audit: per-cluster squared centroid movement"
+    " of the Lloyd update, in exact micro-unit integers",
+)
+def sim_kmeans_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stopping criterion for the IVF trainer's Lloyd loop: how far
+    each centroid moved in the last update, as the squared L2 distance
+    in micro-units (both centroid tables are round-6 doubles, so
+    micro-unit deltas are exact integers and the sum is associative —
+    no float-summation-order hazard between engines, the same
+    fixed-point trick as the PageRank convergence audit). Movement
+    below threshold for every cluster = training converged. Cost: the
+    two centroid tables are k x dim cells; the audit join and aggregate
+    never touch the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    init = (
+        emb.select(
+            (F.col("vec_id") % KMEANS_K).alias("cluster"),
+            F.posexplode("embedding").alias("pos", "v"),
+        )
+        .groupBy("cluster", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,12)")).cast("double") / F.count("*"),
+                6,
+            ).alias("c")
+        )
+    )
+    assigned = _kmeans_assignment(spark, sf_dir).select("vec_id", "cluster")
+    upd = (
+        emb.join(assigned, "vec_id")
+        .select("cluster", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,12)")).cast("double") / F.count("*"),
+                6,
+            ).alias("c_new"),
+            F.count("*").alias("n"),
+        )
+    )
+    dm = F.round(F.col("c_new") * 1000000, 0).cast("bigint") - F.round(
+        F.col("c") * 1000000, 0
+    ).cast("bigint")
+    return (
+        upd.join(init, ["cluster", "pos"])
+        .select(F.col("cluster").cast("bigint").alias("cluster"), "n", dm.alias("dm"))
+        .groupBy("cluster")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.col("dm") * F.col("dm")).alias("drift_e12"),
+        )
+    )

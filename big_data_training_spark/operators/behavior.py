@@ -359,3 +359,117 @@ def ev_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+@register(
+    "ev_session_cooccurrence",
+    """
+    WITH o AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        >= 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, event_type,
+               CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+        FROM o
+    ), types AS (
+        SELECT DISTINCT user_id, session_id, event_type FROM sess
+    ), per_type AS (
+        SELECT event_type, count(*) AS n_sessions_with FROM types GROUP BY 1
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS n_sessions
+        FROM types a JOIN types b
+          ON a.user_id = b.user_id AND a.session_id = b.session_id
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_sessions,
+           CAST(p.n_sessions * 1000
+                // least(pa.n_sessions_with, pb.n_sessions_with) AS BIGINT)
+               AS affinity_permille
+    FROM pairs p
+    JOIN per_type pa ON pa.event_type = p.type_a
+    JOIN per_type pb ON pb.event_type = p.type_b
+    """,
+    doc="behavioral: event-type co-occurrence within 30-min sessions,"
+    " with integer affinity (pair sessions / rarer type's sessions)",
+)
+def ev_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis on the session grain: which event types
+    happen together inside the same 30-minute session, and how strongly
+    (pair count over the rarer type's session count, permille — a
+    confidence-style affinity that is 1000 when one type implies the
+    other). Reuses w2_sessionization's microsecond-exact gap rule; the
+    per-session type sets are tiny (≤ |event types|), so the
+    within-session self-join is bounded per key and the output is at
+    most |types|² rows regardless of event volume. One shuffle on
+    user_id, one on the pair key."""
+    from big_data_training_spark.operators.analytics import SESSION_GAP_S
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_s = F.when(
+        gap_us.isNull() | (gap_us >= SESSION_GAP_S * 1_000_000), 1
+    ).otherwise(0)
+    types = (
+        events.withColumn("new_s", new_s)
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select("user_id", "session_id", "event_type")
+        .distinct()
+    )
+    per_type = types.groupBy("event_type").agg(
+        F.count("*").alias("n_sessions_with")
+    )
+    a, b = types.alias("a"), types.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.session_id") == F.col("b.session_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                per_type.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n_sessions_with").alias("na"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                per_type.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n_sessions_with").alias("nb"),
+                )
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_sessions",
+            F.floor(
+                F.col("n_sessions") * 1000 / F.least("na", "nb")
+            ).alias("affinity_permille"),
+        )
+    )
