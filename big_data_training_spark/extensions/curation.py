@@ -560,6 +560,7 @@ _SQL_DECON_BLOOM = (
     _SQL_DECON_BLOOM,
     doc="decontamination via a fixed-size bloom filter of benchmark shingles:"
     " constant broadcast state, one-sided error, per-source FP audit",
+    bench=True,
 )
 def dd_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination where the benchmark index is a ~126 KB bloom
