@@ -984,3 +984,62 @@ def tx_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dd_soft_dedup_weights",
+    f"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(array_to_string(list_sort(list_distinct(
+                   {SQL_TOKENS.format(col='text')})), ' ')) AS fingerprint
+        FROM documents
+    ), grp AS (
+        SELECT fingerprint, count(*) AS n_copies FROM fp GROUP BY 1
+    )
+    SELECT f.source AS source,
+           count(*) AS n_docs,
+           CAST(sum(1000 // g.n_copies) AS BIGINT) AS effective_permille_sum,
+           CAST(sum(CASE WHEN g.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_downweighted
+    FROM fp f JOIN grp g USING (fingerprint)
+    GROUP BY 1
+    """,
+    doc="soft dedup: keep every copy but weight each doc 1/copies for the"
+    " training loss — per-source effective-size accounting",
+)
+def dd_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SoftDeDup alternative to removal: duplicates stay in the
+    corpus but each copy carries loss weight 1/n_copies, so a family of
+    k identical docs contributes one doc's worth of gradient. The
+    report: per source, raw docs, the summed weights in permille (the
+    'effective dataset size' the sampler sees — sum of 1000//n_copies,
+    integer-exact), and how many docs got down-weighted. Shape: the
+    fingerprint groupBy is the same single shuffle as exact dedup, and
+    the weight joins back on the fingerprint key (group sizes are the
+    only state) — removal and re-weighting cost the same at 100 TB,
+    which is exactly the paper's point."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.array_distinct(F.expr("filter(split(text, '\\\\s+'), w -> w != '')"))
+            ),
+        )
+    )
+    keyed = docs.select("doc_id", "source", fp.alias("fingerprint"))
+    grp = keyed.groupBy("fingerprint").agg(F.count("*").alias("n_copies"))
+    return (
+        keyed.join(grp, "fingerprint")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.floor(1000 / F.col("n_copies"))).alias(
+                "effective_permille_sum"
+            ),
+            F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias(
+                "n_downweighted"
+            ),
+        )
+    )

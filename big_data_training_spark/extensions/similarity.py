@@ -984,3 +984,117 @@ def sim_kmeans_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("dm") * F.col("dm")).alias("drift_e12"),
         )
     )
+
+
+SEMDEDUP_TAU = 0.5
+
+
+@register(
+    "dd_semdedup_prune_rate",
+    _SQL_KMEANS_CENT_CTE
+    + f"""
+    , upd AS (
+        SELECT a.cluster, i - 1 AS pos,
+               round(CAST(sum(CAST(e.embedding[i] AS DECIMAL(38,12))) AS DOUBLE)
+                     / count(*), 6) AS c_new
+        FROM assigned a
+        JOIN embeddings e USING (vec_id), generate_series(1, {EMB_DIM}) AS g(i)
+        WHERE a.rk = 1
+        GROUP BY 1, 2
+    ), cent2 AS (
+        SELECT cluster, list(c_new ORDER BY pos) AS cv FROM upd GROUP BY 1
+    ), coscore AS (
+        SELECT a.cluster, a.vec_id,
+               round((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * c.cv[i])
+                      FROM generate_series(1, {EMB_DIM}) AS g(i)) /
+                     (sqrt({_sql_dot('e.embedding', 'e.embedding')}) *
+                      sqrt((SELECT sum(c.cv[i] * c.cv[i])
+                            FROM generate_series(1, {EMB_DIM}) AS g(i)))), 6)
+                   AS cos_c
+        FROM assigned a
+        JOIN embeddings e USING (vec_id)
+        JOIN cent2 c ON c.cluster = a.cluster
+        WHERE a.rk = 1
+    )
+    SELECT cluster, count(*) AS n_vectors,
+           CAST(sum(CASE WHEN cos_c >= {SEMDEDUP_TAU} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_prunable,
+           CAST(sum(CASE WHEN cos_c >= {SEMDEDUP_TAU} THEN 1 ELSE 0 END)
+                * 1000 // count(*) AS BIGINT) AS prune_permille
+    FROM coscore GROUP BY 1
+    """,
+    doc="SemDeDup-style screening: per k-means cell, how many vectors sit"
+    " within the cosine-typicality threshold of their centroid",
+)
+def dd_semdedup_prune_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup capacity planning: vectors very close to their
+    cluster centroid are the 'typical' redundant mass SemDeDup removes
+    first; this audit counts them per cell before any pairwise pass
+    runs, so you can size (or skip) the expensive within-cell pair scan.
+    Cost shape: centroids are k x dim cells (corpus-size-free shuffle),
+    the cosine-to-centroid scan is one broadcast join over the corpus —
+    no pairs anywhere, which is the point: the pairwise SemDeDup pass
+    (dd_semantic_neardup_kmeans) only runs where this report says the
+    mass is."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = _kmeans_assignment(spark, sf_dir).select("vec_id", "cluster")
+    upd = (
+        emb.join(assigned, "vec_id")
+        .select("cluster", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,12)")).cast("double") / F.count("*"),
+                6,
+            ).alias("c_new")
+        )
+    )
+    cent2 = upd.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c_new"))), lambda s: s["c_new"]
+        ).alias("cv")
+    )
+    dot_ec = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("cv"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_e = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("embedding").cast("array<double>"), lambda x: x * x
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    norm_c = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("cv"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    coscore = (
+        emb.join(assigned, "vec_id")
+        .join(F.broadcast(cent2), "cluster")
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.round(dot_ec / (norm_e * norm_c), 6).alias("cos_c"),
+        )
+    )
+    return coscore.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.when(F.col("cos_c") >= SEMDEDUP_TAU, 1).otherwise(0)).alias(
+            "n_prunable"
+        ),
+        F.floor(
+            F.sum(F.when(F.col("cos_c") >= SEMDEDUP_TAU, 1).otherwise(0))
+            * 1000
+            / F.count("*")
+        ).alias("prune_permille"),
+    )
