@@ -67,3 +67,52 @@ def test_padding_waste_identities(spark, sf_dir):
             # Below the fixed seq-len, bucketed batching never pads more.
             assert r.pad_to_bucket <= r.pad_to_seqlen
             assert r.truncated_tokens == 0
+
+
+def test_session_cooccurrence_bounds(spark, sf_dir):
+    from big_data_training_spark.operators.behavior import ev_session_cooccurrence
+
+    rows = ev_session_cooccurrence(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.type_a < r.type_b  # canonical pair order, no mirrors
+        # confidence against the rarer type is at most 1 (permille 1000)
+        assert 0 <= r.affinity_permille <= 1000
+        assert r.n_sessions >= 1
+
+
+def test_soft_dedup_effective_size_bounds(spark, sf_dir):
+    from big_data_training_spark.extensions.dedup import dd_soft_dedup_weights
+
+    rows = dd_soft_dedup_weights(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # weights are in (0, 1]: effective size never exceeds raw size
+        assert 0 < r.effective_permille_sum <= 1000 * r.n_docs
+        assert 0 <= r.n_downweighted <= r.n_docs
+        if r.n_downweighted == 0:
+            assert r.effective_permille_sum == 1000 * r.n_docs
+
+
+def test_semdedup_rate_bounds(spark, sf_dir):
+    from big_data_training_spark.extensions.similarity import (
+        KMEANS_K,
+        dd_semdedup_prune_rate,
+    )
+
+    rows = dd_semdedup_prune_rate(spark, sf_dir).collect()
+    assert 0 < len(rows) <= KMEANS_K
+    for r in rows:
+        assert 0 <= r.n_prunable <= r.n_vectors
+        assert 0 <= r.prune_permille <= 1000
+
+
+def test_centroid_drift_nonnegative_and_bounded_clusters(spark, sf_dir):
+    from big_data_training_spark.extensions.similarity import (
+        KMEANS_K,
+        sim_kmeans_centroid_drift,
+    )
+
+    rows = sim_kmeans_centroid_drift(spark, sf_dir).collect()
+    assert 0 < len(rows) <= KMEANS_K
+    assert all(r.drift_e12 >= 0 and r.n > 0 for r in rows)
