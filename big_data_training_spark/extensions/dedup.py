@@ -1043,3 +1043,78 @@ def dd_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dd_components_incremental",
+    # Identical output contract to dd_cluster_components: the oracle IS
+    # the full-graph transitive closure, so parity proves the
+    # incremental merge reproduces the full recompute exactly.
+    _SQL_COMPONENTS_CTES
+    + "SELECT node AS doc_id, comp AS component_id FROM labels",
+    doc="incremental clustering maintenance: merge a new batch's pairs"
+    " into standing components via the contracted component graph,"
+    " oracle-proven equal to the full recompute",
+)
+def dd_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yesterday's corpus already has component labels; today's batch
+    (doc_id % 10 = 7, the same stand-in as dd_incremental_lsh_probe)
+    arrives with new LSH pairs. Instead of re-clustering the whole
+    graph, the update contracts every new edge to the component level
+    (endpoint -> its standing label, or itself if unlabeled), runs
+    connected components on that CONTRACTED graph — whose size is
+    bounded by the new batch's edge count, not the corpus — and remaps
+    standing labels through the merge result. Because component ids are
+    min member ids, the merged min is the global min, so the output is
+    bit-identical to the full recompute (which is exactly what the
+    oracle checks). At 100 TB this turns daily dedup maintenance from
+    an O(corpus) clustering into an O(batch) one."""
+    from big_data_training_spark.extensions.components import (
+        connected_components,
+    )
+
+    pairs = dd_minhash_lsh_pairs(spark, sf_dir).select("doc_i", "doc_j")
+    # same new-batch predicate as extensions/curation.py NEW_PRED
+    is_new_i = F.col("doc_i") % 10 == 7
+    is_new_j = F.col("doc_j") % 10 == 7
+    base_pairs = pairs.filter(~is_new_i & ~is_new_j)
+    new_edges = pairs.filter(is_new_i | is_new_j)
+
+    # Standing labels from the base graph only.
+    base = connected_components(base_pairs, src="doc_i", dst="doc_j")
+
+    # Contract new edges to component level: endpoint -> label-or-self.
+    li = base.select(F.col("node").alias("doc_i"), F.col("comp").alias("ci"))
+    lj = base.select(F.col("node").alias("doc_j"), F.col("comp").alias("cj"))
+    contracted = (
+        new_edges.join(li, "doc_i", "left")
+        .join(lj, "doc_j", "left")
+        .select(
+            F.coalesce("ci", "doc_i").alias("doc_i"),
+            F.coalesce("cj", "doc_j").alias("doc_j"),
+        )
+        .filter(F.col("doc_i") != F.col("doc_j"))
+    )
+    merged = connected_components(contracted, src="doc_i", dst="doc_j").select(
+        F.col("node").alias("mnode"), F.col("comp").alias("mcomp")
+    )
+
+    # Old nodes: remap their standing label through the merge result.
+    old = (
+        base.join(merged, base.comp == F.col("mnode"), "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("mcomp", "comp").alias("component_id"),
+        )
+    )
+    # Contracted-graph nodes that are raw doc ids (new docs, plus old
+    # docs whose only pairs involve the new batch): their merged label
+    # is final. Base-component ids also appear as contracted nodes, but
+    # those doc ids are already labeled via `old` — anti-join drops them.
+    fresh = (
+        merged.join(base, merged.mnode == base.node, "left_anti")
+        .select(
+            F.col("mnode").alias("doc_id"), F.col("mcomp").alias("component_id")
+        )
+    )
+    return old.unionByName(fresh)

@@ -116,3 +116,14 @@ def test_centroid_drift_nonnegative_and_bounded_clusters(spark, sf_dir):
     rows = sim_kmeans_centroid_drift(spark, sf_dir).collect()
     assert 0 < len(rows) <= KMEANS_K
     assert all(r.drift_e12 >= 0 and r.n > 0 for r in rows)
+
+
+def test_incremental_components_equal_full_recompute(spark, sf_dir):
+    from big_data_training_spark.extensions.dedup import (
+        dd_cluster_components,
+        dd_components_incremental,
+    )
+
+    full = {(r.doc_id, r.component_id) for r in dd_cluster_components(spark, sf_dir).collect()}
+    incr = {(r.doc_id, r.component_id) for r in dd_components_incremental(spark, sf_dir).collect()}
+    assert incr == full
