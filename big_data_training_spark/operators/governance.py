@@ -244,3 +244,173 @@ def tx_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("truncated_tokens"),
         )
     )
+
+
+# --- The curation funnel --------------------------------------------
+#
+# Composes the pipeline's stages into the one report a data team
+# publishes per corpus build: raw -> quality-filtered (Gopher rules) ->
+# exact-deduped (bag-of-words fingerprint keepers) -> near-dup-deduped
+# (one keeper per LSH component) -> decontaminated (8-gram collision
+# with the eval split). Each stage is cumulative on the previous one's
+# survivors. The oracle re-derives every stage in one SQL statement on
+# top of the dedup module's recursive-CTE component labels.
+
+from big_data_training_spark.extensions.dedup import _SQL_COMPONENTS_CTES
+from big_data_training_spark.extensions.filters import (
+    MAX_MEAN_CENTILEN,
+    MAX_WORDS,
+    MIN_ALPHA_PERMILLE,
+    MIN_MEAN_CENTILEN,
+    MIN_STOPWORDS,
+    MIN_WORDS,
+)
+from big_data_training_spark.extensions.textstats import _SQL_STOP
+
+_SQL_FUNNEL = (
+    _SQL_COMPONENTS_CTES
+    + f"""
+    , corpus AS (
+        SELECT doc_id FROM documents WHERE NOT (doc_id % 20 = 0)
+    ), gm AS (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               CAST(list_sum(list_transform(ws, w -> length(w))) * 100
+                    // len(ws) AS BIGINT) AS mc,
+               CAST(len(list_filter(ws, w -> list_contains({_SQL_STOP}, w)))
+                    AS BIGINT) AS nsw,
+               CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))
+                    * 1000 // len(ws) AS BIGINT) AS ap
+        FROM toks WHERE len(ws) > 0
+    ), s2 AS (
+        SELECT c.doc_id FROM corpus c JOIN gm ON gm.doc_id = c.doc_id
+        WHERE gm.n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+          AND gm.mc BETWEEN {MIN_MEAN_CENTILEN} AND {MAX_MEAN_CENTILEN}
+          AND gm.nsw >= {MIN_STOPWORDS}
+          AND gm.ap >= {MIN_ALPHA_PERMILLE}
+    ), fpt AS (
+        SELECT t.doc_id,
+               md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS fp
+        FROM toks t JOIN s2 USING (doc_id)
+    ), s3 AS (
+        SELECT min(doc_id) AS doc_id FROM fpt GROUP BY fp
+    ), c4 AS (
+        SELECT l.comp, min(s.doc_id) AS k
+        FROM s3 s JOIN labels l ON l.node = s.doc_id GROUP BY l.comp
+    ), s4 AS (
+        SELECT s.doc_id
+        FROM s3 s LEFT JOIN labels l ON l.node = s.doc_id
+                  LEFT JOIN c4 ON c4.comp = l.comp
+        WHERE l.node IS NULL OR s.doc_id = c4.k
+    ), dsh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(ws[i:i+7], ' ')
+                              for i in generate_series(1, len(ws) - 8 + 1)])
+                   AS sh8
+        FROM toks WHERE len(ws) >= 8
+    ), contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT doc_id, unnest(sh8) AS s FROM dsh
+              WHERE NOT (doc_id % 20 = 0)) t
+        JOIN (SELECT unnest(sh8) AS s FROM dsh WHERE doc_id % 20 = 0) e
+          USING (s)
+    ), s5 AS (
+        SELECT doc_id FROM s4
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), raw AS (SELECT count(*) AS n FROM corpus)
+    SELECT stage_idx, stage, n_docs,
+           CAST(n_docs * 1000 // (SELECT n FROM raw) AS BIGINT)
+               AS permille_of_raw
+    FROM (
+        SELECT 1 AS stage_idx, 'raw' AS stage,
+               (SELECT n FROM raw) AS n_docs
+        UNION ALL SELECT 2, 'quality_filtered', (SELECT count(*) FROM s2)
+        UNION ALL SELECT 3, 'exact_deduped', (SELECT count(*) FROM s3)
+        UNION ALL SELECT 4, 'neardup_deduped', (SELECT count(*) FROM s4)
+        UNION ALL SELECT 5, 'decontaminated', (SELECT count(*) FROM s5)
+    )
+    """
+)
+
+
+@register(
+    "dd_curation_funnel",
+    _SQL_FUNNEL,
+    doc="the corpus-build funnel: raw -> Gopher-filtered -> exact-deduped"
+    " -> LSH-family-deduped -> decontaminated, cumulative survivor"
+    " counts with permille of raw",
+)
+def dd_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation report: every stage applies to the
+    previous stage's survivors, composed from the operators that
+    already exist — Gopher hard filters, bag-of-words fingerprint
+    keepers, one-keeper-per-LSH-component, and 8-gram benchmark
+    decontamination (eval split = doc_id % 20 = 0, excluded from the
+    corpus up front). Cost shape: each stage is the same single pass /
+    single shuffle its standalone operator runs; nothing here is more
+    expensive than the most expensive constituent (the LSH clustering),
+    so the funnel is what you'd actually schedule nightly at 100 TB
+    rather than five separate jobs re-scanning the corpus."""
+    from big_data_training_spark.extensions.dedup import (
+        dd_cluster_components,
+    )
+    from big_data_training_spark.extensions.curation import (
+        EVAL_PRED,
+        dd_decontaminate_overlap,
+    )
+    from big_data_training_spark.extensions.filters import tx_gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(f"NOT ({EVAL_PRED})").select("doc_id")
+
+    keep = tx_gopher_rules(spark, sf_dir).filter("keep").select("doc_id")
+    s2 = corpus.join(keep, "doc_id")
+
+    fp = F.md5(
+        F.concat_ws(
+            " ",
+            F.array_sort(
+                F.array_distinct(F.expr("filter(split(text, '\\\\s+'), w -> w != '')"))
+            ),
+        )
+    )
+    fpt = docs.join(s2, "doc_id").select("doc_id", fp.alias("fp"))
+    s3 = fpt.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+
+    labels = dd_cluster_components(spark, sf_dir)
+    lab3 = s3.join(labels, "doc_id", "left")
+    cmin = (
+        lab3.filter(F.col("component_id").isNotNull())
+        .groupBy("component_id")
+        .agg(F.min("doc_id").alias("k"))
+    )
+    s4 = (
+        lab3.join(cmin, "component_id", "left")
+        .filter(F.col("component_id").isNull() | (F.col("doc_id") == F.col("k")))
+        .select("doc_id")
+    )
+
+    flagged = dd_decontaminate_overlap(spark, sf_dir).select("doc_id")
+    s5 = s4.join(flagged, "doc_id", "left_anti")
+
+    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(i).alias("stage_idx"), F.lit(name).alias("stage"), "n_docs"
+        )
+
+    stages = (
+        stage(1, "raw", corpus)
+        .unionByName(stage(2, "quality_filtered", s2))
+        .unionByName(stage(3, "exact_deduped", s3))
+        .unionByName(stage(4, "neardup_deduped", s4))
+        .unionByName(stage(5, "decontaminated", s5))
+    )
+    raw_n = corpus.agg(F.count("*").alias("raw_n"))
+    return stages.crossJoin(F.broadcast(raw_n)).select(
+        "stage_idx",
+        "stage",
+        "n_docs",
+        F.floor(F.col("n_docs") * 1000 / F.col("raw_n")).alias(
+            "permille_of_raw"
+        ),
+    )
