@@ -414,3 +414,144 @@ def dd_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "permille_of_raw"
         ),
     )
+
+
+# Benford expected first-digit mass in permille (log10(1+1/d), floored
+# at the same precision on both sides — constants, not computed floats).
+_BENFORD_PERMILLE = {1: 301, 2: 176, 3: 124, 4: 96, 5: 79, 6: 66, 7: 57, 8: 51, 9: 45}
+
+
+@register(
+    "dq_benford_audit",
+    f"""
+    WITH d AS (
+        SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                   AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ), c AS (
+        SELECT CAST(digit AS BIGINT) AS digit, count(*) AS n FROM d GROUP BY 1
+    ), t AS (SELECT sum(n) AS total FROM c)
+    SELECT c.digit,
+           c.n AS n,
+           CAST(c.n * 1000 // t.total AS BIGINT) AS observed_permille,
+           CAST(CASE c.digit {" ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PERMILLE.items())} END
+                AS BIGINT) AS benford_permille,
+           CAST(abs(c.n * 1000 // t.total
+                    - CASE c.digit {" ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PERMILLE.items())} END)
+                AS BIGINT) AS abs_dev_permille
+    FROM c, t
+    """,
+    doc="data quality: Benford first-digit audit of order totals —"
+    " observed vs expected permille, the classic fabricated-data screen",
+)
+def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of o_totalprice against
+    Benford's law: naturally occurring multi-scale amounts follow
+    log10(1+1/d); flat or spiky deviations flag generated or tampered
+    data. The digit comes from integer string extraction (no float log,
+    so both engines agree bit-for-bit) and expected masses are permille
+    constants. One scan, a 9-row aggregate, and a broadcast total —
+    runs on any table at any scale for the cost of a count."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).alias("digit")
+    )
+    c = d.groupBy(F.col("digit").cast("bigint").alias("digit")).agg(
+        F.count("*").alias("n")
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    expected = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PERMILLE.items() for x in kv]
+    )[F.col("digit").cast("int")].cast("bigint")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.floor(F.col("n") * 1000 / F.col("total")).alias(
+                "observed_permille"
+            ),
+            expected.alias("benford_permille"),
+            F.abs(
+                F.floor(F.col("n") * 1000 / F.col("total")) - expected
+            ).alias("abs_dev_permille"),
+        )
+    )
+
+
+@register(
+    "ev_dau_wau_mau",
+    """
+    WITH p AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ), days AS (SELECT DISTINCT day FROM p),
+    dau AS (SELECT day, count(*) AS dau FROM p GROUP BY 1),
+    wau AS (
+        SELECT d.day, count(DISTINCT p.user_id) AS wau
+        FROM days d JOIN p
+          ON p.day <= d.day AND p.day > d.day - INTERVAL 7 DAY
+        GROUP BY 1
+    ),
+    mau AS (
+        SELECT d.day, count(DISTINCT p.user_id) AS mau
+        FROM days d JOIN p
+          ON p.day <= d.day AND p.day > d.day - INTERVAL 30 DAY
+        GROUP BY 1
+    )
+    SELECT dau.day AS day, dau.dau AS dau, wau.wau AS wau, mau.mau AS mau,
+           CAST(dau.dau * 1000 // mau.mau AS BIGINT) AS stickiness_permille
+    FROM dau JOIN wau ON wau.day = dau.day JOIN mau ON mau.day = dau.day
+    """,
+    doc="engagement: DAU/WAU/MAU trailing exact-distinct actives per day"
+    " plus DAU/MAU stickiness",
+)
+def ev_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engagement dashboard's backbone: per day, exact distinct
+    actives over the trailing 1/7/30-day windows and the DAU/MAU
+    stickiness ratio. The event log first collapses to distinct
+    (day, user) presence — the only pass that touches raw volume — and
+    the trailing windows then join presence against the (tiny) day
+    spine, so the range join's left side is |days| rows and the right
+    side is presence, not events. At larger windows the exact count's
+    memory is bounded by presence rows per window; the sketch path
+    (sk_hll_*) is the documented fallback when even presence is too
+    wide."""
+    events = load_table(spark, sf_dir, "events")
+    p = events.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = p.select("day").distinct()
+    dau = p.groupBy("day").agg(F.count("*").alias("dau"))
+
+    def trailing(n_days: int, alias: str) -> DataFrame:
+        return (
+            days.alias("d")
+            .join(
+                p.alias("q"),
+                (F.col("q.day") <= F.col("d.day"))
+                & (
+                    F.col("q.day")
+                    > F.col("d.day") - F.expr(f"INTERVAL {n_days} DAY")
+                ),
+            )
+            .groupBy(F.col("d.day").alias("day"))
+            .agg(F.countDistinct("q.user_id").alias(alias))
+        )
+
+    wau = trailing(7, "wau")
+    mau = trailing(30, "mau")
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            F.floor(F.col("dau") * 1000 / F.col("mau")).alias(
+                "stickiness_permille"
+            ),
+        )
+    )
