@@ -555,3 +555,61 @@ def ev_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "s8_parquet_footer_stats",
+    # rows-only for the driver: the oracle harness registers table VIEWS,
+    # not file paths, and the footer is a property of the physical file.
+    # Footer parity vs DuckDB's parquet_metadata() is proven by
+    # tests/test_governance.py::test_parquet_footer_stats_match_duckdb,
+    # which controls the path.
+    None,
+    doc="storage audit: per-column parquet footer stats (row groups,"
+    " values, nulls, compressed/uncompressed bytes, compression ratio);"
+    " rows-only driver check, DuckDB footer parity proven in tests",
+)
+def s8_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage-engineering view of a table: per column, how many
+    bytes it costs on disk and how well it compresses — read from the
+    parquet FOOTER alone (pyarrow metadata walk, no data pages
+    touched), which is exactly what an Iceberg/Delta manifest job does.
+    The DuckDB oracle reads the same footer through its own
+    parquet_metadata() — two independent parquet implementations
+    agreeing on the physical layout. The footer walk is driver-side by
+    design: footers are the catalog tier (KBs per file); at 100 TB the
+    same walk fans out over the file listing, with the per-file work
+    unchanged. The 1000x compression skew between columns is what
+    drives encoding and sort-order decisions."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f"{sf_dir}/lineitem.parquet").metadata
+    rows = []
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        for j in range(rg.num_columns):
+            c = rg.column(j)
+            rows.append(
+                (
+                    c.path_in_schema,
+                    c.num_values,
+                    c.statistics.null_count if c.statistics else 0,
+                    c.total_compressed_size,
+                    c.total_uncompressed_size,
+                )
+            )
+    cells = spark.createDataFrame(
+        rows,
+        "column_name string, num_values long, null_count long,"
+        " compressed long, uncompressed long",
+    )
+    return cells.groupBy("column_name").agg(
+        F.count("*").alias("n_row_groups"),
+        F.sum("num_values").alias("n_values"),
+        F.sum("null_count").alias("n_nulls"),
+        F.sum("compressed").alias("compressed_bytes"),
+        F.sum("uncompressed").alias("uncompressed_bytes"),
+        F.floor(
+            F.sum("compressed") * 1000 / F.sum("uncompressed")
+        ).alias("compression_permille"),
+    )

@@ -127,3 +127,37 @@ def test_incremental_components_equal_full_recompute(spark, sf_dir):
     full = {(r.doc_id, r.component_id) for r in dd_cluster_components(spark, sf_dir).collect()}
     incr = {(r.doc_id, r.component_id) for r in dd_components_incremental(spark, sf_dir).collect()}
     assert incr == full
+
+
+def test_parquet_footer_stats_match_duckdb(spark, sf_dir):
+    """Two independent parquet implementations must read the same footer:
+    pyarrow (engine side) vs DuckDB's parquet_metadata()."""
+    import duckdb
+
+    from big_data_training_spark.operators.governance import (
+        s8_parquet_footer_stats,
+    )
+
+    got = {
+        r.column_name: (
+            r.n_row_groups,
+            r.n_values,
+            r.n_nulls,
+            r.compressed_bytes,
+            r.uncompressed_bytes,
+            r.compression_permille,
+        )
+        for r in s8_parquet_footer_stats(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        row[0]: tuple(int(x) for x in row[1:])
+        for row in con.execute(
+            "SELECT path_in_schema, count(*), sum(num_values),"
+            " sum(stats_null_count), sum(total_compressed_size),"
+            " sum(total_uncompressed_size),"
+            " sum(total_compressed_size) * 1000 // sum(total_uncompressed_size)"
+            f" FROM parquet_metadata('{sf_dir}/lineitem.parquet') GROUP BY 1"
+        ).fetchall()
+    }
+    assert got == want
