@@ -613,3 +613,126 @@ def s8_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("compressed") * 1000 / F.sum("uncompressed")
         ).alias("compression_permille"),
     )
+
+
+@register(
+    "ev_revenue_pareto",
+    """
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT o_custkey, cents,
+               ntile(10) OVER (ORDER BY cents DESC, o_custkey ASC) AS decile
+        FROM spend
+    ), d AS (
+        SELECT decile, count(*) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM ranked GROUP BY 1
+    ), t AS (SELECT sum(revenue_cents) AS total FROM d)
+    SELECT decile, n_customers, revenue_cents,
+           CAST(sum(revenue_cents) OVER (ORDER BY decile
+                                         ROWS UNBOUNDED PRECEDING)
+                * 1000 // (SELECT total FROM t) AS BIGINT)
+               AS cum_share_permille
+    FROM d
+    """,
+    doc="concentration analytics: Lorenz/Pareto curve of customer spend"
+    " by decile with cumulative revenue share",
+)
+def ev_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'top 10% of customers drive X% of revenue' table: customers
+    ranked by exact total spend (cents, so the order and every sum are
+    integers), cut into deciles, with the running revenue share in
+    permille — the Lorenz curve a revenue-concentration review reads.
+    The only per-customer state is one aggregate row; the decile window
+    runs over |customers| rows once and the final share window over 10
+    rows. Ties break on custkey so the ntile cut is total-ordered and
+    engine-identical."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    ranked = spend.withColumn(
+        "decile",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("cents"), F.asc("o_custkey")))
+        .cast("bigint"),  # DuckDB ntile emits BIGINT (dtype-strict rule)
+    )
+    d = ranked.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    t = d.agg(F.sum("revenue_cents").alias("total"))
+    cum = F.sum("revenue_cents").over(
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue_cents",
+            F.floor(cum * 1000 / F.col("total")).alias("cum_share_permille"),
+        )
+    )
+
+
+@register(
+    "tx_lid_confusion",
+    f"""
+    WITH t AS (
+        SELECT lang,
+               list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM documents
+    ), pred AS (
+        SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS actual,
+               CASE WHEN len(list_filter(ws, w -> list_contains(
+                        {_SQL_STOP}, w)))::DOUBLE / len(ws) >= 0.05
+                    THEN 'en' ELSE 'other' END AS predicted
+        FROM t WHERE len(ws) > 0
+    ), c AS (
+        SELECT actual, predicted, count(*) AS n FROM pred GROUP BY 1, 2
+    ), tot AS (SELECT sum(n) AS total FROM c)
+    SELECT actual, predicted, n,
+           CAST(n * 1000 // (SELECT total FROM tot) AS BIGINT)
+               AS share_permille
+    FROM c
+    """,
+    doc="LID evaluation: confusion matrix of the stopword-heuristic"
+    " language ID against the labeled lang column",
+)
+def tx_lid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the loop on tx_lang_id: its en/other prediction scored
+    against the corpus's lang labels as a confusion grid with permille
+    shares — the evaluation every classifier-driven curation stage
+    (LID, quality, toxicity) publishes before its threshold is trusted.
+    Single scan, 4-row output. The stopword list is pinned to the same
+    8 function words as the textstats heuristic so the two queries
+    stay in lockstep."""
+    from big_data_training_spark.extensions.textstats import EN_STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    ws = F.expr("filter(split(text, '\\\\s+'), w -> w != '')")
+    en_score = F.size(
+        F.filter(ws, lambda w: F.array_contains(stop_arr, w))
+    ) / F.size(ws)
+    pred = docs.filter(F.size(ws) > 0).select(
+        F.when(F.col("lang") == "en", "en").otherwise("other").alias("actual"),
+        F.when(en_score >= 0.05, "en").otherwise("other").alias("predicted"),
+    )
+    c = pred.groupBy("actual", "predicted").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "actual",
+        "predicted",
+        "n",
+        F.floor(F.col("n") * 1000 / F.col("total")).alias("share_permille"),
+    )
