@@ -1118,3 +1118,56 @@ def dd_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return old.unionByName(fresh)
+
+
+@register(
+    "dd_lsh_bucket_skew",
+    _SQL_SIG_CTE
+    + _LSH_PAIRS_SQL_BODY
+    + """
+    , bsizes AS (
+        SELECT b, band_key, count(*) AS n FROM bands GROUP BY 1, 2
+    )
+    SELECT b AS band,
+           count(*) AS n_buckets,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(max(n) AS BIGINT) AS max_bucket,
+           CAST(sum(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM bsizes GROUP BY 1
+    """,
+    doc="LSH operations: per-band bucket-size skew and the candidate-pair"
+    " bound it implies — the hot-bucket diagnostic for the band join",
+)
+def dd_lsh_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit you run BEFORE the LSH band self-join at 100 TB: a hot
+    bucket (boilerplate, empty-ish docs sharing a band key) turns the
+    bucket join quadratic on that key. Per band: bucket count, corpus
+    rows, the largest bucket, and sum n·(n−1)/2 — the exact number of
+    candidate pairs the join will generate. If max_bucket is pathological
+    the mitigation is salting that key or dropping stop-buckets (the
+    inverted-index analog of stopword removal); this report is how you
+    find out for the cost of one aggregate instead of an exploded join.
+    Unused CTEs in the shared oracle chain (cand/scored) cost nothing —
+    DuckDB plans only referenced CTEs."""
+    sig = _cache_tracked(_signatures(spark, sf_dir))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}),"
+                f" b -> struct(b as b, md5(concat_ws(',', transform("
+                f"   slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}),"
+                f"   x -> cast(x as string)))) as band_key))"
+            )
+        ).alias("bk"),
+    ).select(
+        F.col("bk.b").cast("bigint").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    bsizes = bands.groupBy("band", "band_key").agg(F.count("*").alias("n"))
+    return bsizes.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("n").alias("n_docs"),
+        F.max("n").alias("max_bucket"),
+        F.sum(F.expr("n * (n - 1) div 2")).alias("candidate_pairs"),
+    )

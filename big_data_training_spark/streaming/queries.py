@@ -999,3 +999,29 @@ def st_zonemap_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(agg, "complete")
+
+
+@register(
+    "st_dau_stream",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           count(DISTINCT user_id) AS dau
+    FROM events GROUP BY 1
+    """,
+    doc="engagement streaming form: daily active users maintained on the"
+    " ingest stream via (day, user) dedup state",
+)
+def st_dau_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAU dashboard fed directly from the stream: dropDuplicates on
+    (day, user_id) holds one state row per active user-day (bound it
+    with a watermark on day in production — state then tracks the
+    lateness horizon, not history), and the downstream count per day is
+    a plain streaming aggregate. The batch twin is ev_dau_wau_mau's dau
+    column; the oracle asserts the stream's complete-mode result equals
+    the batch exact distinct."""
+    events = read_stream_table(spark, sf_dir, "events")
+    presence = events.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).dropDuplicates(["day", "user_id"])
+    dau = presence.groupBy("day").agg(F.count("*").alias("dau"))
+    return run_to_completion(dau, "complete")
