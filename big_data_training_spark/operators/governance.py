@@ -736,3 +736,67 @@ def tx_lid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.floor(F.col("n") * 1000 / F.col("total")).alias("share_permille"),
     )
+
+
+@register(
+    "cal_hourly_coverage",
+    """
+    WITH b AS (
+        SELECT date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ), spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+        FROM b
+    ), have AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS hour_start FROM events
+    )
+    SELECT date_trunc('day', s.hour_start) AS day,
+           count(*) AS n_hours_expected,
+           CAST(sum(CASE WHEN h.hour_start IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hours_with_events,
+           CAST(sum(CASE WHEN h.hour_start IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hours_missing
+    FROM spine s LEFT JOIN have h ON h.hour_start = s.hour_start
+    GROUP BY 1
+    """,
+    doc="ingest monitoring: per-day hourly coverage — expected hour spine"
+    " vs hours that actually produced events, missing-hour counts",
+)
+def cal_hourly_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downtime/gap detection for an ingest feed: build the full hour
+    spine between the stream's first and last event (one 1-row
+    aggregate exploded JVM-side — the spine is |hours| rows no matter
+    the event volume), anti-compare against the hours that actually
+    carried data, and report coverage per day. A day with
+    n_hours_missing > 0 is a feed incident; the spine join's left side
+    is tiny so the only data-sized pass is the distinct-hour collapse.
+    Composes with cal_date_spine_gap_fill (the day-grain twin)."""
+    events = load_table(spark, sf_dir, "events")
+    b = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = b.select(
+        F.explode(
+            F.expr("sequence(lo, hi, interval 1 hour)")
+        ).alias("hour_start")
+    )
+    have = events.select(
+        F.date_trunc("hour", "ts").alias("hour_start")
+    ).distinct()
+    return (
+        spine.join(
+            have.withColumn("present", F.lit(1)), "hour_start", "left"
+        )
+        .groupBy(F.date_trunc("day", "hour_start").alias("day"))
+        .agg(
+            F.count("*").alias("n_hours_expected"),
+            F.sum(
+                F.when(F.col("present").isNotNull(), 1).otherwise(0)
+            ).alias("n_hours_with_events"),
+            F.sum(
+                F.when(F.col("present").isNull(), 1).otherwise(0)
+            ).alias("n_hours_missing"),
+        )
+    )
