@@ -800,3 +800,51 @@ def cal_hourly_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_hours_missing"),
         )
     )
+
+
+@register(
+    "ev_ltv_cohorts",
+    """
+    WITH firsts AS (
+        SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+    ), joined AS (
+        SELECT e.user_id,
+               date_trunc('day', f.first_ts) AS cohort_day,
+               datediff('day', date_trunc('day', f.first_ts),
+                        date_trunc('day', e.ts)) AS days_since,
+               CAST(round(e.value * 100) AS BIGINT) AS cents
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT cohort_day, CAST(days_since AS BIGINT) AS days_since,
+           count(DISTINCT user_id) AS n_active_users,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM joined GROUP BY 1, 2
+    """,
+    doc="engagement: cohort lifetime value — revenue per (first-seen day,"
+    " days since) cell, cents-exact",
+)
+def ev_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LTV triangle: users bucketed by first-seen day, revenue
+    accumulated per days-since-first-seen offset — the money-weighted
+    sibling of ev_retention_cohorts. Value sums are cents (round to
+    integer before any aggregation, so every engine sums the same
+    integers). One aggregate finds first-seen per user, one join keys
+    events back to their cohort (both shuffles on user_id — AQE can
+    reuse the partitioning), and the output is |cohorts| x |offsets|
+    cells regardless of event volume."""
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = events.join(firsts, "user_id").select(
+        "user_id",
+        F.date_trunc("day", "first_ts").alias("cohort_day"),
+        F.datediff(
+            F.date_trunc("day", "ts"), F.date_trunc("day", "first_ts")
+        )
+        .cast("bigint")
+        .alias("days_since"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return joined.groupBy("cohort_day", "days_since").agg(
+        F.countDistinct("user_id").alias("n_active_users"),
+        F.sum("cents").alias("revenue_cents"),
+    )
