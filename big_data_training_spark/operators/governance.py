@@ -58,7 +58,7 @@ LEN_BUCKET = 64
                AS n_classes_below,
            CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
                AS n_rows_at_risk
-    FROM cls, (VALUES (2), (5), (10), (20)) AS ks(k)
+    FROM cls, (VALUES {", ".join(f"({k})" for k in K_THRESHOLDS)}) AS ks(k)
     GROUP BY k
     """,
     doc="privacy: k-anonymity audit over (lang, source, length-bucket)"
@@ -593,7 +593,11 @@ def s8_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     c.path_in_schema,
                     c.num_values,
-                    c.statistics.null_count if c.statistics else 0,
+                    (
+                        c.statistics.null_count
+                        if c.statistics and c.statistics.null_count is not None
+                        else 0
+                    ),
                     c.total_compressed_size,
                     c.total_uncompressed_size,
                 )

