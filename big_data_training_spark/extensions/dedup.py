@@ -39,6 +39,15 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 SHINGLE_K = 3
 MINHASH_TAU = 0.5
 JACCARD_TAU = 0.35
+# Document-frequency cap for the exact inverted-index audit: a shingle
+# shared by k docs emits O(k²) pairs in the self-join, so one boilerplate
+# shingle present in 10⁶ docs is a 10¹² -pair bucket at 100 TB. Shingles
+# with df > cap are boilerplate, not near-dup signal — C4/RefinedWeb drop
+# them from exact audits for the same reason — so the audit's Jaccard is
+# defined over the capped shingle universe (unique shingles still count
+# in set sizes). 512 is ~20x the max df observed at sf0.1 (25), so the
+# cap is inert at test scale and only engages on true hot buckets.
+NGRAM_DF_CAP = 512
 
 # --- shingling ------------------------------------------------------------
 # k-word shingles from the token array, JVM-side:
@@ -142,6 +151,21 @@ def _hashed_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _capped_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h, dc) with boilerplate shingles (df > NGRAM_DF_CAP)
+    removed — the skew-proof inverted index the exact-audit self-joins
+    run on. ``dc`` (the shingle's document frequency) rides along so
+    callers can add the df >= 2 join-input filter without a second
+    aggregation."""
+    inv0 = _hashed_shingle_pairs(spark, sf_dir)
+    dfreq = (
+        inv0.groupBy("h")
+        .agg(F.count("*").alias("dc"))
+        .filter(F.col("dc") <= NGRAM_DF_CAP)
+    )
+    return inv0.join(dfreq, "h").select("doc_id", "h", "dc")
+
+
 @register(
     "dd_exact_dedup",
     """
@@ -197,12 +221,17 @@ _SQL_JACCARD_PAIRS_CTES = (
         FROM sh
     ),
     inv AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+    dfreq AS (SELECT h, count(*) AS dc FROM inv GROUP BY h),
+    capped AS (
+        SELECT inv.doc_id, inv.h FROM inv
+        JOIN dfreq ON dfreq.h = inv.h WHERE dfreq.dc <= {NGRAM_DF_CAP}
+    ),
     common AS (
         SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS c
-        FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+        FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
-    sizes AS (SELECT doc_id, len(hs) AS n FROM hsh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
     pairs AS (
         SELECT doc_i, doc_j,
                round(c::DOUBLE / (si.n + sj.n - c), 4) AS jaccard
@@ -225,14 +254,15 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard: explode to an inverted index keyed on
     the 60-bit shingle hash (8-byte shuffle keys instead of ~20-byte
     strings), self-join on the hash (blocking — only co-occurring docs
-    pair up), count intersections, Jaccard from |A|+|B|-|A∩B|."""
-    inv0 = _cache_tracked(_hashed_shingle_pairs(spark, sf_dir))
-    # Semantics-preserving pre-filter: a shingle seen in only one doc
-    # cannot produce a pair, and unique shingles are the long tail of
-    # any real corpus — dropping them before the self-join removes the
-    # bulk of the join input (decisive at large scale, measurable here).
-    shared = inv0.groupBy("h").count().filter(F.col("count") >= 2).select("h")
-    inv = inv0.join(shared, "h")
+    pair up), count intersections, Jaccard from |A|+|B|-|A∩B|.
+
+    Skew guard: the self-join input drops shingles with document
+    frequency > NGRAM_DF_CAP (boilerplate — a df-k shingle emits k²
+    pairs), and shingles seen in only one doc (cannot produce a pair).
+    Set sizes are computed over the capped universe so Jaccard stays
+    internally consistent; one df aggregation feeds both filters."""
+    inv1 = _cache_tracked(_capped_inverted_index(spark, sf_dir))
+    inv = inv1.filter(F.col("dc") >= 2).select("doc_id", "h")
     a = inv.alias("a")
     b = inv.alias("b")
     common = (
@@ -242,7 +272,7 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("c"))
     )
-    sizes = inv0.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = inv1.groupBy("doc_id").agg(F.count("*").alias("n"))
     si = sizes.alias("si")
     sj = sizes.alias("sj")
     jac = F.col("c") / (F.col("si.n") + F.col("sj.n") - F.col("c"))
@@ -680,10 +710,10 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     document quoted inside a long one scores near 1.0 on its own side
     while Jaccard stays tiny — the signal quote/boilerplate removal
     needs. Reuses the hashed inverted-index blocking (same shuffle shape
-    as the Jaccard join: only co-occurring docs ever pair)."""
-    inv0 = _cache_tracked(_hashed_shingle_pairs(spark, sf_dir))
-    shared = inv0.groupBy("h").count().filter(F.col("count") >= 2).select("h")
-    inv = inv0.join(shared, "h")
+    as the Jaccard join: only co-occurring docs ever pair) including the
+    NGRAM_DF_CAP boilerplate-shingle guard."""
+    inv1 = _cache_tracked(_capped_inverted_index(spark, sf_dir))
+    inv = inv1.filter(F.col("dc") >= 2).select("doc_id", "h")
     a = inv.alias("a")
     b = inv.alias("b")
     common = (
@@ -695,7 +725,7 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j"))
         .agg(F.count("*").alias("c"))
     )
-    sizes = inv0.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = inv1.groupBy("doc_id").agg(F.count("*").alias("n"))
     si = sizes.alias("si")
     sj = sizes.alias("sj")
     cont_i = F.col("c") / F.col("si.n")
@@ -778,11 +808,16 @@ def dd_minhash_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, list_distinct([{sql_hash60('s')} for s in shingles]) AS hs
         FROM sh
     ), inv AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
+    dfreq AS (SELECT h, count(*) AS dc FROM inv GROUP BY h),
+    capped AS (
+        SELECT inv.doc_id, inv.h FROM inv
+        JOIN dfreq ON dfreq.h = inv.h WHERE dfreq.dc <= {NGRAM_DF_CAP}
+    ),
     common AS (
         SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS c
-        FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id < b.doc_id
+        FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
         GROUP BY 1, 2
-    ), sizes AS (SELECT doc_id, len(hs) AS n FROM hsh),
+    ), sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
     exact_pairs AS (
         SELECT doc_i, doc_j
         FROM common

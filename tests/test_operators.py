@@ -62,6 +62,21 @@ def test_minhash_lsh_recall_against_exact(spark, sf_dir):
     assert hits / len(lsh) >= 0.9
 
 
+def test_ngram_jaccard_df_cap_precedes_self_join(spark, sf_dir):
+    """The hot-shingle guard must sit UPSTREAM of the inverted-index
+    self-join: the plan carries the dc <= NGRAM_DF_CAP filter (plus the
+    dc >= 2 join-input filter), so a df-10⁶ boilerplate shingle never
+    reaches the pair-emitting join at scale."""
+    from big_data_training_spark.extensions.dedup import NGRAM_DF_CAP
+
+    plan = physical_plan(dd_ngram_jaccard_pairs(spark, sf_dir))
+    assert f"<= {NGRAM_DF_CAP}" in plan
+    assert ">= 2" in plan
+    # and the cap is applied on the aggregated df table, before any join
+    # input — the filter lives under a HashAggregate, not after the join
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
+
+
 def test_codec_availability_report():
     avail = codecs_avro_protobuf_available()
     assert set(avail) == {"avro", "protobuf"}
