@@ -76,6 +76,9 @@ COPART_PARTS = 32  # co-partitioning width; cluster deploys size to executors
 
 
 _pin_lock = __import__("threading").Lock()
+# One AQE-off clone per parent session, keyed weakly so a discarded
+# session's clone (and its SessionState) can be collected with it.
+_pin_sessions = __import__("weakref").WeakKeyDictionary()
 
 
 def _pinned_checkpoint(df: DataFrame) -> DataFrame:
@@ -85,24 +88,26 @@ def _pinned_checkpoint(df: DataFrame) -> DataFrame:
     partitioning is still Unknown, so the co-location bought by
     ``repartition(N, key)`` evaporates and every subsequent join
     re-shuffles (measured: 2 exchanges re-appear per joined pair).
-    Building the checkpoint with AQE momentarily off pins the concrete
+    Planning the checkpoint with AQE off pins the concrete
     HashPartitioning into the LogicalRDD; consumers still run under AQE.
 
-    The toggle mutates session-global conf, so it is serialized under a
-    lock: without it, two interleaved callers could each capture the
-    other's 'false' as the value to restore and leave AQE off for the
-    whole session. Concurrent *unrelated* queries on the same session
-    still plan without AQE during this window — acceptable for the
-    short eager checkpoint, and the alternative (a dedicated session)
-    would forfeit the shared cache."""
+    AQE is disabled on a *cloned* session (same SparkContext, SharedState
+    and cache; isolated SQLConf copied from the parent — the mechanism
+    Structured Streaming uses for per-batch conf), never on the caller's
+    session, so concurrent unrelated queries keep planning under AQE.
+    The df's logical plan is re-rooted onto the clone for the one
+    checkpoint call; the pinned result is session-agnostic (a
+    materialized LogicalRDD) and is handed back on the parent session."""
     spark = df.sparkSession
     with _pin_lock:
-        prev = spark.conf.get("spark.sql.adaptive.enabled")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            return df.localCheckpoint(eager=True)
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", prev)
+        jclone = _pin_sessions.get(spark)
+        if jclone is None:
+            jclone = spark._jsparkSession.cloneSession()
+            jclone.conf().set("spark.sql.adaptive.enabled", "false")
+            _pin_sessions[spark] = jclone
+    dataset_cls = spark._jvm.org.apache.spark.sql.classic.Dataset
+    jdf = dataset_cls.ofRows(jclone, df._jdf.logicalPlan())
+    return DataFrame(jdf.localCheckpoint(True), spark)
 
 
 def pagerank_round(

@@ -331,6 +331,7 @@ KN_DISCOUNT_PERMILLE = 750  # the standard 0.75 absolute discount
     FROM ranked WHERE rank <= {TOP_CONTINUATIONS}
     """,
     doc="LM: Kneser-Ney discounted bigram table (integer permille, exact)",
+    bench=True,
 )
 def lm_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney in permille integer arithmetic:

@@ -597,6 +597,7 @@ _SQL_LEAKAGE = (
     "dd_split_leakage_audit",
     _SQL_LEAKAGE,
     doc="train/test leakage through near-duplicate families",
+    bench=True,
 )
 def dd_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contamination audit a training pipeline must run before shipping

@@ -339,6 +339,7 @@ _SQL_FUNNEL = (
     doc="the corpus-build funnel: raw -> Gopher-filtered -> exact-deduped"
     " -> LSH-family-deduped -> decontaminated, cumulative survivor"
     " counts with permille of raw",
+    bench=True,
 )
 def dd_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation report: every stage applies to the
@@ -504,6 +505,7 @@ def dq_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(dau.dau * 1000 // mau.mau AS BIGINT) AS stickiness_permille
     FROM dau JOIN wau ON wau.day = dau.day JOIN mau ON mau.day = dau.day
     """,
+    bench=True,
     doc="engagement: DAU/WAU/MAU trailing exact-distinct actives per day"
     " plus DAU/MAU stickiness",
 )
