@@ -1,0 +1,217 @@
+"""Corpus-level statistics for training-data planning: an exact Gram
+matrix over quantized embeddings (the PCA/whitening input), a Zipf
+rank-frequency curve, and an n-gram coverage curve (how much of the
+corpus the top-N bigrams explain).
+
+All three are integer-exact by construction — quantize-then-multiply
+for the Gram matrix, counts and count-products for the curves — so the
+DuckDB oracles compare hash-exact. Scale design: the Gram matrix is the
+canonical map-side-combine job (one d x d int64 accumulator per Arrow
+batch, merged by a d^2-row shuffle — corpus size never crosses the
+network); the curves are one word/bigram count plus a driver-size
+window over the top slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from big_data_training_spark.data import load_table, repartition_for_compute
+from big_data_training_spark.functions.text import SQL_TOKENS, tokens
+from big_data_training_spark.registry import register
+
+EMB_DIM = 64
+QUANT_SCALE = 1000  # fixed-point: round(x * 1000) as int — exact both engines
+
+
+def _gram_batches(batches):
+    """Per-batch d x d int64 Gram accumulation: Q^T Q for the batch's
+    quantized matrix, emitted as upper-triangle (i, j, dot) rows.
+    Values |q| <= ~500, batches <= 10k rows: per-batch dots < 2.5e9 —
+    headroom of ~4e9x under int64."""
+    import numpy as np
+    import pandas as pd
+
+    for pdf in batches:
+        mat = np.vstack(pdf["embedding"].to_numpy())
+        q = np.rint(mat.astype("float64") * QUANT_SCALE).astype("int64")
+        g = q.T @ q
+        iu = np.triu_indices(g.shape[0])
+        yield pd.DataFrame(
+            {
+                "i": pd.Series(iu[0] + 1, dtype="int64"),
+                "j": pd.Series(iu[1] + 1, dtype="int64"),
+                "dot": pd.Series(g[iu], dtype="int64"),
+            }
+        )
+
+
+@register(
+    "emb_gram_exact",
+    f"""
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(round(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)
+                for x in embedding] AS qv
+        FROM embeddings
+    ),
+    e AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(qv, 1) AS BIGINT) AS i,
+               unnest(qv) AS v
+        FROM q
+    )
+    SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    """,
+    doc="exact int64 Gram matrix (upper triangle) over fixed-point"
+    " quantized embeddings — the PCA/whitening input",
+)
+def emb_gram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The covariance-side input to PCA / whitening / OPQ rotation
+    training, computed exactly: embeddings are quantized to fixed-point
+    ints (round(x*1000) — identical in both engines), then G = Q^T Q.
+    Spark plan: one mapInPandas pass emits a d x d partial Gram per
+    Arrow batch (numpy int64 matmul), and the only shuffle carries
+    d^2-bounded rows (2080 upper-triangle cells here) regardless of
+    corpus size — at 100 TB this is the textbook map-side-combine job.
+    """
+    emb = repartition_for_compute(load_table(spark, sf_dir, "embeddings"))
+    partials = emb.select("embedding").mapInPandas(
+        _gram_batches, "i bigint, j bigint, dot bigint"
+    )
+    return partials.groupBy("i", "j").agg(F.sum("dot").alias("dot"))
+
+
+ZIPF_RANKS = tuple(2**p for p in range(11))  # 1, 2, 4, ..., 1024
+
+
+@register(
+    "lm_zipf_curve",
+    f"""
+    WITH wc AS (
+        SELECT w AS word, count(*) AS freq
+        FROM (SELECT unnest({SQL_TOKENS.format(col='text')}) AS w FROM documents)
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT word, freq,
+               row_number() OVER (ORDER BY freq DESC, word ASC) AS rank
+        FROM wc
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, word, freq,
+           CAST(rank * freq AS BIGINT) AS rank_x_freq
+    FROM ranked
+    WHERE rank IN ({", ".join(str(r) for r in ZIPF_RANKS)})
+    """,
+    doc="Zipf rank-frequency checkpoints at power-of-two ranks:"
+    " rank*freq flatness is the Zipfian-shape diagnostic",
+)
+def lm_zipf_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's law says rank*frequency is roughly constant; corpora that
+    violate it (boilerplate floods, synthetic spam) show a bent curve.
+    Sampling the curve at power-of-two ranks keeps the report integer-
+    exact (no log regression, no float drift) while still exposing the
+    shape. One count shuffle, then a distributed top-k
+    (TakeOrderedAndProject — per-partition heads merged on the driver,
+    no global sort) bounds the ranking window to max(ZIPF_RANKS) rows,
+    so the single-partition row_number is over a constant-size slice at
+    any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = wc.orderBy(F.desc("freq"), F.asc("word")).limit(max(ZIPF_RANKS))
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("word"))),
+    )
+    return ranked.filter(F.col("rank").isin(list(ZIPF_RANKS))).select(
+        F.col("rank").cast("bigint").alias("rank"),
+        "word",
+        "freq",
+        (F.col("rank") * F.col("freq")).cast("bigint").alias("rank_x_freq"),
+    )
+
+
+COVERAGE_NS = tuple(4**p for p in range(1, 7))  # 4, 16, ..., 4096
+
+
+@register(
+    "lm_bigram_coverage_curve",
+    f"""
+    WITH toks AS (
+        SELECT {SQL_TOKENS.format(col='text')} AS ws FROM documents
+    ),
+    bg AS (
+        SELECT b.w1 || ' ' || b.w2 AS bigram, count(*) AS freq
+        FROM (
+            SELECT unnest([struct_pack(w1 := ws[i], w2 := ws[i + 1])
+                           for i in generate_series(1, len(ws) - 1)]) AS b
+            FROM toks WHERE len(ws) >= 2
+        )
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT freq, row_number() OVER (ORDER BY freq DESC, bigram ASC) AS rank,
+               sum(freq) OVER (ORDER BY freq DESC, bigram ASC
+                               ROWS UNBOUNDED PRECEDING) AS cum_freq
+        FROM bg
+    ),
+    total AS (SELECT sum(freq) AS t FROM bg)
+    SELECT CAST(r.rank AS BIGINT) AS top_n,
+           CAST(r.cum_freq AS BIGINT) AS covered_bigrams,
+           CAST(r.cum_freq * 1000 // total.t AS BIGINT) AS coverage_permille
+    FROM ranked r, total
+    WHERE r.rank IN ({", ".join(str(n) for n in COVERAGE_NS)})
+    """,
+    doc="cumulative corpus share of the top-N bigrams at N=4^1..4^6 —"
+    " the vocabulary-size / compression planning curve",
+)
+def lm_bigram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of the corpus do the most frequent N bigrams cover?
+    The curve drives tokenizer-vocabulary and cache sizing: a corpus
+    where 4k bigrams cover 90% compresses very differently from a flat
+    one. Exact integers: cumulative counts and permille floor-division.
+    One bigram-count shuffle; a distributed top-k bounds the running-
+    sum window to max(COVERAGE_NS) rows (the total comes from a
+    separate full aggregate), so nothing corpus- or vocabulary-sized
+    ever sorts globally."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(tokens("text").alias("ws")).filter(F.size("ws") >= 2)
+    bg = (
+        ws.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", 1, F.size("ws") - 1),
+                    F.slice("ws", 2, F.size("ws") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = bg.orderBy(F.desc("freq"), F.asc("bigram")).limit(max(COVERAGE_NS))
+    w = Window.orderBy(F.desc("freq"), F.asc("bigram"))
+    ranked = top.select(
+        F.row_number().over(w).alias("rank"),
+        F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum_freq"
+        ),
+    )
+    total = bg.agg(F.sum("freq").alias("t"))
+    return (
+        ranked.filter(F.col("rank").isin(list(COVERAGE_NS)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rank").cast("bigint").alias("top_n"),
+            F.col("cum_freq").alias("covered_bigrams"),
+            F.expr("cum_freq * 1000 div t").alias("coverage_permille"),
+        )
+    )

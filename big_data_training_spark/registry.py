@@ -92,6 +92,11 @@ _OPERATOR_MODULES = (
     "extensions.lshtuning",
     "streaming.curation_stream",
     "operators.governance",
+    # round-5 additions: register last so they queue BEHIND the existing
+    # never-certified backlog (the pre-validated r5 driver slice stays
+    # byte-identical; see the driver-slice-ordering note).
+    "extensions.graphalgo",
+    "extensions.corpusstats",
 )
 
 import_errors: dict[str, str] = {}
