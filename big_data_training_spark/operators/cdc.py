@@ -107,9 +107,9 @@ def set_reprocess_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "cdc_scd2_history",
-    """
+# Shared with the streaming form (streaming/cdc_stream.py): the stream's
+# incremental merge must converge to exactly this table.
+SCD2_SQL = """
     WITH changes AS (
         SELECT user_id, ts, event_id, event_type,
                lag(event_type) OVER w AS prev_type
@@ -125,7 +125,12 @@ def set_reprocess_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_type, valid_from, valid_to,
            CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
     FROM versions
-    """,
+    """
+
+
+@register(
+    "cdc_scd2_history",
+    SCD2_SQL,
     doc="S10+: SCD Type 2 — versioned dimension rows with validity ranges",
 )
 def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:

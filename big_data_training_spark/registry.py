@@ -97,6 +97,7 @@ _OPERATOR_MODULES = (
     # byte-identical; see the driver-slice-ordering note).
     "extensions.graphalgo",
     "extensions.corpusstats",
+    "streaming.cdc_stream",
 )
 
 import_errors: dict[str, str] = {}
