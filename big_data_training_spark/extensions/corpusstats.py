@@ -48,10 +48,10 @@ def _gram_batches(batches):
         )
 
 
-@register(
-    "emb_gram_exact",
-    f"""
-    WITH q AS (
+# Shared CTE body: the quantized Gram matrix (upper triangle) — reused
+# by the power-iteration oracle below so the two can never drift.
+_SQL_GRAM = f"""
+    q AS (
         SELECT vec_id,
                [CAST(round(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)
                 for x in embedding] AS qv
@@ -62,11 +62,18 @@ def _gram_batches(batches):
                CAST(generate_subscripts(qv, 1) AS BIGINT) AS i,
                unnest(qv) AS v
         FROM q
+    ),
+    gram AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+        FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2
     )
-    SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS dot
-    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
-    GROUP BY 1, 2
-    """,
+"""
+
+
+@register(
+    "emb_gram_exact",
+    "WITH " + _SQL_GRAM + "SELECT i, j, dot FROM gram",
     doc="exact int64 Gram matrix (upper triangle) over fixed-point"
     " quantized embeddings — the PCA/whitening input",
 )
@@ -215,3 +222,97 @@ def lm_bigram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cum_freq * 1000 div t").alias("coverage_permille"),
         )
     )
+
+
+POWER_ROUNDS = 3
+POWER_NORM = 1000  # per-round max-abs renormalization to +/-1000 fixed point
+
+
+def _power_oracle() -> str:
+    """Unrolled integer power iteration over the symmetrized Gram:
+    u_r = G v_{r-1}, then v_r = trunc(u_r * 1000 / max|u_r|). On
+    INTEGER operands DuckDB's // truncates toward zero (-7 // 2 = -3),
+    exactly like Spark's div, so negative components stay
+    bit-identical across engines."""
+    ctes = [
+        """sym AS MATERIALIZED (
+            SELECT i, j, dot FROM gram
+            UNION ALL
+            SELECT j AS i, i AS j, dot FROM gram WHERE i < j
+        )""",
+        f"""v0 AS (
+            SELECT DISTINCT i AS j, CAST({POWER_NORM} AS BIGINT) AS v
+            FROM sym
+        )""",
+    ]
+    for r in range(1, POWER_ROUNDS + 1):
+        ctes.append(
+            f"""u{r} AS MATERIALIZED (
+            SELECT s.i AS j, CAST(sum(s.dot * v.v) AS BIGINT) AS u
+            FROM sym s JOIN v{r - 1} v ON s.j = v.j
+            GROUP BY 1
+        )"""
+        )
+        ctes.append(
+            f"""v{r} AS MATERIALIZED (
+            SELECT j,
+                   CAST((u * {POWER_NORM})
+                        // (SELECT max(abs(u)) FROM u{r}) AS BIGINT) AS v
+            FROM u{r}
+        )"""
+        )
+    return (
+        "WITH "
+        + _SQL_GRAM
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT j AS dim, v AS component_permille FROM v{POWER_ROUNDS}"
+    )
+
+
+@register(
+    "emb_power_iteration",
+    _power_oracle(),
+    doc="dominant eigenvector of the embedding Gram matrix via 3 rounds"
+    " of integer-exact power iteration (distributed matvec)",
+)
+def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top principal direction of the embedding cloud — the first
+    step of PCA whitening / OPQ rotation training — as distributed
+    linear algebra: the Gram matrix lives as (i, j, dot) rows and each
+    power-iteration round is one matvec = join on the column index +
+    sum by row index. Fixed-point renormalization (floor(u*1000 /
+    max|u|)) keeps every intermediate an int64 (bounded by
+    d * max|G| * 1000 ~ 3e16), so three rounds are bit-identical to the
+    oracle's unrolled CTEs. At d=4096 the Gram is a 16M-row table and
+    the matvec a bounded-size shuffle — corpus size only enters through
+    the (already-aggregated) Gram."""
+    gram = emb_gram_exact(spark, sf_dir)
+    sym = (
+        gram.unionByName(
+            gram.filter(F.col("i") < F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "dot"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    v = sym.select(F.col("i").alias("j")).distinct().withColumn(
+        "v", F.lit(POWER_NORM).cast("bigint")
+    )
+    for _ in range(POWER_ROUNDS):
+        u = (
+            sym.join(v, "j")
+            .groupBy(F.col("i").alias("jj"))
+            .agg(F.sum(F.col("dot") * F.col("v")).alias("u"))
+            .select(F.col("jj").alias("j"), "u")
+        )
+        s = u.agg(F.max(F.abs(F.col("u"))).alias("s"))
+        # truncating integer division == DuckDB's // on BIGINT operands
+        v = (
+            u.crossJoin(F.broadcast(s))
+            .select(
+                "j",
+                F.expr(f"(u * {POWER_NORM}) div s").cast("bigint").alias("v"),
+            )
+        )
+    return v.select(F.col("j").alias("dim"), F.col("v").alias("component_permille"))

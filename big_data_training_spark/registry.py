@@ -98,6 +98,7 @@ _OPERATOR_MODULES = (
     "extensions.graphalgo",
     "extensions.corpusstats",
     "streaming.cdc_stream",
+    "operators.rangeplan",
 )
 
 import_errors: dict[str, str] = {}
