@@ -99,6 +99,8 @@ _OPERATOR_MODULES = (
     "extensions.corpusstats",
     "streaming.cdc_stream",
     "operators.rangeplan",
+    "operators.integrity",
+    "extensions.sampling",
 )
 
 import_errors: dict[str, str] = {}
