@@ -222,3 +222,125 @@ def gr_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = new_total
         visited = expanded
     return spark.createDataFrame(rows, "layer bigint, n_new bigint")
+
+
+PPR_ITER = 3
+PPR_SCALE = 1_000_000_000_000  # fixed-point: 1.0 == 10^12 (matches graph.py)
+PPR_TOP = 20
+
+
+def _ppr_oracle() -> str:
+    """Unrolled personalized-PageRank rounds: teleport mass returns only
+    to the seed set. Integer floor arithmetic identical to graph.py's
+    global PageRank oracle; ranks stay nonnegative, so DuckDB's
+    truncating // equals Spark's div."""
+    base = (15 * PPR_SCALE) // 100
+    seed_case = (
+        "CASE WHEN n.node IN (SELECT node FROM seeds) "
+        f"THEN {base} ELSE 0 END"
+    )
+    rounds = []
+    for i in range(PPR_ITER):
+        rounds.append(
+            f""", r{i + 1} AS MATERIALIZED (
+            SELECT n.node,
+                   CAST({seed_case} + coalesce(s.contrib, 0) AS BIGINT) AS rank
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       CAST(sum((85 * (r.rank // d.outdeg)) // 100)
+                            AS BIGINT) AS contrib
+                FROM r{i} r
+                JOIN ue e ON e.src = r.node
+                JOIN outdeg d ON d.node = r.node
+                WHERE r.rank > 0
+                GROUP BY e.dst
+            ) s ON s.node = n.node
+        )"""
+        )
+    return f"""
+    WITH {_SQL_UEDGES},
+    seeds AS MATERIALIZED (
+        SELECT DISTINCT src AS node FROM ed ORDER BY node LIMIT {BFS_SEEDS}
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ue),
+    outdeg AS MATERIALIZED (
+        SELECT src AS node, count(*) AS outdeg FROM ue GROUP BY 1
+    ),
+    r0 AS (
+        SELECT node,
+               CAST(CASE WHEN node IN (SELECT node FROM seeds)
+                         THEN {PPR_SCALE} ELSE 0 END AS BIGINT) AS rank
+        FROM nodes
+    ){"".join(rounds)}
+    SELECT node, rank FROM r{PPR_ITER}
+    ORDER BY rank DESC, node LIMIT {PPR_TOP}
+    """
+
+
+@register(
+    "gr_personalized_pagerank",
+    _ppr_oracle(),
+    doc=f"personalized PageRank from the {BFS_SEEDS} lowest supplier ids,"
+    f" {PPR_ITER} integer-exact rounds, top-{PPR_TOP}",
+)
+def gr_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPR — 'importance relative to THESE seeds', the link-based
+    recommendation / related-entities primitive. Same Pregel shape as
+    the global PageRank (one join + one aggregation per round over the
+    undirected graph) with teleport mass restricted to the seed set;
+    sparsity is the scale win: rank mass is zero outside the seeds'
+    3-hop ball, and the `rank > 0` pre-filter keeps each round's join
+    input proportional to the reached frontier, not the graph."""
+    ue = _undirected_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = ue.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    seeds = (
+        ue.select(F.col("src").alias("node"))
+        .filter(F.col("node") < 1_000_000)
+        .distinct()
+        .orderBy("node")
+        .limit(BFS_SEEDS)
+        .withColumn("is_seed", F.lit(True))
+        .localCheckpoint(eager=True)
+    )
+    outdeg = ue.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    base = (15 * PPR_SCALE) // 100
+    marked = nodes.join(seeds, "node", "left")
+    ranks = marked.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(PPR_SCALE))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    for _ in range(PPR_ITER):
+        contribs = (
+            ranks.filter(F.col("rank") > 0)
+            .join(outdeg, "node")
+            .withColumn(
+                "per_edge",
+                (F.lit(85) * F.expr("rank div outdeg")).cast("bigint"),
+            )
+            .join(ue, F.col("node") == F.col("src"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("per_edge div 100")).alias("contrib"))
+        )
+        ranks = (
+            marked.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
+                    + F.coalesce("contrib", F.lit(0))
+                )
+                .cast("bigint")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return materialize(
+        ranks.orderBy(F.desc("rank"), F.asc("node")).limit(PPR_TOP)
+    )
