@@ -35,6 +35,8 @@ def _gram_batches(batches):
     import pandas as pd
 
     for pdf in batches:
+        if not len(pdf):  # empty partition → no partial to emit
+            continue
         mat = np.vstack(pdf["embedding"].to_numpy())
         q = np.rint(mat.astype("float64") * QUANT_SCALE).astype("int64")
         g = q.T @ q
