@@ -473,3 +473,66 @@ def ev_session_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("affinity_permille"),
         )
     )
+
+
+@register(
+    "ev_cusum_changepoint",
+    """
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day, count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    t AS (SELECT sum(n) AS total, count(*) AS nd FROM d),
+    c AS (
+        SELECT day, n,
+               sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum,
+               row_number() OVER (ORDER BY day) AS rn
+        FROM d
+    ),
+    scored AS (
+        SELECT day, n, CAST(cum * t.nd - rn * t.total AS BIGINT) AS cusum
+        FROM c, t
+    ),
+    peak AS (SELECT max(abs(cusum)) AS m FROM scored)
+    SELECT day, n AS n_events, cusum AS cusum_scaled,
+           CAST(CASE WHEN abs(cusum) = peak.m THEN 1 ELSE 0 END AS INT)
+               AS is_peak
+    FROM scored, peak
+    """,
+    doc="CUSUM change-point scan over daily event volume: scaled"
+    " cumulative deviation from the global mean, peak day flagged",
+)
+def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where did the event-rate regime change? Classic CUSUM with the
+    mean division cleared: CUSUM_k = sum_{i<=k}(n_i) * N - k * total is
+    the cumulative deviation from the global daily mean scaled by N —
+    all integers, no float drift, peaks exactly where the float CUSUM
+    peaks. One groupBy builds the daily series; the cumulative window
+    runs over calendar-bounded rows (days, not events), so the scan
+    costs one corpus aggregation at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    d = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    t = d.agg(F.sum("n").alias("total"), F.count("*").alias("nd"))
+    w = Window.orderBy("day")
+    c = d.select(
+        "day",
+        "n",
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(w).alias("rn"),
+    )
+    scored = c.crossJoin(F.broadcast(t)).select(
+        "day",
+        "n",
+        (F.col("cum") * F.col("nd") - F.col("rn") * F.col("total"))
+        .cast("bigint")
+        .alias("cusum"),
+    )
+    peak = scored.agg(F.max(F.abs("cusum")).alias("m"))
+    return scored.crossJoin(F.broadcast(peak)).select(
+        "day",
+        F.col("n").alias("n_events"),
+        F.col("cusum").alias("cusum_scaled"),
+        F.when(F.abs("cusum") == F.col("m"), 1).otherwise(0).alias("is_peak"),
+    )

@@ -546,3 +546,37 @@ def test_compression_recall_serving_plans(spark, sf_dir):
     for q in (sim_matryoshka_recall, sim_int8_recall_at_k):
         row = q(spark, sf_dir).collect()[0]
         assert 0 <= row["n_recalled"] <= row["k"]
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
+    """Catalyst's InjectRuntimeFilter: a selective filter on the orders
+    side becomes a bloom-filter (`might_contain`) pre-filter on the
+    lineitem scan, pruning fact rows BEFORE the join shuffle. Default
+    thresholds (creation side <= 10MB after filtering, application-side
+    scan >= 10GB) are tuned for cluster scale; fixtures sit under both,
+    so the test lowers them — at 100 TB the injection fires with stock
+    settings and is the single biggest shuffle-volume saver on
+    star-schema joins that cannot broadcast."""
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "might_contain" in physical_plan(j)
+        assert j.collect()[0]["count"] > 0
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
