@@ -318,3 +318,73 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return v.select(F.col("j").alias("dim"), F.col("v").alias("component_permille"))
+
+
+@register(
+    "lm_effective_token_budget",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, source, md5(text) AS ch,
+               coalesce(len({SQL_TOKENS.format(col='text')}), 0) AS n_tok
+        FROM documents
+    ),
+    keep AS (SELECT min(doc_id) AS keeper FROM tok GROUP BY ch)
+    SELECT t.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN k.keeper IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keepers,
+           CAST(sum(n_tok) AS BIGINT) AS raw_tokens,
+           CAST(sum(CASE WHEN k.keeper IS NOT NULL THEN n_tok ELSE 0 END)
+                AS BIGINT) AS effective_tokens,
+           CAST((sum(n_tok)
+                 - sum(CASE WHEN k.keeper IS NOT NULL THEN n_tok ELSE 0 END))
+                * 1000 // greatest(sum(n_tok), 1) AS BIGINT)
+               AS savings_permille
+    FROM tok t
+    LEFT JOIN keep k ON k.keeper = t.doc_id
+    GROUP BY 1
+    """,
+    doc="dedup-adjusted token budget per source: raw vs effective"
+    " (keeper-only) tokens and the dedup savings share",
+)
+def lm_effective_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What a token budget is really worth after exact dedup: per
+    source, raw token count vs the count over content-hash keepers
+    (min doc_id per hash, credited to the keeper's source) and the
+    permille saved. The planning number behind 'we have X tokens':
+    duplicated boilerplate inflates X without adding signal. One
+    hash-keyed aggregation plus a keeper semi-join — the same shuffle
+    shape as dd_exact_dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("ch"),
+        F.coalesce(F.size(tokens("text")), F.lit(0)).alias("n_tok"),
+    )
+    keep = tok.groupBy("ch").agg(F.min("doc_id").alias("keeper"))
+    joined = tok.join(
+        keep.select(F.col("keeper").alias("doc_id")).withColumn(
+            "is_keeper", F.lit(1)
+        ),
+        "doc_id",
+        "left",
+    )
+    kept_tok = F.sum(
+        F.when(F.col("is_keeper").isNotNull(), F.col("n_tok")).otherwise(0)
+    )
+    raw_tok = F.sum("n_tok")
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("is_keeper").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_keepers"),
+        raw_tok.cast("bigint").alias("raw_tokens"),
+        kept_tok.cast("bigint").alias("effective_tokens"),
+        F.expr(
+            "(sum(n_tok) - sum(CASE WHEN is_keeper IS NOT NULL THEN n_tok"
+            " ELSE 0 END)) * 1000 div greatest(sum(n_tok), 1)"
+        )
+        .cast("bigint")
+        .alias("savings_permille"),
+    )

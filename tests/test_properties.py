@@ -474,3 +474,47 @@ def test_window_hash_batches_counts(texts):
     assert sorted(out2[out2.doc_id == 0]["h"]) == sorted(
         out2[out2.doc_id == 1]["h"]
     )
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.integers(-(10**15), 10**15), min_size=1, max_size=20),
+    st.integers(1, 10**9),
+)
+def test_integer_division_semantics_match_duckdb(spark, xs, s):
+    """The power-iteration / permille paths rely on Spark's `div` and
+    DuckDB's `//` agreeing on signed operands (both truncate toward
+    zero). Property-check the full signed range we use."""
+    import duckdb
+
+    duck = [
+        duckdb.sql(f"SELECT CAST({x} AS BIGINT) // CAST({s} AS BIGINT)").fetchone()[0]
+        for x in xs
+    ]
+    rows = (
+        spark.createDataFrame([(x,) for x in xs], "x bigint")
+        .select(F.expr(f"x div CAST({s} AS BIGINT)").alias("d"))
+        .collect()
+    )
+    assert [r.d for r in rows] == duck
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(0, 10**6), min_size=2, max_size=60, unique=True),
+    st.integers(1, 8),
+)
+def test_bottomk_sample_is_mergeable(spark, ids, k):
+    """The KMV/bottom-k property sm_bottomk_sample's scale claim rests
+    on: bottom-k of a union == bottom-k of the concatenated per-shard
+    bottom-ks, for ANY shard split."""
+    import hashlib
+
+    def h(i: int) -> int:
+        return int(hashlib.md5(f"sample:{i}".encode()).hexdigest()[:15], 16)
+
+    mid = len(ids) // 2
+    shard_a, shard_b = ids[:mid], ids[mid:]
+    bottom = lambda seq: sorted(seq, key=lambda i: (h(i), i))[:k]  # noqa: E731
+    merged = bottom(bottom(shard_a) + bottom(shard_b))
+    assert merged == bottom(ids)
