@@ -101,6 +101,7 @@ _OPERATOR_MODULES = (
     "operators.rangeplan",
     "operators.integrity",
     "extensions.sampling",
+    "extensions.mmplan",
 )
 
 import_errors: dict[str, str] = {}
