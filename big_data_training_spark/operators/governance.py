@@ -28,7 +28,7 @@ aggregate reports:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
@@ -362,11 +362,15 @@ def dd_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from big_data_training_spark.extensions.filters import tx_gopher_rules
 
     docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.filter(f"NOT ({EVAL_PRED})").select("doc_id")
 
-    keep = tx_gopher_rules(spark, sf_dir).filter("keep").select("doc_id")
-    s2 = corpus.join(keep, "doc_id")
-
+    # Single-pass formulation: instead of counting five stage frontiers
+    # (whose union plan would replay the LSH clustering twice and the
+    # Gopher scan four times — measured; eager/lazy checkpoints of the
+    # frontiers came out SLOWER than the replays on 32 cores), tag every
+    # corpus doc with cumulative survival flags via two keeper windows
+    # and two left joins, then aggregate once. Every expensive input —
+    # Gopher flags, LSH labels, decontamination flags — is evaluated
+    # exactly once in one DAG.
     fp = F.md5(
         F.concat_ws(
             " ",
@@ -375,39 +379,51 @@ def dd_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    fpt = docs.join(s2, "doc_id").select("doc_id", fp.alias("fp"))
-    s3 = fpt.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-
+    gop = tx_gopher_rules(spark, sf_dir).select("doc_id", "keep")
     labels = dd_cluster_components(spark, sf_dir)
-    lab3 = s3.join(labels, "doc_id", "left")
-    cmin = (
-        lab3.filter(F.col("component_id").isNotNull())
-        .groupBy("component_id")
-        .agg(F.min("doc_id").alias("k"))
+    flagged = dd_decontaminate_overlap(spark, sf_dir).select("doc_id").withColumn(
+        "contaminated", F.lit(1)
     )
-    s4 = (
-        lab3.join(cmin, "component_id", "left")
-        .filter(F.col("component_id").isNull() | (F.col("doc_id") == F.col("k")))
-        .select("doc_id")
+    base = (
+        docs.filter(f"NOT ({EVAL_PRED})")
+        .select("doc_id", fp.alias("fp"))
+        .join(gop, "doc_id")
+        .join(labels, "doc_id", "left")
+        .join(flagged, "doc_id", "left")
     )
-
-    flagged = dd_decontaminate_overlap(spark, sf_dir).select("doc_id")
-    s5 = s4.join(flagged, "doc_id", "left_anti")
-
-    def stage(i: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count("*").alias("n_docs")).select(
-            F.lit(i).alias("stage_idx"), F.lit(name).alias("stage"), "n_docs"
-        )
-
-    stages = (
-        stage(1, "raw", corpus)
-        .unionByName(stage(2, "quality_filtered", s2))
-        .unionByName(stage(3, "exact_deduped", s3))
-        .unionByName(stage(4, "neardup_deduped", s4))
-        .unionByName(stage(5, "decontaminated", s5))
+    w_fp = Window.partitionBy("fp")
+    w_c = Window.partitionBy("component_id")
+    in_s2 = F.col("keep")
+    keeper_fp = F.min(F.when(in_s2, F.col("doc_id"))).over(w_fp)
+    in_s3 = in_s2 & (F.col("doc_id") == keeper_fp)
+    keeper_c = F.min(F.when(in_s3, F.col("doc_id"))).over(w_c)
+    in_s4 = in_s3 & (
+        F.col("component_id").isNull() | (F.col("doc_id") == keeper_c)
     )
-    raw_n = corpus.agg(F.count("*").alias("raw_n"))
-    return stages.crossJoin(F.broadcast(raw_n)).select(
+    in_s5 = in_s4 & F.col("contaminated").isNull()
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    totals = base.select(
+        F.lit(1).alias("g"),
+        in_s2.alias("s2"),
+        in_s3.alias("s3"),
+        in_s4.alias("s4"),
+        in_s5.alias("s5"),
+    ).agg(
+        F.count("*").alias("n1"),
+        one(F.col("s2")).alias("n2"),
+        one(F.col("s3")).alias("n3"),
+        one(F.col("s4")).alias("n4"),
+        one(F.col("s5")).alias("n5"),
+    )
+    stages = totals.select(
+        F.expr(
+            "stack(5, 1, 'raw', n1, 2, 'quality_filtered', n2,"
+            " 3, 'exact_deduped', n3, 4, 'neardup_deduped', n4,"
+            " 5, 'decontaminated', n5) AS (stage_idx, stage, n_docs)"
+        ),
+        F.col("n1").alias("raw_n"),
+    )
+    return stages.select(
         "stage_idx",
         "stage",
         "n_docs",
