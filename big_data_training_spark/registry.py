@@ -102,6 +102,7 @@ _OPERATOR_MODULES = (
     "operators.integrity",
     "extensions.sampling",
     "extensions.mmplan",
+    "streaming.incremental",
 )
 
 import_errors: dict[str, str] = {}

@@ -1,0 +1,197 @@
+"""Incremental maintenance of mergeable statistics under streaming
+ingest: the bottom-k sample and the embedding Gram matrix, each proven
+equal to its batch closed form (same oracle SQL).
+
+These two demonstrate the algebraic property that makes statistics
+maintainable at 100 TB without reprocessing: bottom-k is mergeable
+(bottom-k of state ∪ batch == global bottom-k) and the Gram matrix is
+additive (G = Σ per-batch partials). Each micro-batch folds its
+contribution into constant-size state; the log is never replayed.
+Segment replay mirrors streaming/cdc_stream.py: quantile-cut parquet
+segments consumed with maxFilesPerTrigger=1.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_training_spark.data import load_table
+from big_data_training_spark.registry import register
+from big_data_training_spark.streaming.replay import (
+    cleanup_scratch,
+    materialize,
+    scratch_dir,
+)
+
+N_SEGMENTS = 4
+
+
+def _write_id_segments(
+    spark: SparkSession, df: DataFrame, id_col: str, prefix: str
+) -> str:
+    """Split df into N_SEGMENTS id-ordered plain parquet files with
+    ascending mtimes (the file-stream source replays in mtime order)."""
+    cuts = df.approxQuantile(id_col, [i / N_SEGMENTS for i in range(1, N_SEGMENTS)], 0.0)
+    topic = scratch_dir(prefix)
+    bounds = [float("-inf"), *cuts, float("inf")]
+    for i in range(N_SEGMENTS):
+        seg = df.filter(
+            (F.col(id_col) > F.lit(bounds[i]))
+            & (F.col(id_col) <= F.lit(bounds[i + 1]))
+        )
+        tmp = os.path.join(topic, f"_stage{i:02d}")
+        seg.coalesce(1).write.parquet(tmp)
+        part = next(
+            f
+            for f in os.listdir(tmp)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        path = os.path.join(topic, f"seg{i:02d}.parquet")
+        os.replace(os.path.join(tmp, part), path)
+        t = 1_600_000_000 + i
+        os.utime(path, (t, t))
+    return topic
+
+
+def _run_foreach_batch(spark: SparkSession, topic: str, apply) -> None:
+    schema = spark.read.parquet(os.path.join(topic, "seg00.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(topic)
+    )
+    ckpt = scratch_dir("bdts_incr_ckpt_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+@register(
+    "st_bottomk_sample_stream",
+    # identical closed form as the batch sample — the merge property is
+    # exactly what is being verified
+    f"""
+    SELECT doc_id, h AS sample_hash
+    FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15)) AS BIGINT) AS h
+        FROM documents
+    )
+    ORDER BY h, doc_id
+    LIMIT 64
+    """,
+    doc="streaming bottom-k sample maintenance: per-batch merge of the"
+    " k smallest key hashes; converges to the batch sample",
+)
+def st_bottomk_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the uniform panel while the corpus streams in: each
+    micro-batch computes its own bottom-k and merges with the k-row
+    state (bottom-k of the union — the KMV merge law, property-tested
+    in tests/test_properties.py). State is k rows forever; adding a
+    segment never touches prior data. Equals the batch sample exactly."""
+    from big_data_training_spark.extensions.sampling import SAMPLE_K
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    topic = _write_id_segments(spark, docs, "doc_id", "bdts_bk_topic_")
+    state_dir = scratch_dir("bdts_bk_state_")
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        batch_k = (
+            batch_df.select("doc_id", h.alias("sample_hash"))
+            .orderBy("sample_hash", "doc_id")
+            .limit(SAMPLE_K)
+        )
+        cur = os.path.join(state_dir, "current")
+        if os.path.exists(cur):
+            with open(cur) as fh:
+                merged = sp.read.parquet(fh.read().strip()).unionByName(batch_k)
+        else:
+            merged = batch_k
+        new = merged.orderBy("sample_hash", "doc_id").limit(SAMPLE_K)
+        nxt = os.path.join(state_dir, f"state_{epoch_id:06d}")
+        new.write.mode("overwrite").parquet(nxt)
+        with open(cur + ".tmp", "w") as fh:
+            fh.write(nxt)
+        os.replace(cur + ".tmp", cur)
+
+    _run_foreach_batch(spark, topic, apply)
+    with open(os.path.join(state_dir, "current")) as fh:
+        out = materialize(spark.read.parquet(fh.read().strip()))
+    cleanup_scratch()
+    return out
+
+
+@register(
+    "st_gram_stream",
+    # identical closed form as emb_gram_exact — additivity is what is
+    # being verified
+    """
+    WITH q AS (
+        SELECT vec_id,
+               [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                for x in embedding] AS qv
+        FROM embeddings
+    ),
+    e AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(qv, 1) AS BIGINT) AS i,
+               unnest(qv) AS v
+        FROM q
+    )
+    SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS dot
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    """,
+    doc="streaming Gram-matrix maintenance: additive per-batch partials"
+    " folded into d^2 state; converges to the batch Gram",
+)
+def st_gram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PCA input stays fresh while embeddings stream in: each
+    micro-batch contributes its partial Q^T Q (the same Arrow-batched
+    numpy kernel as the batch query) and the d^2-row state is the
+    running sum — G is additive, so the stream state equals the batch
+    Gram at every point. State is d^2 rows regardless of corpus size."""
+    from big_data_training_spark.extensions.corpusstats import _gram_batches
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    topic = _write_id_segments(spark, emb, "vec_id", "bdts_gram_topic_")
+    partials_dir = scratch_dir("bdts_gram_partials_")
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.select("embedding").mapInPandas(
+            _gram_batches, "i bigint, j bigint, dot bigint"
+        ).write.mode("append").parquet(os.path.join(partials_dir, "p"))
+
+    _run_foreach_batch(spark, topic, apply)
+    out = materialize(
+        spark.read.parquet(os.path.join(partials_dir, "p"))
+        .groupBy("i", "j")
+        .agg(F.sum("dot").alias("dot"))
+    )
+    cleanup_scratch()
+    return out
