@@ -78,6 +78,7 @@ _SQL_GRAM = f"""
     "WITH " + _SQL_GRAM + "SELECT i, j, dot FROM gram",
     doc="exact int64 Gram matrix (upper triangle) over fixed-point"
     " quantized embeddings — the PCA/whitening input",
+    bench=True,
 )
 def emb_gram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The covariance-side input to PCA / whitening / OPQ rotation
@@ -277,6 +278,7 @@ def _power_oracle() -> str:
     _power_oracle(),
     doc="dominant eigenvector of the embedding Gram matrix via 3 rounds"
     " of integer-exact power iteration (distributed matvec)",
+    bench=True,
 )
 def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The top principal direction of the embedding cloud — the first

@@ -84,6 +84,7 @@ _CALIB_SQL = f"""
     _CALIB_SQL,
     doc="MinHash estimator calibration: mean exact Jaccard per"
     " estimated-Jaccard bin over all LSH-surfaced pairs",
+    bench=True,
 )
 def dd_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Is the 16-hash MinHash estimate biased? Bin every LSH-surfaced

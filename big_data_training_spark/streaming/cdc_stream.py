@@ -141,6 +141,7 @@ def _merge_batch(history_dir: str, state_dir: str):
     SCD2_SQL,
     doc="S10/ST4 streaming form: CDC segments merged incrementally into"
     " an SCD2 history via foreachBatch; converges to the batch table",
+    bench=True,
 )
 def st_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the change log as 4 time-ordered micro-batches, merge each
