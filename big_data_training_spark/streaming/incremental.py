@@ -80,21 +80,16 @@ def _run_foreach_batch(spark: SparkSession, topic: str, apply) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+from big_data_training_spark import registry as _registry  # noqa: E402
+from big_data_training_spark.extensions import sampling as _sampling  # noqa: E402, F401
+from big_data_training_spark.extensions import corpusstats as _corpusstats  # noqa: E402, F401
+
+
 @register(
     "st_bottomk_sample_stream",
-    # identical closed form as the batch sample — the merge property is
-    # exactly what is being verified
-    f"""
-    SELECT doc_id, h AS sample_hash
-    FROM (
-        SELECT doc_id,
-               CAST(('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)),
-                                    1, 15)) AS BIGINT) AS h
-        FROM documents
-    )
-    ORDER BY h, doc_id
-    LIMIT 64
-    """,
+    # identical closed form as the batch sample (single-sourced from its
+    # registration) — the merge property is exactly what is verified
+    _registry._REGISTRY["sm_bottomk_sample"].oracle,
     doc="streaming bottom-k sample maintenance: per-batch merge of the"
     " k smallest key hashes; converges to the batch sample",
 )
@@ -148,25 +143,9 @@ def st_bottomk_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st_gram_stream",
-    # identical closed form as emb_gram_exact — additivity is what is
-    # being verified
-    """
-    WITH q AS (
-        SELECT vec_id,
-               [CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
-                for x in embedding] AS qv
-        FROM embeddings
-    ),
-    e AS (
-        SELECT vec_id,
-               CAST(generate_subscripts(qv, 1) AS BIGINT) AS i,
-               unnest(qv) AS v
-        FROM q
-    )
-    SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS dot
-    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
-    GROUP BY 1, 2
-    """,
+    # identical closed form as emb_gram_exact (single-sourced from its
+    # registration) — additivity is what is being verified
+    _registry._REGISTRY["emb_gram_exact"].oracle,
     doc="streaming Gram-matrix maintenance: additive per-batch partials"
     " folded into d^2 state; converges to the batch Gram",
 )
