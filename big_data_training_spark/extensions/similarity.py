@@ -177,6 +177,28 @@ _SQL_CENTROIDS = """
 """
 
 
+def ivf_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label rounded decimal-exact centroid vectors (label, cv) —
+    the coarse quantizer shared by the batch IVF query and the
+    streaming serving path (streaming/serving.py)."""
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,12)")).cast("double") / F.count("*"),
+                6,
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
+            ).alias("cv")
+        )
+    )
+
+
 # The nprobe cell-routing CTE — shared by the IVF query and its recall
 # audit so the deployed IVF and the measured IVF can never diverge.
 _SQL_IVF_PROBE = f"""\
@@ -218,22 +240,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids are rounded decimal-exact so cell routing is deterministic
     across engines."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = (
-        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
-        .groupBy("label", "pos")
-        .agg(
-            F.round(
-                F.sum(F.col("v").cast("decimal(38,12)")).cast("double") / F.count("*"),
-                6,
-            ).alias("c")
-        )
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s.c
-            ).alias("cv")
-        )
-    )
+    cent = ivf_centroids(emb)
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qv")
     )

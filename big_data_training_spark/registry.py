@@ -103,6 +103,7 @@ _OPERATOR_MODULES = (
     "extensions.sampling",
     "extensions.mmplan",
     "streaming.incremental",
+    "streaming.serving",
 )
 
 import_errors: dict[str, str] = {}
