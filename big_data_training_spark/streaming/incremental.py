@@ -83,6 +83,7 @@ def _run_foreach_batch(spark: SparkSession, topic: str, apply) -> None:
 from big_data_training_spark import registry as _registry  # noqa: E402
 from big_data_training_spark.extensions import sampling as _sampling  # noqa: E402, F401
 from big_data_training_spark.extensions import corpusstats as _corpusstats  # noqa: E402, F401
+from big_data_training_spark.extensions import similarity as _similarity  # noqa: E402, F401
 
 
 @register(
@@ -171,6 +172,80 @@ def st_gram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(os.path.join(partials_dir, "p"))
         .groupBy("i", "j")
         .agg(F.sum("dot").alias("dot"))
+    )
+    cleanup_scratch()
+    return out
+
+
+@register(
+    "st_kmeans_update_stream",
+    # single-sourced from the batch Lloyd update — additivity of the
+    # per-cell (sum, count) sufficient statistics is what is verified
+    _registry._REGISTRY["sim_kmeans_update"].oracle,
+    doc="mini-batch k-means: per-batch decimal (sum, count) sufficient"
+    " statistics folded additively; equals the batch Lloyd update",
+)
+def st_kmeans_update_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lloyd update as mini-batch streaming: seed centroids are
+    static (built once, broadcast into every batch); each micro-batch
+    assigns its vectors to the nearest seed and appends per-(cluster,
+    pos) DECIMAL sums and counts — the sufficient statistics, whose
+    addition is exact, so the final recenter (round(sum/count)) is
+    bit-identical to the one-shot batch update. State is k x dim rows
+    at any corpus size; this is how k-means actually trains over
+    corpora too large to re-scan per iteration."""
+    from big_data_training_spark.extensions.similarity import (
+        _kmeans_centroids,
+    )
+
+    cent = _kmeans_centroids(spark, sf_dir).localCheckpoint(eager=True)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    topic = _write_id_segments(spark, emb, "vec_id", "bdts_km_topic_")
+    partials_dir = scratch_dir("bdts_km_partials_")
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        sqdist = F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("cv"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = batch_df.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "embedding", "cluster", F.round(sqdist, 6).alias("d")
+        )
+        assigned = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d", "cluster")).alias("m"),
+                F.first("embedding").alias("embedding"),
+            )
+            .select("vec_id", F.col("m.cluster").alias("cluster"), "embedding")
+        )
+        (
+            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cluster", F.col("pos").cast("bigint").alias("pos"))
+            .agg(
+                F.sum(F.col("v").cast("decimal(38,12)")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .write.mode("append")
+            .parquet(os.path.join(partials_dir, "p"))
+        )
+
+    _run_foreach_batch(spark, topic, apply)
+    out = materialize(
+        spark.read.parquet(os.path.join(partials_dir, "p"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.round(
+                F.sum("s").cast("double") / F.sum("n"),
+                6,
+            ).alias("centroid"),
+            F.sum("n").alias("n"),
+        )
     )
     cleanup_scratch()
     return out
