@@ -104,6 +104,8 @@ _OPERATOR_MODULES = (
     "extensions.mmplan",
     "streaming.incremental",
     "streaming.serving",
+    "extensions.linkpred",
+    "operators.attribution",
 )
 
 import_errors: dict[str, str] = {}
