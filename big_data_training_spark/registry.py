@@ -106,6 +106,8 @@ _OPERATOR_MODULES = (
     "streaming.serving",
     "extensions.linkpred",
     "operators.attribution",
+    "extensions.annsweep",
+    "streaming.changepoint",
 )
 
 import_errors: dict[str, str] = {}
