@@ -34,6 +34,7 @@ from big_data_training_spark.registry import register
 
 LOOKBACK_HOURS = 24
 TOUCH_TYPES = ("click", "view")
+HALF_LIFE_HOURS = 6  # time-decay model: weight halves every 6 h of age
 
 _SQL_BASE = f"""
     purchases AS (
@@ -46,7 +47,7 @@ _SQL_BASE = f"""
         FROM events WHERE event_type IN ('click', 'view')
     ),
     joined AS (
-        SELECT p.p_id, p.cents, t.channel, t.t_ts, t.t_id
+        SELECT p.p_id, p.cents, p.p_ts, t.channel, t.t_ts, t.t_id
         FROM purchases p JOIN touches t ON p.user_id = t.user_id
          AND t.t_ts < p.p_ts
          AND t.t_ts >= p.p_ts - INTERVAL {LOOKBACK_HOURS} HOUR
@@ -194,6 +195,96 @@ def ev_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("credit_cents"),
     )
     attributed = credits.groupBy("channel").agg(
+        F.count("*").alias("n_credits"),
+        F.sum("credit_cents").alias("credited_cents"),
+    )
+    return attributed.unionByName(_unattributed(purchases, ranked))
+
+
+_SQL_TIME_DECAY = f"""
+    WITH {_SQL_BASE},
+    weighted AS (
+        SELECT p_id, cents, channel, t_ts, t_id,
+               CAST(1 << (({LOOKBACK_HOURS} - 1 -
+                   (epoch_us(p_ts) - epoch_us(t_ts)) // 3600000000)
+                   // {HALF_LIFE_HOURS}) AS BIGINT) AS w,
+               row_number() OVER (
+                   PARTITION BY p_id ORDER BY t_ts DESC, t_id DESC
+               ) AS rn
+        FROM joined
+    ),
+    shared AS (
+        SELECT p_id, channel, rn, cents,
+               (cents * w) // sum(w) OVER (PARTITION BY p_id) AS base
+        FROM weighted
+    ),
+    based AS (
+        SELECT channel, rn, cents, base,
+               sum(base) OVER (PARTITION BY p_id) AS sum_base
+        FROM shared
+    )
+    SELECT channel, count(*) AS n_credits,
+           CAST(sum(base + CASE WHEN rn = 1 THEN cents - sum_base
+                                ELSE 0 END) AS BIGINT) AS credited_cents
+    FROM based GROUP BY 1
+    UNION ALL
+    SELECT * FROM unattributed
+"""
+
+
+@register(
+    "ev_attribution_time_decay",
+    _SQL_TIME_DECAY,
+    doc="time-decay multi-touch attribution: touch weight halves every"
+    f" {HALF_LIFE_HOURS}h of age (power-of-two integer weights), credit"
+    " = cents*w div sum(w) with the remainder to the most recent touch",
+)
+def ev_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay credit: a touch aged ``a`` hours carries weight
+    2^((24-1-a) div 6) in {1,2,4,8} — integer-exact on both engines (bit
+    shift, never pow()), so newer touches earn strictly heavier shares.
+    Each purchase's cents split as cents*w div sum(w) with the floor
+    remainder assigned to the most recent touch — conservation holds
+    exactly, same invariant as the linear model. Plan shape is identical
+    to linear attribution (one user_id equi-join + per-purchase windows),
+    so the same salting/banding story covers it at 100 TB."""
+    purchases, ranked = _purchase_touch_join(spark, sf_dir)
+    weighted = ranked.withColumn(
+        "w",
+        F.expr(
+            f"cast(shiftleft(1, cast(({LOOKBACK_HOURS} - 1"
+            " - (unix_micros(p_ts) - unix_micros(t_ts)) div 3600000000)"
+            f" div {HALF_LIFE_HOURS} as int)) as bigint)"
+        ),
+    )
+    by_p = Window.partitionBy("p_id")
+    based = (
+        weighted.select(
+            "p_id",
+            "channel",
+            "rn",
+            "cents",
+            F.expr("cents * w").alias("cw"),
+            F.sum("w").over(by_p).alias("tot_w"),
+        )
+        .select(
+            "p_id",
+            "channel",
+            "rn",
+            "cents",
+            F.expr("cw div tot_w").alias("base"),
+        )
+        .withColumn("sum_base", F.sum("base").over(by_p))
+    )
+    attributed = based.select(
+        "channel",
+        (
+            F.col("base")
+            + F.when(F.col("rn") == 1, F.col("cents") - F.col("sum_base")).otherwise(
+                F.lit(0)
+            )
+        ).alias("credit_cents"),
+    ).groupBy("channel").agg(
         F.count("*").alias("n_credits"),
         F.sum("credit_cents").alias("credited_cents"),
     )

@@ -13,6 +13,7 @@ from big_data_training_spark.extensions.linkpred import (
 from big_data_training_spark.operators.attribution import (
     ev_attribution_last_touch,
     ev_attribution_linear,
+    ev_attribution_time_decay,
 )
 
 
@@ -31,7 +32,11 @@ def test_attribution_conserves_cents(spark, sf_dir):
     """Both models must credit EXACTLY the total purchase cents — the
     integer remainder handling is the whole point of the design."""
     total = _total_purchase_cents(spark, sf_dir)
-    for fn in (ev_attribution_last_touch, ev_attribution_linear):
+    for fn in (
+        ev_attribution_last_touch,
+        ev_attribution_linear,
+        ev_attribution_time_decay,
+    ):
         rows = fn(spark, sf_dir).collect()
         assert sum(r.credited_cents for r in rows) == total
         assert all(r.credited_cents >= 0 for r in rows)
