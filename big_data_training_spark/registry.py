@@ -108,6 +108,7 @@ _OPERATOR_MODULES = (
     "operators.attribution",
     "extensions.annsweep",
     "streaming.changepoint",
+    "extensions.rerank",
 )
 
 import_errors: dict[str, str] = {}
