@@ -109,6 +109,7 @@ _OPERATOR_MODULES = (
     "extensions.annsweep",
     "streaming.changepoint",
     "extensions.rerank",
+    "streaming.sketch_stream",
 )
 
 import_errors: dict[str, str] = {}

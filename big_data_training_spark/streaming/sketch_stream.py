@@ -1,0 +1,125 @@
+"""Streaming count-min sketch: heavy-hitter monitoring maintained over
+micro-batches via cell-wise-additive registers.
+
+The CMS is the textbook mergeable summary (Cormode & Muthukrishnan):
+sketch(A ∪ B) = sketch(A) + sketch(B) cell-wise, in any batch order.
+So the stream keeps exactly d×w = 256 counters plus the probe-set true
+counts (also additive), and the end-of-stream estimate table must be
+bit-identical to the batch sketch built in one pass — the oracle is
+single-sourced from ``sk_cms_heavy_hitters``, which is precisely that
+merge-law claim under test.
+
+Scale note: each micro-batch contributes one map-side-combined
+groupBy(r, bucket) — 256 output rows regardless of batch volume — and
+the probe-count partial is bounded by the probe panel size. State is
+O(d·w + probes); the finishing min-over-rows probe join touches a
+broadcast 256-row table. Event volume never accumulates anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_training_spark import registry as _registry
+from big_data_training_spark.data import load_table
+from big_data_training_spark.extensions import sketches as _sketches  # noqa: F401
+from big_data_training_spark.extensions.sketches import CMS_D, CMS_W
+from big_data_training_spark.functions.hashing import hash60
+from big_data_training_spark.registry import register
+from big_data_training_spark.streaming.incremental import (
+    _run_foreach_batch,
+    _write_id_segments,
+)
+from big_data_training_spark.streaming.replay import cleanup_scratch, materialize, scratch_dir
+
+PROBE_MOD = 25  # same probe panel as the batch sketch
+
+
+def _cms_cells(df: DataFrame) -> DataFrame:
+    """(r, bucket, c) partial sketch of a batch — 256 rows max."""
+    rows = F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("r")
+    bucket = F.pmod(
+        hash60(
+            F.concat(
+                F.col("r").cast("string"),
+                F.lit(":"),
+                F.col("user_id").cast("string"),
+            )
+        ),
+        F.lit(CMS_W),
+    ).alias("bucket")
+    return (
+        df.select("user_id", rows)
+        .select("user_id", "r", bucket)
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+@register(
+    "st_cms_stream",
+    # single-sourced from the batch sketch: the CMS merge law
+    # (cell-wise addition across arbitrary batch splits) is the claim
+    _registry._REGISTRY["sk_cms_heavy_hitters"].oracle,
+    doc="streaming count-min sketch: per-batch 256-cell partials merged"
+    " cell-wise; end-of-stream probe estimates equal the one-pass batch"
+    " sketch exactly",
+)
+def st_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the heavy-hitter sketch while events stream in: every
+    micro-batch appends its own d×w partial (map-side combined) and its
+    probe-panel true counts; both fold by plain addition. The finishing
+    pass sums cells, sums probe counts, and serves estimate = min over
+    the d probed cells — the same 256-row broadcast join as the batch
+    query, proven hash-equal to it by the shared oracle."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    topic = _write_id_segments(spark, events, "event_id", "bdts_cms_topic_")
+    partials_dir = scratch_dir("bdts_cms_partials_")
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        _cms_cells(batch_df).write.mode("append").parquet(
+            os.path.join(partials_dir, "cells")
+        )
+        batch_df.filter(F.col("user_id") % PROBE_MOD == 0).groupBy(
+            "user_id"
+        ).agg(F.count("*").alias("n")).write.mode("append").parquet(
+            os.path.join(partials_dir, "probes")
+        )
+
+    _run_foreach_batch(spark, topic, apply)
+
+    cms = (
+        spark.read.parquet(os.path.join(partials_dir, "cells"))
+        .groupBy("r", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    probes = (
+        spark.read.parquet(os.path.join(partials_dir, "probes"))
+        .groupBy("user_id")
+        .agg(F.sum("n").alias("true_n"))
+    )
+    rows = F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("r")
+    bucket = F.pmod(
+        hash60(
+            F.concat(
+                F.col("r").cast("string"),
+                F.lit(":"),
+                F.col("user_id").cast("string"),
+            )
+        ),
+        F.lit(CMS_W),
+    ).alias("bucket")
+    probe_cells = probes.select("user_id", "true_n", rows).select(
+        "user_id", "true_n", "r", bucket
+    )
+    out = materialize(
+        probe_cells.join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").alias("cms_est"))
+        .select("user_id", "true_n", "cms_est")
+    )
+    cleanup_scratch()
+    return out
