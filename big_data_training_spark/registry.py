@@ -110,6 +110,7 @@ _OPERATOR_MODULES = (
     "streaming.changepoint",
     "extensions.rerank",
     "streaming.sketch_stream",
+    "operators.spacecurve",
 )
 
 import_errors: dict[str, str] = {}
