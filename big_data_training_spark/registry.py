@@ -111,6 +111,7 @@ _OPERATOR_MODULES = (
     "extensions.rerank",
     "streaming.sketch_stream",
     "operators.spacecurve",
+    "extensions.hits",
 )
 
 import_errors: dict[str, str] = {}
