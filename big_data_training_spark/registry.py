@@ -112,6 +112,8 @@ _OPERATOR_MODULES = (
     "streaming.sketch_stream",
     "operators.spacecurve",
     "extensions.hits",
+    "extensions.smoothing",
+    "operators.sequences",
 )
 
 import_errors: dict[str, str] = {}
