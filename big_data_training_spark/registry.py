@@ -114,6 +114,7 @@ _OPERATOR_MODULES = (
     "extensions.hits",
     "extensions.smoothing",
     "operators.sequences",
+    "streaming.attribution_stream",
 )
 
 import_errors: dict[str, str] = {}
