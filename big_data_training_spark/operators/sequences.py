@@ -73,3 +73,85 @@ def ev_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_streaks"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+_SQL_LIFECYCLE = """
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(date_trunc('week', ts) AS DATE)) // 7 AS wk
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, wk,
+               lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+               lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+        FROM uw
+    )
+    SELECT CAST(wk AS BIGINT) AS wk,
+           CAST(sum(CASE WHEN prev_wk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(sum(CASE WHEN prev_wk = wk - 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_retained,
+           CAST(sum(CASE WHEN prev_wk IS NOT NULL AND prev_wk < wk - 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+           CAST(sum(CASE WHEN next_wk IS NULL OR next_wk > wk + 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_churn_next
+    FROM seq GROUP BY 1
+"""
+
+
+@register(
+    "ev_lifecycle_accounting",
+    _SQL_LIFECYCLE,
+    doc="growth accounting: weekly new/retained/resurrected user counts"
+    " plus next-week churn, from lag/lead over the user-week activity"
+    " table",
+)
+def ev_lifecycle_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The growth-accounting identity (new + retained + resurrected =
+    weekly actives; churn feeds next week's inactive pool) from one
+    keyed lag/lead pass: dedup events to (user, week-number) — integer
+    epoch weeks so both engines agree without interval arithmetic —
+    classify each user-week by its predecessor, and flag churn by its
+    successor. Window state is per-user active-week rows, orders of
+    magnitude below event volume; the identity is asserted in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.expr(
+            "datediff(to_date(date_trunc('week', ts)), date'1970-01-01') div 7"
+        ).alias("wk"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("wk")
+    seq = uw.select(
+        "user_id",
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    )
+    return seq.groupBy(F.col("wk").cast("bigint").alias("wk")).agg(
+        F.sum(F.when(F.col("prev_wk").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("prev_wk") == F.col("wk") - 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_wk").isNotNull()
+                & (F.col("prev_wk") < F.col("wk") - 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+        F.sum(
+            F.when(
+                F.col("next_wk").isNull() | (F.col("next_wk") > F.col("wk") + 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_churn_next"),
+    )
