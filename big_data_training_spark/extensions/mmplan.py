@@ -87,3 +87,97 @@ def mm_patch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pad_permille"),
     )
+
+
+SHARD_BYTES = 1 << 16  # 64 KiB shards at fixture scale (1 GiB in prod)
+REC_OVERHEAD = 512  # tar-style per-record header bytes
+PREFIX_BUCKET = 1000  # docs per prefix-sum bucket
+
+
+@register(
+    "mm_shard_manifest",
+    f"""
+    WITH sized AS (
+        SELECT doc_id, source, n_chars + {REC_OVERHEAD} AS rec_bytes
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, rec_bytes,
+               sum(rec_bytes) OVER (ORDER BY doc_id) - rec_bytes AS cum_before
+        FROM sized
+    )
+    SELECT CAST(cum_before // {SHARD_BYTES} AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(rec_bytes) AS BIGINT) AS shard_bytes,
+           count(DISTINCT source) AS n_sources,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM cum GROUP BY 1
+    """,
+    doc="WebDataset-style shard packing: ingest-ordered exclusive prefix"
+    f" sum of record bytes cut into {SHARD_BYTES}-byte shards; per-shard"
+    " doc count, bytes, source mix, id range",
+)
+def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest a sequential training loader reads: records packed
+    into fixed-byte shards in ingest order (WebDataset/tar semantics —
+    a record belongs to the shard its START byte falls in). The prefix
+    sum is computed DISTRIBUTED, not with a single global window: bucket
+    by doc_id div {B}, per-bucket subtotals (one small aggregate), a
+    driver-scale running offset over buckets, then a per-bucket ordered
+    window — so no stage ever sees more than a bucket in one partition,
+    the two-pass prefix-sum every shard writer uses at 100 TB. The
+    oracle states the same packing as one global running sum; their
+    hash equality is the proof the decomposition is exact.""".replace(
+        "{B}", str(PREFIX_BUCKET)
+    )
+    from big_data_training_spark.data import load_table as _lt
+    from pyspark.sql import Window
+
+    docs = _lt(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        (F.col("n_chars") + REC_OVERHEAD).alias("rec_bytes"),
+        F.expr(f"doc_id div {PREFIX_BUCKET}").alias("bucket"),
+    )
+    boff = (
+        sized.groupBy("bucket")
+        .agg(F.sum("rec_bytes").alias("bsum"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bsum").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "offset")
+    )
+    cum = (
+        sized.withColumn(
+            "local_before",
+            F.coalesce(
+                F.sum("rec_bytes").over(
+                    Window.partitionBy("bucket")
+                    .orderBy("doc_id")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .join(F.broadcast(boff), "bucket")
+        .withColumn("cum_before", F.col("offset") + F.col("local_before"))
+    )
+    return cum.groupBy(
+        F.expr(f"cum_before div {SHARD_BYTES}").cast("bigint").alias("shard_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("rec_bytes").cast("bigint").alias("shard_bytes"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
