@@ -289,3 +289,79 @@ def ev_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("credit_cents").alias("credited_cents"),
     )
     return attributed.unionByName(_unattributed(purchases, ranked))
+
+
+_SQL_POSITION = f"""
+    WITH {_SQL_BASE},
+    ranked2 AS (
+        SELECT p_id, cents, channel,
+               row_number() OVER (
+                   PARTITION BY p_id ORDER BY t_ts DESC, t_id DESC
+               ) AS rn,
+               row_number() OVER (
+                   PARTITION BY p_id ORDER BY t_ts ASC, t_id ASC
+               ) AS rn_asc,
+               count(*) OVER (PARTITION BY p_id) AS n
+        FROM joined
+    ),
+    credits AS (
+        SELECT channel,
+               CASE
+                   WHEN n = 1 THEN cents
+                   WHEN rn_asc = 1 THEN (2 * cents) // 5
+                   WHEN rn = 1 THEN cents - (2 * cents) // 5
+                       - (n - 2) * (CASE WHEN n > 2
+                           THEN (cents - 2 * ((2 * cents) // 5)) // (n - 2)
+                           ELSE 0 END)
+                   ELSE (cents - 2 * ((2 * cents) // 5)) // (n - 2)
+               END AS credit_cents
+        FROM ranked2
+    )
+    SELECT channel, count(*) AS n_credits,
+           CAST(sum(credit_cents) AS BIGINT) AS credited_cents
+    FROM credits GROUP BY 1
+    UNION ALL
+    SELECT * FROM unattributed
+"""
+
+
+@register(
+    "ev_attribution_position",
+    _SQL_POSITION,
+    doc="position-based (U-shaped) attribution: 40% first touch, 40%"
+    " last touch, 20% split across middles, floor remainders to the"
+    " last touch (cents conserved exactly)",
+)
+def ev_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The U-shaped model marketers pair with last-touch/linear/decay:
+    the introducing and converting touches each take 40% (2*cents div
+    5), the middle touches split the remaining pool evenly, and every
+    floor remainder rolls into the last touch so per-purchase credits
+    sum to the purchase exactly. Single-touch purchases keep 100%;
+    two-touch purchases split 40/60 by the same remainder rule. Same
+    one-join + per-purchase-window plan as the other three models."""
+    purchases, ranked = _purchase_touch_join(spark, sf_dir)
+    by_p = Window.partitionBy("p_id")
+    ranked2 = ranked.withColumn(
+        "rn_asc",
+        F.row_number().over(by_p.orderBy(F.asc("t_ts"), F.asc("t_id"))),
+    ).withColumn("n", F.count("*").over(by_p))
+    mid = "(cents - 2 * ((2 * cents) div 5)) div (n - 2)"
+    credit = F.expr(
+        f"""CASE
+            WHEN n = 1 THEN cents
+            WHEN rn_asc = 1 THEN (2 * cents) div 5
+            WHEN rn = 1 THEN cents - (2 * cents) div 5
+                - (n - 2) * (CASE WHEN n > 2 THEN {mid} ELSE 0 END)
+            ELSE {mid}
+        END"""
+    )
+    attributed = (
+        ranked2.select("channel", credit.alias("credit_cents"))
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_credits"),
+            F.sum("credit_cents").alias("credited_cents"),
+        )
+    )
+    return attributed.unionByName(_unattributed(purchases, ranked))

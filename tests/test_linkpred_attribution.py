@@ -13,6 +13,7 @@ from big_data_training_spark.extensions.linkpred import (
 from big_data_training_spark.operators.attribution import (
     ev_attribution_last_touch,
     ev_attribution_linear,
+    ev_attribution_position,
     ev_attribution_time_decay,
 )
 
@@ -36,6 +37,7 @@ def test_attribution_conserves_cents(spark, sf_dir):
         ev_attribution_last_touch,
         ev_attribution_linear,
         ev_attribution_time_decay,
+        ev_attribution_position,
     ):
         rows = fn(spark, sf_dir).collect()
         assert sum(r.credited_cents for r in rows) == total
