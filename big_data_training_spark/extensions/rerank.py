@@ -30,7 +30,7 @@ once per step.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
@@ -191,3 +191,137 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rel").alias("rel_scaled"),
         F.col("mmr").alias("mmr_scaled"),
     )
+
+
+QUERY_TERMS = ("hash", "join", "merge")  # lexical leg of the hybrid query
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_POOL = 100  # per-leg candidate list length
+RRF_TOP = 10
+
+
+def _sql_hybrid() -> str:
+    terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    return f"""
+    WITH lexpool AS (
+        SELECT doc_id, lex FROM (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '),
+                       t -> t IN ({terms}))) AS lex
+            FROM documents WHERE doc_id <> {QUERY_VEC_ID}
+        ) ORDER BY lex DESC, doc_id ASC LIMIT {RRF_POOL}
+    ),
+    lexr AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY lex DESC, doc_id ASC) AS rank_lex
+        FROM lexpool
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+    sempool AS (
+        SELECT vec_id AS doc_id, cos FROM (
+            SELECT e.vec_id,
+                   {_sql_dot('e.embedding', 'q.qv')} /
+                   (sqrt({_sql_dot('e.embedding', 'e.embedding')}) *
+                    sqrt({_sql_dot('q.qv', 'q.qv')})) AS cos
+            FROM embeddings e, q WHERE e.vec_id <> {QUERY_VEC_ID}
+        ) ORDER BY cos DESC, vec_id ASC LIMIT {RRF_POOL}
+    ),
+    semr AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank_sem
+        FROM sempool
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+               CAST(coalesce(l.rank_lex, 0) AS BIGINT) AS rank_lex,
+               CAST(coalesce(s.rank_sem, 0) AS BIGINT) AS rank_sem,
+               CAST(
+                   (CASE WHEN l.rank_lex IS NULL THEN 0
+                         ELSE 1000000 // ({RRF_K} + l.rank_lex) END)
+                   + (CASE WHEN s.rank_sem IS NULL THEN 0
+                           ELSE 1000000 // ({RRF_K} + s.rank_sem) END)
+                   AS BIGINT) AS rrf_scaled
+        FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_sem, rrf_scaled
+    FROM fused ORDER BY rrf_scaled DESC, doc_id ASC LIMIT {RRF_TOP}
+    """
+
+
+@register(
+    "sim_hybrid_rrf",
+    _sql_hybrid(),
+    doc="hybrid retrieval: lexical term-match and cosine legs fused by"
+    f" reciprocal-rank fusion (k={RRF_K}) over top-{RRF_POOL} candidate"
+    f" lists, integer-exact scaled scores, top-{RRF_TOP} served",
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-leg retrieval the way RAG stacks actually serve it: a keyword
+    leg (query-term hit count over the shared whitespace tokenizer) and
+    a semantic leg (cosine against the query vector, doc_id == vec_id
+    in the fixture id space), each truncated to its own top-100
+    candidate list by a distributed TakeOrderedAndProject — RRF is
+    defined over candidate LISTS, which is what keeps it corpus-size-
+    free at 100 TB. Fusion is 10^6 div (60 + rank) summed over the legs
+    where the doc appears (full-outer join of the two 100-row lists),
+    all integer, rank ties broken by doc_id."""
+    terms = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lexpool = (
+        docs.filter(F.col("doc_id") != QUERY_VEC_ID)
+        .select(
+            "doc_id",
+            F.expr(
+                f"size(filter(filter(split(text, ' '), w -> w <> ''),"
+                f" t -> t IN ({terms})))"
+            ).alias("lex"),
+        )
+        .orderBy(F.desc("lex"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    lexr = lexpool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("lex"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("rank_lex"),
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    sempool = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(_cos_expr("embedding", "qv")).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(RRF_POOL)
+    )
+    semr = sempool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("rank_sem"),
+    )
+    fused = (
+        lexr.join(semr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rank_lex", F.lit(0)).cast("bigint").alias("rank_lex"),
+            F.coalesce("rank_sem", F.lit(0)).cast("bigint").alias("rank_sem"),
+            (
+                F.when(
+                    F.col("rank_lex").isNull(), F.lit(0).cast("bigint")
+                ).otherwise(F.expr(f"1000000 div ({RRF_K} + rank_lex)"))
+                + F.when(
+                    F.col("rank_sem").isNull(), F.lit(0).cast("bigint")
+                ).otherwise(F.expr(f"1000000 div ({RRF_K} + rank_sem)"))
+            )
+            .cast("bigint")
+            .alias("rrf_scaled"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_scaled"), F.asc("doc_id")).limit(RRF_TOP)
