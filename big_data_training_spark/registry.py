@@ -115,6 +115,7 @@ _OPERATOR_MODULES = (
     "extensions.smoothing",
     "operators.sequences",
     "streaming.attribution_stream",
+    "functions.udaf",
 )
 
 import_errors: dict[str, str] = {}
