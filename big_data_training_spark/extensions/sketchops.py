@@ -650,3 +650,131 @@ def dd_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("a.cnt") * F.col("c.cnt")).cast("bigint").alias("n_pairs"),
         )
     )
+
+
+from big_data_training_spark.extensions.sketches import (  # noqa: E402
+    KMV_K,
+    _kmv_est,
+    _sql_kmv_est,
+)
+
+
+@register(
+    "sk_kmv_setops",
+    f"""
+    WITH a AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    ), b AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), tagged AS (
+        SELECT {sql_hash60("CAST(user_id AS VARCHAR)")} AS h,
+               max(in_a) AS in_a, max(in_b) AS in_b
+        FROM (
+            SELECT user_id, 1 AS in_a, 0 AS in_b FROM a
+            UNION ALL
+            SELECT user_id, 0, 1 FROM b
+        ) GROUP BY 1
+    ), union_k AS (
+        SELECT * FROM tagged ORDER BY h LIMIT {KMV_K}
+    ), sk AS (
+        SELECT count(*) AS k_used, max(h) AS kth,
+               sum(in_a * in_b) AS sh_both,
+               sum(in_a * (1 - in_b)) AS sh_only_a,
+               sum((1 - in_a) * in_b) AS sh_only_b
+        FROM union_k
+    ), est AS (
+        SELECT CAST({_sql_kmv_est('kth', 'k_used')} AS BIGINT) AS union_est,
+               k_used, sh_both, sh_only_a, sh_only_b
+        FROM sk
+    ), exact AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_union,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+               CAST(sum(in_a * (1 - in_b)) AS BIGINT) AS n_only_a,
+               CAST(sum((1 - in_a) * in_b) AS BIGINT) AS n_only_b
+        FROM tagged
+    )
+    SELECT 'union' AS op, union_est AS est, n_union AS exact
+    FROM est, exact
+    UNION ALL
+    SELECT 'intersect', CAST((sh_both * union_est) // k_used AS BIGINT),
+           n_both FROM est, exact
+    UNION ALL
+    SELECT 'only_a', CAST((sh_only_a * union_est) // k_used AS BIGINT),
+           n_only_a FROM est, exact
+    UNION ALL
+    SELECT 'only_b', CAST((sh_only_b * union_est) // k_used AS BIGINT),
+           n_only_b FROM est, exact
+    """,
+    doc="KMV set algebra: union/intersection/difference cardinality"
+    " estimates from ONE bottom-k sketch of the tagged union, each with"
+    " its exact audit",
+)
+def sk_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full set-algebra readout of a single KMV sketch: the bottom-k
+    of the tagged union is a uniform sample of the union, so any
+    membership predicate's fraction inside it, times the KMV union
+    estimate, estimates that subset's cardinality — union, intersection
+    and both one-sided differences from one constant-size sketch, no
+    re-scan per operation. The exact audit (one aggregate over the
+    tagged-distinct table) rides along; at 100 TB you ship only the
+    16-row sketch per audience and merge sketches by union+re-truncate."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def audience(t: str, col: str, other: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == t)
+            .select("user_id")
+            .distinct()
+            .select("user_id", F.lit(1).alias(col), F.lit(0).alias(other))
+        )
+
+    a = audience("click", "in_a", "in_b").select("user_id", "in_a", "in_b")
+    b = audience("purchase", "in_b", "in_a").select("user_id", "in_a", "in_b")
+    tagged = (
+        a.unionByName(b)
+        .groupBy(hash60(F.col("user_id").cast("string")).alias("h"))
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    sk = (
+        tagged.orderBy("h")
+        .limit(KMV_K)
+        .agg(
+            F.count("*").alias("k_used"),
+            F.max("h").alias("kth"),
+            F.sum(F.expr("in_a * in_b")).alias("sh_both"),
+            F.sum(F.expr("in_a * (1 - in_b)")).alias("sh_only_a"),
+            F.sum(F.expr("(1 - in_a) * in_b")).alias("sh_only_b"),
+        )
+    )
+    est = sk.select(
+        _kmv_est("kth", "k_used").cast("bigint").alias("union_est"),
+        "k_used",
+        "sh_both",
+        "sh_only_a",
+        "sh_only_b",
+    )
+    exact = tagged.agg(
+        F.count("*").cast("bigint").alias("n_union"),
+        F.sum(F.expr("in_a * in_b")).cast("bigint").alias("n_both"),
+        F.sum(F.expr("in_a * (1 - in_b)")).cast("bigint").alias("n_only_a"),
+        F.sum(F.expr("(1 - in_a) * in_b")).cast("bigint").alias("n_only_b"),
+    )
+    j = est.crossJoin(F.broadcast(exact))
+    rows = [
+        ("union", "union_est", "n_union"),
+        ("intersect", "(sh_both * union_est) div k_used", "n_both"),
+        ("only_a", "(sh_only_a * union_est) div k_used", "n_only_a"),
+        ("only_b", "(sh_only_b * union_est) div k_used", "n_only_b"),
+    ]
+    outs = [
+        j.select(
+            F.lit(op).alias("op"),
+            F.expr(e).cast("bigint").alias("est"),
+            F.col(x).alias("exact"),
+        )
+        for op, e, x in rows
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
