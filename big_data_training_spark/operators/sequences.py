@@ -155,3 +155,113 @@ def ev_lifecycle_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_churn_next"),
     )
+
+
+SURV_HORIZON_DAYS = 7
+_US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "ev_conversion_life_table",
+    f"""
+    WITH fc AS (
+        SELECT user_id, min(ts) AS fc FROM events
+        WHERE event_type = 'click' GROUP BY 1
+    ),
+    fp AS (
+        SELECT f.user_id, min(e.ts) AS fp
+        FROM fc f JOIN events e ON e.user_id = f.user_id
+         AND e.event_type = 'purchase' AND e.ts > f.fc
+        GROUP BY 1
+    ),
+    mx AS (SELECT max(ts) AS mts FROM events),
+    usr AS (
+        SELECT f.user_id, f.fc,
+               CASE WHEN p.fp IS NULL THEN NULL
+                    ELSE (epoch_us(p.fp) - epoch_us(f.fc)) // {_US_PER_DAY}
+               END AS k
+        FROM fc f LEFT JOIN fp p ON p.user_id = f.user_id
+    ),
+    ks AS (
+        SELECT unnest(generate_series(0, {SURV_HORIZON_DAYS - 1})) AS k
+    )
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(sum(CASE WHEN (u.k IS NULL OR u.k >= ks.k)
+                AND epoch_us(u.fc) + ks.k * {_US_PER_DAY} <= epoch_us(m.mts)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_at_risk,
+           CAST(sum(CASE WHEN u.k = ks.k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted,
+           CAST(CASE WHEN sum(CASE WHEN (u.k IS NULL OR u.k >= ks.k)
+                AND epoch_us(u.fc) + ks.k * {_US_PER_DAY} <= epoch_us(m.mts)
+                THEN 1 ELSE 0 END) = 0 THEN 0
+                ELSE (1000 * sum(CASE WHEN u.k = ks.k THEN 1 ELSE 0 END))
+                     // sum(CASE WHEN (u.k IS NULL OR u.k >= ks.k)
+                AND epoch_us(u.fc) + ks.k * {_US_PER_DAY} <= epoch_us(m.mts)
+                THEN 1 ELSE 0 END) END AS BIGINT) AS hazard_permille
+    FROM ks, usr u, mx m
+    GROUP BY 1
+    """,
+    doc="discrete survival life table: day-offset hazard of first"
+    " purchase after first click, right-censored at the log horizon",
+)
+def ev_conversion_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kaplan–Meier input table in exact integers: cohort = users
+    with a first click; event = first purchase strictly after it;
+    offset k = whole days between them. Per day offset: users still at
+    risk (not yet converted AND still observable before the log's right
+    edge — right censoring), conversions at exactly k, and the discrete
+    hazard in permille. Day-offset replication is the only fan-out
+    (users × horizon, never events × anything), and every leg is a
+    keyed min aggregate on user_id — one shuffle each at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc"))
+    )
+    fp = (
+        fc.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("pts")
+            ),
+            "user_id",
+        )
+        .filter(F.col("pts") > F.col("fc"))
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("fp"))
+    )
+    mx = ev.agg(F.max("ts").alias("mts"))
+    usr = fc.join(fp, "user_id", "left").select(
+        "fc",
+        F.expr(
+            f"CASE WHEN fp IS NULL THEN NULL"
+            f" ELSE (unix_micros(fp) - unix_micros(fc)) div {_US_PER_DAY} END"
+        ).alias("k_conv"),
+    )
+    ks = spark.range(SURV_HORIZON_DAYS).select(F.col("id").alias("k"))
+    at_risk = (
+        f"CASE WHEN (k_conv IS NULL OR k_conv >= k)"
+        f" AND unix_micros(fc) + k * {_US_PER_DAY} <= unix_micros(mts)"
+        f" THEN 1 ELSE 0 END"
+    )
+    conv = "CASE WHEN k_conv = k THEN 1 ELSE 0 END"
+    return (
+        usr.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(mx))
+        .groupBy(F.col("k").cast("bigint").alias("k"))
+        .agg(
+            F.sum(F.expr(at_risk)).cast("bigint").alias("n_at_risk"),
+            F.sum(F.expr(conv)).cast("bigint").alias("n_converted"),
+        )
+        .select(
+            "k",
+            "n_at_risk",
+            "n_converted",
+            F.expr(
+                "CASE WHEN n_at_risk = 0 THEN 0"
+                " ELSE (1000 * n_converted) div n_at_risk END"
+            )
+            .cast("bigint")
+            .alias("hazard_permille"),
+        )
+    )
