@@ -518,3 +518,37 @@ def test_bottomk_sample_is_mergeable(spark, ids, k):
     bottom = lambda seq: sorted(seq, key=lambda i: (h(i), i))[:k]  # noqa: E731
     merged = bottom(bottom(shard_a) + bottom(shard_b))
     assert merged == bottom(ids)
+
+
+@given(
+    st.integers(min_value=0, max_value=10**12),
+    st.integers(min_value=1, max_value=200),
+)
+def test_attribution_splits_conserve_cents(cents, n):
+    """The three multi-touch credit formulas (linear, position-based,
+    time-decay) must conserve cents exactly for ANY purchase value and
+    touch count — the floor-remainder algebra, mirrored from
+    operators/attribution.py, checked over the whole input space."""
+    # linear: every touch cents//n, remainder to the most recent
+    linear = [cents // n] * n
+    linear[0] = cents - (n - 1) * (cents // n)
+    assert sum(linear) == cents and all(c >= 0 for c in linear)
+
+    # position-based: 40/40/20 with remainders to the last touch
+    if n == 1:
+        pos = [cents]
+    else:
+        first = (2 * cents) // 5
+        mid = (cents - 2 * ((2 * cents) // 5)) // (n - 2) if n > 2 else 0
+        last = cents - first - (n - 2) * mid
+        pos = [first] + [mid] * (n - 2) + [last]
+    assert sum(pos) == cents and all(c >= 0 for c in pos)
+
+    # time-decay: arbitrary positive integer weights (power-of-two in
+    # production; any weights must conserve), remainder to touch 0
+    weights = [1 << (i % 4) for i in range(n)]
+    tot = sum(weights)
+    base = [(cents * w) // tot for w in weights]
+    credits = list(base)
+    credits[0] += cents - sum(base)
+    assert sum(credits) == cents and all(c >= 0 for c in credits)
