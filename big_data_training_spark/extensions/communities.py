@@ -74,22 +74,9 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "gr_label_propagation",
-    _lp_oracle(),
-    doc=f"label propagation: {LP_ROUNDS} synchronous min-label rounds",
-    bench=True,
-)
-def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synchronous min-label propagation for {LP_ROUNDS} rounds over the
-    undirected supplier↔customer graph, reported as community sizes.
-    Each round joins the current labels to the edge list and takes the
-    minimum over the closed neighborhood — the deterministic LPA variant
-    (ties cannot occur under min), which after convergence equals
-    connected components; at a fixed horizon it exposes the radius-
-    bounded community structure. The edge list is reused across rounds
-    (cached); at cluster scale it would be hash-partitioned once and
-    pinned exactly as gr_pagerank_copartitioned does."""
+def _lp_labels(spark: SparkSession, sf_dir: str):
+    """(undirected edge list, node→label after LP_ROUNDS) — shared by the
+    community-size report and the modularity scorer."""
     edges = _edges(spark, sf_dir)
     und = edges.select(
         F.col("src").alias("a"), F.col("dst").alias("b")
@@ -120,6 +107,26 @@ def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label"),
             )
         )
+    return und, labels
+
+
+@register(
+    "gr_label_propagation",
+    _lp_oracle(),
+    doc=f"label propagation: {LP_ROUNDS} synchronous min-label rounds",
+    bench=True,
+)
+def gr_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous min-label propagation for {LP_ROUNDS} rounds over the
+    undirected supplier↔customer graph, reported as community sizes.
+    Each round joins the current labels to the edge list and takes the
+    minimum over the closed neighborhood — the deterministic LPA variant
+    (ties cannot occur under min), which after convergence equals
+    connected components; at a fixed horizon it exposes the radius-
+    bounded community structure. The edge list is reused across rounds
+    (cached); at cluster scale it would be hash-partitioned once and
+    pinned exactly as gr_pagerank_copartitioned does."""
+    und, labels = _lp_labels(spark, sf_dir)
     out = labels.groupBy("label").agg(F.count("*").alias("n_members"))
     # Materialization happens in the caller/driver; unpersist would be
     # premature here — the cache is scoped to the session and tiny
@@ -245,5 +252,106 @@ def gr_pagerank_convergence_audit(spark: SparkSession, sf_dir: str) -> DataFrame
             F.expr(f"sum(abs(r_new - r_old)) * 1000000 div (count(*) * {SCALE})")
             .cast("bigint")
             .alias("delta_ppm"),
+        )
+    )
+
+
+def _modularity_oracle() -> str:
+    rounds = "".join(
+        _SQL_LP_ROUND.format(cur=i, next=i + 1) for i in range(LP_ROUNDS)
+    )
+    return f"""
+    WITH edges AS ({_SQL_EDGES}
+    ), und AS (
+        SELECT src AS a, dst AS b FROM edges
+        UNION ALL
+        SELECT dst AS a, src AS b FROM edges
+    ), nodes AS (
+        SELECT DISTINCT a AS node FROM und
+    ), l0 AS (
+        SELECT node, node AS label FROM nodes
+    ){rounds}
+    , lab AS (SELECT node, label FROM l{LP_ROUNDS}),
+    m AS (SELECT count(*) AS m FROM edges),
+    intra AS (
+        SELECT la.label, count(*) AS e_c
+        FROM edges e
+        JOIN lab la ON la.node = e.src
+        JOIN lab lb ON lb.node = e.dst AND lb.label = la.label
+        GROUP BY 1
+    ),
+    deg AS (SELECT a AS node, count(*) AS d FROM und GROUP BY 1),
+    dc AS (
+        SELECT la.label, CAST(sum(d.d) AS BIGINT) AS d_c
+        FROM lab la JOIN deg d ON d.node = la.node GROUP BY 1
+    ),
+    contrib AS (
+        SELECT dc.label, CAST(coalesce(i.e_c, 0) AS BIGINT) AS e_c, dc.d_c
+        FROM dc LEFT JOIN intra i ON i.label = dc.label
+    )
+    SELECT CAST(m.m AS BIGINT) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_communities,
+           CAST(sum(4 * m.m * e_c - d_c * d_c) AS BIGINT) AS q_numerator,
+           CAST((1000 * sum(4 * m.m * e_c - d_c * d_c))
+                // (4 * m.m * m.m) AS BIGINT) AS q_permille
+    FROM contrib, m GROUP BY m.m
+    """
+
+
+@register(
+    "gr_modularity_score",
+    _modularity_oracle(),
+    doc="Newman modularity of the label-propagation partition, exact"
+    " integers: Q*(4m^2) = sum(4m*e_c - d_c^2) per community, reported"
+    " with the permille score",
+)
+def gr_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scores the partition the LP rounds produced: per community c,
+    intra-edge count e_c and degree mass d_c; Newman's Q = Σ(e_c/m -
+    (d_c/2m)²) evaluated as the integer identity Q·4m² = Σ(4m·e_c -
+    d_c²) — no floats, so the oracle hashes exactly (Spark `div` ==
+    DuckDB `//`, property-tested across the signed range; the BIGINT
+    headroom bound is m ≲ 10^9 edges, past which you pre-divide).
+    Plan shape: the label table joins the edge list twice (both
+    endpoints — the same shuffle key as the LP rounds themselves) and
+    the degree/aggregate legs are keyed sums; everything after the edge
+    scan is community-cardinality-sized."""
+    und, labels = _lp_labels(spark, sf_dir)
+    edges = _edges(spark, sf_dir)
+    m = edges.agg(F.count("*").alias("m"))
+    la = labels.select(F.col("node").alias("src"), F.col("label").alias("cl_a"))
+    lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("cl_b"))
+    intra = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("cl_a") == F.col("cl_b"))
+        .groupBy(F.col("cl_a").alias("label"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(F.count("*").alias("d"))
+    dc = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    contrib = dc.join(intra, "label", "left").select(
+        "label",
+        F.coalesce("e_c", F.lit(0)).cast("bigint").alias("e_c"),
+        F.col("d_c").cast("bigint").alias("d_c"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(m))
+        .groupBy(F.col("m"))
+        .agg(
+            F.count("*").alias("n_communities"),
+            F.sum(F.expr("4 * m * e_c - d_c * d_c")).alias("q_num"),
+        )
+        .select(
+            F.col("m").cast("bigint").alias("n_edges"),
+            F.col("n_communities").cast("bigint").alias("n_communities"),
+            F.col("q_num").cast("bigint").alias("q_numerator"),
+            F.expr("(1000 * q_num) div (4 * m * m)")
+            .cast("bigint")
+            .alias("q_permille"),
         )
     )
