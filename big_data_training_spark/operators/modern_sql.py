@@ -277,3 +277,52 @@ def f_sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+# Spark 4 SQL pipe syntax (|>): the same logical plan as nested SELECTs,
+# written as a linear transformation chain. The oracle states the ANSI
+# equivalent — plan equality across syntaxes is exactly what is tested.
+_PIPE_SQL = """
+    FROM lineitem
+    |> WHERE l_shipdate >= DATE '1998-01-01'
+    |> JOIN supplier ON l_suppkey = s_suppkey
+    |> JOIN nation ON s_nationkey = n_nationkey
+    |> AGGREGATE count(*) AS n_items,
+                 CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS revenue_cents
+       GROUP BY n_name
+    |> WHERE n_items > 0
+    |> SELECT n_name, n_items, revenue_cents
+"""
+
+_PIPE_ORACLE = """
+    SELECT n_name, count(*) AS n_items,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE l_shipdate >= DATE '1998-01-01'
+    GROUP BY n_name
+    HAVING count(*) > 0
+"""
+
+
+@register(
+    "f_sql_pipe_syntax",
+    _PIPE_ORACLE,
+    doc="Spark 4 SQL pipe syntax (|> WHERE/JOIN/AGGREGATE chain) over"
+    " the warehouse views; oracle is the equivalent ANSI statement",
+)
+def f_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipe-syntax surface (public Spark 4 / GoogleSQL design):
+    each |> stage consumes the previous relation, so the query reads in
+    execution order — but Catalyst compiles it to the identical plan as
+    the nested form, which the ANSI oracle proves by hash equality.
+    Broadcast joins and the pre-aggregation filter all behave exactly
+    as in the classic syntax; this is a parser feature, not a new
+    engine path."""
+    from big_data_training_spark.data import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PIPE_SQL)
