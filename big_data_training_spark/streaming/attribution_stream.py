@@ -102,8 +102,12 @@ def _apply_batch(credits_dir: str, state_dir: str):
         no_touch = purchases.join(
             latest.select("p_id"), "p_id", "left_anti"
         ).select("p_id", "cents", F.lit(None).cast("string").alias("channel"))
-        latest.unionByName(no_touch).write.mode("append").parquet(
-            os.path.join(credits_dir, "credits")
+        # Epoch-keyed overwrite, not a blind append: a replayed batch
+        # (restart between sink write and offset commit) rewrites its
+        # own directory instead of double-counting credits — the ST6
+        # batchId-idempotent sink rule.
+        latest.unionByName(no_touch).write.mode("overwrite").parquet(
+            os.path.join(credits_dir, "credits", f"epoch={epoch_id:06d}")
         )
 
         new_state = (
