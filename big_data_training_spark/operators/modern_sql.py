@@ -326,3 +326,83 @@ def f_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_PIPE_SQL)
+
+
+@register(
+    "f8_xml_roundtrip",
+    """
+    SELECT o_orderstatus AS status,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders GROUP BY 1
+    """,
+    doc="S8/F: native XML codec roundtrip — to_xml(struct) -> from_xml"
+    " -> aggregate; oracle recomputes from the base table, so any"
+    " serialization loss hash-mismatches",
+)
+def f8_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's built-in XML surface, proven by the same roundtrip
+    pattern as the Avro/Protobuf wire codecs (F2/F4): serialize each
+    order to an XML document (JVM to_xml, no UDF), parse it back with a
+    declared schema, and aggregate ONLY parsed fields. Hash equality
+    with the base-table oracle proves the codec lossless for the typed
+    fields (BIGINT cents survive text roundtrip exactly — doubles would
+    not, which is why cents are fixed before serialization). One scan,
+    codegen'd both directions; at 100 TB this is the ingest shape for
+    XML feeds (from_xml over a raw text column)."""
+    orders = load_table(spark, sf_dir, "orders")
+    xml = orders.select(
+        F.expr(
+            "to_xml(named_struct("
+            "'k', o_orderkey,"
+            " 'p', CAST(floor(o_totalprice * 100) AS BIGINT),"
+            " 's', o_orderstatus))"
+        ).alias("doc")
+    )
+    parsed = xml.select(
+        F.expr("from_xml(doc, 'k BIGINT, p BIGINT, s STRING')").alias("r")
+    )
+    return parsed.groupBy(F.col("r.s").alias("status")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("r.p").cast("bigint").alias("total_cents"),
+    )
+
+
+@register(
+    "u8_sql_udf",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum((CAST(floor(l_extendedprice * 100) AS BIGINT)
+                     * (1000 - CAST(floor(l_discount * 1000) AS BIGINT)))
+                    // 1000) AS BIGINT) AS discounted_cents
+    FROM lineitem GROUP BY 1
+    """,
+    doc="U1/F: SQL-defined scalar UDF (CREATE FUNCTION ... RETURN expr)"
+    " applied in an aggregate; oracle inlines the body",
+)
+def u8_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDFs: the function body is declared in SQL and
+    INLINED by Catalyst — unlike Python UDFs it stays inside
+    whole-stage codegen, so this is the zero-cost way to share scalar
+    business logic (here: exact discounted cents with permille
+    discounts, all BIGINT). The oracle states the inlined expression,
+    which is literally what the optimizer executes."""
+    from big_data_training_spark.data import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION discounted_cents("
+        "price DOUBLE, disc DOUBLE) RETURNS BIGINT RETURN"
+        " (CAST(floor(price * 100) AS BIGINT)"
+        "  * (1000 - CAST(floor(disc * 1000) AS BIGINT))) div 1000"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n,
+               CAST(sum(discounted_cents(l_extendedprice, l_discount))
+                    AS BIGINT) AS discounted_cents
+        FROM lineitem GROUP BY 1
+        """
+    )
