@@ -38,6 +38,7 @@ from big_data_training_spark.extensions.similarity import (
 
 BASE_SF = "/root/testdata/sf0.1"
 KS = (1, 4, int(sys.argv[1]) if len(sys.argv) > 1 else 10)
+KS = tuple(dict.fromkeys(KS))  # dedupe if max_K collides
 N_QUERIES = 16
 
 
