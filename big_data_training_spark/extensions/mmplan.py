@@ -123,14 +123,13 @@ def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     into fixed-byte shards in ingest order (WebDataset/tar semantics —
     a record belongs to the shard its START byte falls in). The prefix
     sum is computed DISTRIBUTED, not with a single global window: bucket
-    by doc_id div {B}, per-bucket subtotals (one small aggregate), a
-    driver-scale running offset over buckets, then a per-bucket ordered
-    window — so no stage ever sees more than a bucket in one partition,
-    the two-pass prefix-sum every shard writer uses at 100 TB. The
-    oracle states the same packing as one global running sum; their
-    hash equality is the proof the decomposition is exact.""".replace(
-        "{B}", str(PREFIX_BUCKET)
-    )
+    by doc_id div PREFIX_BUCKET, per-bucket subtotals (one small
+    aggregate), a driver-scale running offset over buckets, then a
+    per-bucket ordered window — so no stage ever sees more than a
+    bucket in one partition, the two-pass prefix-sum every shard writer
+    uses at 100 TB. The oracle states the same packing as one global
+    running sum; their hash equality is the proof the decomposition is
+    exact."""
     from big_data_training_spark.data import load_table as _lt
     from pyspark.sql import Window
 
