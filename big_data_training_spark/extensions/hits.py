@@ -145,3 +145,82 @@ def gr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("authority").alias("kind"), "node", F.col("s").alias("score"))
     )
     return top_h.unionByName(top_a)
+
+
+# ---------------------------------------------------------------------------
+# Global clustering coefficient over the part co-order graph — completes
+# the triangle-count story (gr_triangle_count is the numerator).
+# ---------------------------------------------------------------------------
+
+from big_data_training_spark.extensions.graph import (  # noqa: E402
+    _SQL_COPART_EDGES,
+    gr_triangle_count,
+)
+
+
+@register(
+    "gr_clustering_coefficient",
+    f"""
+    WITH e AS ({_SQL_COPART_EDGES}
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY 1
+    ),
+    wed AS (
+        SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg
+    )
+    SELECT tri.n_triangles, wed.n_wedges,
+           CAST((3000 * tri.n_triangles) // wed.n_wedges AS BIGINT)
+               AS c_permille
+    FROM tri, wed
+    """,
+    doc="global clustering coefficient: 3*triangles / wedges over the"
+    " part co-order graph, exact integers (permille)",
+)
+def gr_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity of the co-order graph: the wedge denominator is one
+    degree aggregate (Σ d(d-1)/2 over distinct-neighbor degrees), the
+    triangle numerator REUSES the certified adjacency-intersect plan
+    (gr_triangle_count — degree-oriented, O(m^1.5) bound), and the
+    coefficient is 3000·tri div wedges. Single-sourcing the numerator
+    means this query can never disagree with the standalone count; at
+    100 TB the added cost over counting triangles is one keyed degree
+    aggregate."""
+    tri = gr_triangle_count(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    wed = deg.agg(
+        F.sum(F.expr("(d * (d - 1)) div 2")).cast("bigint").alias("n_wedges")
+    )
+    return (
+        tri.crossJoin(F.broadcast(wed))
+        .select(
+            "n_triangles",
+            "n_wedges",
+            F.expr("(3000 * n_triangles) div n_wedges")
+            .cast("bigint")
+            .alias("c_permille"),
+        )
+    )
