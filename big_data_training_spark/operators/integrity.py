@@ -142,3 +142,67 @@ def dq_duplicate_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(audit("events.event_id", events, ["event_id"]))
     )
+
+
+# (determinant table.column -> dependent column) candidates: two that
+# genuinely hold (key-determined) and three that plausibly-but-falsely
+# look functional — the profiler must separate them by measurement.
+FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_custkey"),
+    ("documents", "doc_id", "lang"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("events", "user_id", "event_type"),
+)
+
+
+def _fd_sql(table: str, det: str, dep: str) -> str:
+    return f"""
+    SELECT '{table}.{det} -> {dep}' AS fd,
+           count(*) AS n_groups,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_groups,
+           CAST(max(nd) AS BIGINT) AS max_distinct_dependents,
+           CAST(CASE WHEN max(nd) = 1 THEN 1 ELSE 0 END AS BIGINT) AS holds
+    FROM (
+        SELECT {det}, count(DISTINCT {dep}) AS nd
+        FROM {table} GROUP BY 1
+    )"""
+
+
+@register(
+    "dq_fd_discovery",
+    " UNION ALL ".join(_fd_sql(t, a, b) for t, a, b in FD_CANDIDATES),
+    doc="functional-dependency profiling: violation counts for candidate"
+    " A -> B dependencies across the warehouse tables",
+)
+def dq_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The schema-profiling question behind every normalization and
+    MERGE-key decision: does A functionally determine B? Each candidate
+    costs one keyed count-distinct aggregate (map-side combined; the
+    violation report is |determinant groups| rows collapsed to one);
+    candidates on the same table share the scan under one job. Keys
+    (o_orderkey, doc_id) must hold; behavioral pairs (user -> type,
+    nation -> segment) must not — the report measures instead of
+    assuming, which is the entire point of FD discovery."""
+    out = None
+    for table, det, dep in FD_CANDIDATES:
+        t = load_table(spark, sf_dir, table)
+        grouped = (
+            t.groupBy(det)
+            .agg(F.countDistinct(dep).alias("nd"))
+            .agg(
+                F.lit(f"{table}.{det} -> {dep}").alias("fd"),
+                F.count("*").alias("n_groups"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating_groups"),
+                F.max("nd").cast("bigint").alias("max_distinct_dependents"),
+                F.when(F.max("nd") == 1, 1)
+                .otherwise(0)
+                .cast("bigint")
+                .alias("holds"),
+            )
+        )
+        out = grouped if out is None else out.unionByName(grouped)
+    return out
