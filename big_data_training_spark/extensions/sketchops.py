@@ -652,8 +652,13 @@ def dd_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# KMV_K must be ALIASED: this module's own KMV_K (= 64, the jaccard
+# audience sketch) is referenced at call time by sk_kmv_jaccard above —
+# a bare import would rebind it to sketches.KMV_K (= 16) and silently
+# desynchronize that query's Spark body from its already-built oracle
+# string (caught by driver_sim --all-uncertified, round 5).
 from big_data_training_spark.extensions.sketches import (  # noqa: E402
-    KMV_K,
+    KMV_K as KMV_EST_K,
     _kmv_est,
     _sql_kmv_est,
 )
@@ -675,7 +680,7 @@ from big_data_training_spark.extensions.sketches import (  # noqa: E402
             SELECT user_id, 0, 1 FROM b
         ) GROUP BY 1
     ), union_k AS (
-        SELECT * FROM tagged ORDER BY h LIMIT {KMV_K}
+        SELECT * FROM tagged ORDER BY h LIMIT {KMV_EST_K}
     ), sk AS (
         SELECT count(*) AS k_used, max(h) AS kth,
                sum(in_a * in_b) AS sh_both,
@@ -737,7 +742,7 @@ def sk_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = (
         tagged.orderBy("h")
-        .limit(KMV_K)
+        .limit(KMV_EST_K)
         .agg(
             F.count("*").alias("k_used"),
             F.max("h").alias("kth"),
