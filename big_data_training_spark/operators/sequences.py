@@ -265,3 +265,52 @@ def ev_conversion_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hazard_permille"),
         )
     )
+
+
+@register(
+    "ev_interarrival_percentiles",
+    """
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_gaps,
+           CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY gap_us)
+               AS BIGINT) AS p50_us,
+           CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY gap_us)
+               AS BIGINT) AS p90_us,
+           CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY gap_us)
+               AS BIGINT) AS p99_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="per-type inter-arrival gap percentiles (exact discrete picks"
+    " over per-user lag gaps, microsecond integers)",
+)
+def ev_interarrival_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The arrival-process profile behind rate limits and session-gap
+    choices: per (user, type) consecutive-event gaps via one keyed lag
+    window (microsecond BIGINTs — no float time math), then exact
+    discrete percentiles per type. Discrete picks select actual
+    elements so both engines agree bit-for-bit; at 100 TB swap in
+    approx_percentile for the same shape with sketch merges."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    aggs = [
+        F.expr(f"cast(percentile_disc({p}) within group (order by gap_us)"
+               " as bigint)").alias(a)
+        for p, a in ((0.50, "p50_us"), (0.90, "p90_us"), (0.99, "p99_us"))
+    ]
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"), *aggs
+    )
