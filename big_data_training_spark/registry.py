@@ -116,6 +116,9 @@ _OPERATOR_MODULES = (
     "operators.sequences",
     "streaming.attribution_stream",
     "functions.udaf",
+    # round-5 fourth-session additions (END-registered: driver slice
+    # composition unchanged; re-confirmed via driver_sim after each batch).
+    "operators.bitmap",
 )
 
 import_errors: dict[str, str] = {}
