@@ -119,6 +119,7 @@ _OPERATOR_MODULES = (
     # round-5 fourth-session additions (END-registered: driver slice
     # composition unchanged; re-confirmed via driver_sim after each batch).
     "operators.bitmap",
+    "extensions.retrieval",
 )
 
 import_errors: dict[str, str] = {}
