@@ -120,6 +120,11 @@ _OPERATOR_MODULES = (
     # composition unchanged; re-confirmed via driver_sim after each batch).
     "operators.bitmap",
     "extensions.retrieval",
+    "operators.ivm_join",
+    "operators.forecast",
+    "operators.costmodel",
+    "extensions.privacy",
+    "extensions.weighted_sample",
 )
 
 import_errors: dict[str, str] = {}
