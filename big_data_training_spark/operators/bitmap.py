@@ -94,6 +94,14 @@ def ev_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(user_id % 32 AS INT)))"
         ).alias("w")
     )
+    return finish_retention(words)
+
+
+def finish_retention(words: DataFrame) -> DataFrame:
+    """Retention report over a (event_type, day, word_idx, w) word
+    table — shared by the batch build and the streaming leg
+    (st_bitmap_stream), whose OR-merged word state must finish
+    identically."""
     daily = words.groupBy("event_type", "day").agg(
         F.expr("CAST(sum(bit_count(w)) AS BIGINT)").alias("n_users")
     )

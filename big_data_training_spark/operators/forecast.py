@@ -83,6 +83,13 @@ def ev_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)")
         .alias("cents")
     )
+    return finish_ewma(daily)
+
+
+def finish_ewma(daily: DataFrame) -> DataFrame:
+    """EWMA + residual over a (event_type, day, cents) table — shared
+    by the batch query and the streaming leg (st_ewma_stream), whose
+    additively-maintained day state must finish identically."""
     num, den = _ewma_terms("cents")
     spec = "OVER (PARTITION BY event_type ORDER BY day)"
     num, den = num.replace("OVER win", spec), den.replace("OVER win", spec)

@@ -125,6 +125,7 @@ _OPERATOR_MODULES = (
     "operators.costmodel",
     "extensions.privacy",
     "extensions.weighted_sample",
+    "streaming.monitor_stream",
 )
 
 import_errors: dict[str, str] = {}

@@ -1,0 +1,142 @@
+"""Streaming maintenance of the monitoring layer: the EWMA baseline
+and the bitmap audience index, each maintained per micro-batch and
+proven to finish exactly like its batch twin (same oracle SQL).
+
+Two different merge algebras, deliberately:
+
+* The EWMA's sufficient statistic (day → cents) is ADDITIVE — partials
+  sum, so each redelivery would double-count and delivery must be
+  exactly-once (Spark's checkpointed batchId contract, proven
+  elsewhere by st_pyds_exactly_once_sink).
+* The bitmap words are IDEMPOTENT under their merge (bit_or): a
+  replayed segment ORs the same bits again and changes nothing. This
+  module *deliberately redelivers the first micro-batch* and the
+  result still hash-matches the batch oracle — the algebraic reason
+  bitmap indexes are the low-anxiety stateful operator under
+  at-least-once delivery (kafka/README.md:198-200 redelivery
+  semantics).
+
+Both states are volume-free: O(keys·days) rows for the EWMA, O(U/32)
+words per audience for the bitmap, regardless of event throughput.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_training_spark import registry as _registry
+from big_data_training_spark.data import load_table
+from big_data_training_spark.operators import bitmap as _bitmap
+from big_data_training_spark.operators import forecast as _forecast
+from big_data_training_spark.registry import register
+from big_data_training_spark.streaming.incremental import (
+    _run_foreach_batch,
+    _write_id_segments,
+)
+from big_data_training_spark.streaming.replay import (
+    cleanup_scratch,
+    materialize,
+    scratch_dir,
+)
+
+
+@register(
+    "st_ewma_stream",
+    # single-sourced: the streamed day-state must finish exactly like
+    # the batch EWMA — additivity of the daily cents is under test
+    _registry._REGISTRY["ev_ewma_value"].oracle,
+    doc="streaming EWMA baseline: per-batch (event_type, day) cents"
+    " partials folded additively; the finishing smoother over the"
+    " bounded day state equals the batch answer",
+)
+def st_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the anomaly-detection baseline while events arrive:
+    each micro-batch appends its own groupBy((event_type, day)) cents
+    sums (map-side combined, O(keys·days) rows); state is their sum —
+    additive in any arrival order, so id-ordered (non-time-ordered)
+    segments still converge. The EWMA itself runs over the finished
+    day table only (finish_ewma, the code the batch query runs), so
+    smoothing cost is independent of event volume."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    topic = _write_id_segments(spark, events, "event_id", "bdts_ewma_topic_")
+    partials_dir = scratch_dir("bdts_ewma_partials_")
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        ).agg(
+            F.expr(
+                "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)"
+            ).alias("cents")
+        ).write.mode("append").parquet(os.path.join(partials_dir, "p"))
+
+    _run_foreach_batch(spark, topic, apply)
+
+    daily = (
+        spark.read.parquet(os.path.join(partials_dir, "p"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    out = materialize(_forecast.finish_ewma(daily))
+    cleanup_scratch()
+    return out
+
+
+@register(
+    "st_bitmap_stream",
+    # single-sourced from the batch bitmap retention — and the stream
+    # REDELIVERS its first micro-batch: bit_or idempotence must absorb it
+    _registry._REGISTRY["ev_bitmap_retention"].oracle,
+    doc="streaming bitmap index maintenance under deliberate"
+    " redelivery: per-batch word partials OR-merged (idempotent), so"
+    " at-least-once delivery still matches the batch oracle",
+)
+def st_bitmap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the audience bitmap index from the stream — and prove
+    the at-least-once story: the first micro-batch's word partials are
+    written TWICE (simulated redelivery), yet the final report still
+    hash-matches the batch oracle because bit_or is idempotent —
+    duplicate bits change nothing. Contrast st_ewma_stream, whose
+    additive state would double-count and therefore rides on
+    exactly-once batch semantics. Per batch: one map-side-combined
+    groupBy((event_type, day, word_idx)); state is O(audiences·U/32)
+    words; the retention join (finish_retention, the batch code) runs
+    over state only."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "user_id"
+    )
+    topic = _write_id_segments(spark, events, "event_id", "bdts_bmap_topic_")
+    partials_dir = scratch_dir("bdts_bmap_partials_")
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        words = batch_df.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.expr("user_id div 32").alias("word_idx"),
+        ).agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT),"
+                " CAST(user_id % 32 AS INT)))"
+            ).alias("w")
+        )
+        writes = 2 if epoch_id == 0 else 1  # deliberate redelivery
+        for _ in range(writes):
+            words.write.mode("append").parquet(
+                os.path.join(partials_dir, "p")
+            )
+
+    _run_foreach_batch(spark, topic, apply)
+
+    words = (
+        spark.read.parquet(os.path.join(partials_dir, "p"))
+        .groupBy("event_type", "day", "word_idx")
+        .agg(F.expr("bit_or(w)").alias("w"))
+    )
+    out = materialize(_bitmap.finish_retention(words))
+    cleanup_scratch()
+    return out
