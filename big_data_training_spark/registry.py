@@ -126,6 +126,7 @@ _OPERATOR_MODULES = (
     "extensions.privacy",
     "extensions.weighted_sample",
     "streaming.monitor_stream",
+    "operators.temporal_pit",
 )
 
 import_errors: dict[str, str] = {}
