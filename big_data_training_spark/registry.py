@@ -127,6 +127,7 @@ _OPERATOR_MODULES = (
     "extensions.weighted_sample",
     "streaming.monitor_stream",
     "operators.temporal_pit",
+    "operators.regression",
 )
 
 import_errors: dict[str, str] = {}
