@@ -251,3 +251,85 @@ def ix_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_scaled"), F.asc("doc_id"))
         .limit(BM25_TOP)
     )
+
+
+SNIPPET_BEFORE = 20
+SNIPPET_LEN = 60
+_NOPOS = 999_999_999
+
+
+def _minpos_exprs() -> tuple[str, str]:
+    """(minpos, first_term) SQL over per-term `pos_i` columns —
+    identical text in both dialects (0 = not found → sentinel)."""
+    sent = [
+        f"(CASE WHEN pos_{i} = 0 THEN {_NOPOS} ELSE pos_{i} END)"
+        for i in range(len(BM25_TERMS))
+    ]
+    minpos = f"least({', '.join(sent)})"
+    first = "CASE " + " ".join(
+        f"WHEN {s} = {minpos} THEN '{t}'"
+        for s, t in zip(sent, BM25_TERMS)
+    ) + " END"
+    return minpos, first
+
+
+def _snippets_oracle() -> str:
+    topk = _registry._REGISTRY["ix_bm25_topk"].oracle
+    pos_cols = ", ".join(
+        f"position('{t}' IN text) AS pos_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    minpos, first = _minpos_exprs()
+    return f"""
+    WITH topk AS ({topk}),
+    pos AS (
+        SELECT d.doc_id, d.text, {pos_cols}
+        FROM documents d JOIN topk USING (doc_id)
+    )
+    SELECT doc_id,
+           {first} AS first_term,
+           CAST({minpos} AS BIGINT) AS match_pos,
+           substr(text, greatest(1, {minpos} - {SNIPPET_BEFORE}),
+                  {SNIPPET_LEN}) AS snippet
+    FROM pos
+    ORDER BY doc_id
+    """
+
+
+from big_data_training_spark import registry as _registry  # noqa: E402
+
+
+@register(
+    "ix_snippets",
+    _snippets_oracle(),
+    doc="KWIC snippet generation for the BM25 top-k: earliest query-"
+    "term hit located with pure string ops, fixed-width context"
+    " window — the search-results page",
+)
+def ix_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last mile of search serving: for each BM25 top-k document,
+    locate the earliest query-term occurrence (position(), 1-based,
+    sentinel when absent — every served doc matches at least one
+    term) and cut a fixed keyword-in-context window around it. The
+    top-k set is single-sourced from ix_bm25_topk (its oracle CTE is
+    embedded verbatim), so ranking and snippets can never disagree.
+    Plan: the k-row serving set joins the corpus by key — broadcast
+    the k ids at scale — and the string work is per-hit, not
+    per-corpus."""
+    topk = ix_bm25_topk(spark, sf_dir).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    pos_cols = [
+        F.expr(f"position('{t}' IN text)").alias(f"pos_{i}")
+        for i, t in enumerate(BM25_TERMS)
+    ]
+    pos = docs.join(F.broadcast(topk), "doc_id").select(
+        "doc_id", "text", *pos_cols
+    )
+    minpos, first = _minpos_exprs()
+    return pos.selectExpr(
+        "doc_id",
+        f"{first} AS first_term",
+        f"CAST({minpos} AS BIGINT) AS match_pos",
+        f"substr(text, greatest(1, {minpos} - {SNIPPET_BEFORE}),"
+        f" {SNIPPET_LEN}) AS snippet",
+    ).orderBy("doc_id")

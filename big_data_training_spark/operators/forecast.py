@@ -29,6 +29,65 @@ from big_data_training_spark.registry import register
 EWMA_SPAN = 16  # trailing days; weight of lag i is 2^(SPAN-1-i)
 
 
+@register(
+    "ev_dow_seasonal_adjust",
+    """
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(date_part('isodow', ts) AS BIGINT) AS dow,
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type, day, dow, cents,
+           CAST(sum(cents) OVER (PARTITION BY event_type, dow)
+                * 1000000
+                // count(*) OVER (PARTITION BY event_type, dow)
+               AS BIGINT) AS dow_expected_micro,
+           CAST(cents * 1000000
+                - sum(cents) OVER (PARTITION BY event_type, dow)
+                  * 1000000
+                  // count(*) OVER (PARTITION BY event_type, dow)
+               AS BIGINT) AS residual_micro
+    FROM daily
+    ORDER BY event_type, day
+    """,
+    doc="day-of-week seasonal adjustment: per (event_type, ISO dow)"
+    " expected daily cents (integer micro-units) and the"
+    " deseasonalized residual",
+)
+def ev_dow_seasonal_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove the weekly rhythm before alerting: a Saturday dip is not
+    an incident if Saturdays always dip. Per (event_type, ISO
+    day-of-week), the expected daily cents is the group mean in exact
+    integer micro-units (sum·10^6 div count — no float averaging);
+    the residual is what the detectors (MAD, CUSUM, EWMA residual)
+    should consume instead of the raw series. No joins: both group
+    statistics ride as window aggregates over the daily table
+    (O(keys·days) rows after the one map-side-combinable shuffle), so
+    the adjustment is free at any event volume."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr("CAST(date_part('DOW_ISO', ts) AS BIGINT)").alias("dow"),
+    ).agg(
+        F.expr("CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)")
+        .alias("cents")
+    )
+    spec = "OVER (PARTITION BY event_type, dow)"
+    return daily.selectExpr(
+        "event_type",
+        "day",
+        "dow",
+        "cents",
+        f"CAST(sum(cents) {spec} * 1000000"
+        f" div count(*) {spec} AS BIGINT) AS dow_expected_micro",
+        f"CAST(cents * 1000000 - sum(cents) {spec} * 1000000"
+        f" div count(*) {spec} AS BIGINT) AS residual_micro",
+    ).orderBy("event_type", "day")
+
+
 def _ewma_terms(col: str) -> tuple[str, str]:
     """(weighted_sum, weight_sum) SQL over the trailing EWMA_SPAN rows
     of an ordered per-key window — identical text in both dialects;

@@ -128,6 +128,7 @@ _OPERATOR_MODULES = (
     "streaming.monitor_stream",
     "operators.temporal_pit",
     "operators.regression",
+    "operators.skyline",
 )
 
 import_errors: dict[str, str] = {}

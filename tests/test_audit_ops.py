@@ -107,3 +107,33 @@ def test_weighted_sample_matches_python_spec(spark, sf_dir):
         for r in sm_weighted_priority_sample(spark, sf_dir).collect()
     ]
     assert got == expected
+
+
+def test_skyline_matches_bruteforce_dominance(spark, sf_dir):
+    from big_data_training_spark.operators.skyline import ev_customer_skyline
+
+    orders = load_table(spark, sf_dir, "orders")
+    pts = {
+        r.custkey: (r.cents, r.n)
+        for r in orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("cents"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+
+    def dominated(a):
+        ra, oa = pts[a]
+        return any(
+            (rb >= ra and ob <= oa and (rb > ra or ob < oa))
+            for b, (rb, ob) in pts.items()
+            if b != a
+        )
+
+    want = {c for c in pts if not dominated(c)}
+    got = {r.custkey for r in ev_customer_skyline(spark, sf_dir).collect()}
+    assert got == want
