@@ -1,0 +1,240 @@
+"""Information-theoretic corpus statistics on the exact fixed-point
+log kernel: PMI collocation mining and column entropy profiling.
+
+Both need logarithms, and both reuse the 1/16-bit fixed-point log2
+(extensions/retrieval.py log2_fp16_steps — binary-digit-count
+normalization + square-and-renormalize fraction bits) so the numbers
+are bit-identical across engines, which a float log cannot promise.
+
+* **PMI collocations** (Church & Hanks 1990): pmi(x,y) =
+  log2(n_xy·T / (n_x·n_y)) over bigram/unigram counts (T = bigram
+  total). The ratio can be < 1, so the kernel is applied to the larger
+  /smaller side and signed. A min-count floor keeps the estimator out
+  of its high-variance regime, standard practice.
+* **Column entropy** (profiling): H = log2(N) − (Σ n_v·log2(n_v))/N
+  over value frequencies — computed as integer sixteenth-bits. A
+  near-zero entropy column is a constant (drop it from ML features);
+  entropy near log2(ndv) means uniform (a good partition key); the
+  gap between them is the skew the shuffle planner cares about.
+
+Scale: collocations are the word-count shuffle over bigrams with the
+unigram table broadcast back; entropy is one groupBy(value) per
+audited column plus a scalar combine — both single-pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_training_spark.data import load_table
+from big_data_training_spark.extensions.retrieval import (
+    _nest_sql,
+    log2_fp16_steps,
+)
+from big_data_training_spark.registry import register
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 20
+
+_TOKS = "filter(split(text, ' '), w -> w <> '')"
+
+
+def _apply_steps(df: DataFrame, steps) -> DataFrame:
+    for name, expr in steps:
+        df = df.selectExpr("*", f"{expr} AS {name}")
+    return df
+
+
+def _pmi_oracle() -> str:
+    # signed kernel: num/den or den/num depending on which is larger
+    pos = _nest_sql(
+        "SELECT * FROM grid WHERE num >= den",
+        log2_fp16_steps("num", "den", "pmi16", " // "),
+    )
+    neg = _nest_sql(
+        "SELECT * FROM grid WHERE num < den",
+        log2_fp16_steps("den", "num", "neg16", " // "),
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), words AS (
+        SELECT doc_id, w, o
+        FROM (SELECT doc_id, unnest(ws) AS w,
+                     generate_subscripts(ws, 1) AS o
+              FROM toks)
+        WHERE w <> ''
+    ), bi AS (
+        SELECT a.w AS w1, b.w AS w2, count(*) AS n_xy
+        FROM words a JOIN words b
+          ON b.doc_id = a.doc_id AND b.o = a.o + 1
+        GROUP BY 1, 2
+        HAVING count(*) >= {PMI_MIN_COUNT}
+    ), uni AS (
+        SELECT w, count(*) AS n FROM words GROUP BY 1
+    ), t AS (
+        SELECT CAST(sum(n_xy) AS BIGINT) AS t FROM (
+            SELECT a.w AS w1, b.w AS w2, count(*) AS n_xy
+            FROM words a JOIN words b
+              ON b.doc_id = a.doc_id AND b.o = a.o + 1
+            GROUP BY 1, 2
+        )
+    ), grid AS (
+        SELECT bi.w1, bi.w2, bi.n_xy,
+               bi.n_xy * t.t AS num, u1.n * u2.n AS den
+        FROM bi
+        JOIN uni u1 ON u1.w = bi.w1
+        JOIN uni u2 ON u2.w = bi.w2
+        CROSS JOIN t
+    ), signed AS (
+        SELECT w1, w2, n_xy, pmi16 FROM ({pos})
+        UNION ALL
+        SELECT w1, w2, n_xy, -neg16 AS pmi16 FROM ({neg})
+    )
+    SELECT w1, w2, CAST(n_xy AS BIGINT) AS n_xy,
+           CAST(pmi16 AS BIGINT) AS pmi16
+    FROM signed
+    ORDER BY pmi16 DESC, w1, w2
+    LIMIT {PMI_TOP}
+    """
+
+
+@register(
+    "lm_collocations_pmi",
+    _pmi_oracle(),
+    doc=f"PMI collocation mining: top-{PMI_TOP} adjacent-word pairs by"
+    f" pointwise mutual information (1/16-bit fixed point, min count"
+    f" {PMI_MIN_COUNT})",
+)
+def lm_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which word pairs stick together more than chance — the
+    collocation table a tokenizer-merge or phrase-mining pass starts
+    from. Bigram counts via posexplode (the word-count shuffle over
+    adjacent pairs), unigram counts joined back, then
+    pmi = log2(n_xy·T/(n_x·n_y)) in exact sixteenth-bits via the
+    shared fixed-point kernel, signed by which side of 1 the ratio
+    falls. The min-count floor ({mc}) is the standard variance guard.
+    Sub-1 ratios go through the kernel mirrored (den/num) and
+    negated, so the full signed PMI range is covered without ever
+    logging a number below 1."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.expr("split(text, ' ')")).alias("o", "w"),
+    ).filter(F.col("w") != "")
+    a = words.select("doc_id", F.col("o").alias("oa"), F.col("w").alias("w1"))
+    b = words.select("doc_id", F.col("o").alias("ob"), F.col("w").alias("w2"))
+    bi_all = (
+        a.join(b, "doc_id")
+        .filter(F.col("ob") == F.col("oa") + 1)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_xy"))
+    )
+    t = bi_all.agg(F.sum("n_xy").cast("bigint").alias("t"))
+    bi = bi_all.filter(F.col("n_xy") >= PMI_MIN_COUNT)
+    uni = words.groupBy(F.col("w").alias("u")).agg(F.count("*").alias("n"))
+    grid = (
+        bi.join(F.broadcast(uni.selectExpr("u AS w1", "n AS n1")), "w1")
+        .join(F.broadcast(uni.selectExpr("u AS w2", "n AS n2")), "w2")
+        .crossJoin(F.broadcast(t))
+        .selectExpr("w1", "w2", "n_xy", "n_xy * t AS num", "n1 * n2 AS den")
+    )
+    pos = _apply_steps(
+        grid.filter("num >= den"),
+        log2_fp16_steps("num", "den", "pmi16", " div "),
+    ).select("w1", "w2", "n_xy", "pmi16")
+    neg = (
+        _apply_steps(
+            grid.filter("num < den"),
+            log2_fp16_steps("den", "num", "neg16", " div "),
+        )
+        .selectExpr("w1", "w2", "n_xy", "-neg16 AS pmi16")
+    )
+    return (
+        pos.unionByName(neg)
+        .select(
+            "w1",
+            "w2",
+            F.col("n_xy").cast("bigint").alias("n_xy"),
+            F.col("pmi16").cast("bigint").alias("pmi16"),
+        )
+        .orderBy(F.desc("pmi16"), "w1", "w2")
+        .limit(PMI_TOP)
+    )
+
+
+_ENTROPY_COLS = (
+    ("events", "event_type"),
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("orders", "o_orderpriority"),
+    ("lineitem", "l_returnflag"),
+)
+
+
+def _entropy_oracle() -> str:
+    legs = []
+    for table, col in _ENTROPY_COLS:
+        per_val = _nest_sql(
+            f"SELECT count(*) AS nv, "
+            f"(SELECT count(*) FROM {table}) AS n "
+            f"FROM {table} GROUP BY {col}",
+            log2_fp16_steps("nv", "1", "h_nv", " // "),
+        )
+        total = _nest_sql(
+            f"SELECT count(*) AS n, count(DISTINCT {col}) AS ndv"
+            f" FROM {table}",
+            log2_fp16_steps("n", "1", "h_n", " // "),
+        )
+        legs.append(f"""
+        SELECT '{table}.{col}' AS column_name,
+               t.n AS n_rows, t.ndv,
+               CAST(t.h_n - (SELECT sum(nv * h_nv) FROM ({per_val})) // t.n
+                   AS BIGINT) AS entropy16
+        FROM ({total}) t""")
+    leg_sql = " UNION ALL ".join(legs)
+    return f"SELECT * FROM ({leg_sql}) ORDER BY column_name"
+
+
+@register(
+    "dq_column_entropy",
+    _entropy_oracle(),
+    doc="profiling: Shannon entropy (1/16-bit fixed point) of five"
+    " categorical columns — constant vs uniform vs skewed at a glance",
+)
+def dq_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much information a categorical column actually carries:
+    H = log2(N) − Σ n_v·log2(n_v)/N in exact sixteenth-bits (the
+    identity form keeps every log argument ≥ 1, so the unsigned
+    kernel suffices). entropy16 == 0 → constant column; entropy16 ≈
+    16·log2(ndv) → uniform, a good partition key; in between → skew
+    (compare dq_skew_profile, which names the hot keys this number
+    summarizes). One groupBy per audited column + a scalar combine —
+    the ANALYZE-TABLE cost shape."""
+    out = None
+    for table, col in _ENTROPY_COLS:
+        df = load_table(spark, sf_dir, table)
+        per_val = _apply_steps(
+            df.groupBy(col).agg(F.count("*").alias("nv")),
+            log2_fp16_steps("nv", "1", "h_nv", " div "),
+        )
+        weighted = per_val.agg(
+            F.expr("CAST(sum(nv * h_nv) AS BIGINT)").alias("s"),
+        )
+        total = _apply_steps(
+            df.agg(
+                F.count("*").alias("n"),
+                F.countDistinct(col).alias("ndv"),
+            ),
+            log2_fp16_steps("n", "1", "h_n", " div "),
+        )
+        leg = total.crossJoin(F.broadcast(weighted)).selectExpr(
+            f"'{table}.{col}' AS column_name",
+            "n AS n_rows",
+            "ndv",
+            "CAST(h_n - s div n AS BIGINT) AS entropy16",
+        )
+        out = leg if out is None else out.unionByName(leg)
+    assert out is not None
+    return out.orderBy("column_name")

@@ -129,6 +129,7 @@ _OPERATOR_MODULES = (
     "operators.temporal_pit",
     "operators.regression",
     "operators.skyline",
+    "extensions.infotheory",
 )
 
 import_errors: dict[str, str] = {}
