@@ -238,3 +238,114 @@ def dq_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = leg if out is None else out.unionByName(leg)
     assert out is not None
     return out.orderBy("column_name")
+
+
+def _kl_oracle() -> str:
+    # per-lang signed contribution a_i*log2(a_i*B / (b_i*A)), summed;
+    # Laplace add-1 keeps every ratio finite and positive
+    pos = _nest_sql(
+        "SELECT * FROM grid WHERE num >= den",
+        log2_fp16_steps("num", "den", "c16", " // "),
+    )
+    neg = _nest_sql(
+        "SELECT * FROM grid WHERE num < den",
+        log2_fp16_steps("den", "num", "n16", " // "),
+    )
+    return f"""
+    WITH mid AS (
+        SELECT CAST(min(doc_id) + (max(doc_id) - min(doc_id)) // 2
+               AS BIGINT) AS m FROM documents
+    ), counts AS (
+        SELECT lang,
+               CAST(sum(CASE WHEN doc_id <= m THEN 1 ELSE 0 END) + 1
+                   AS BIGINT) AS a,
+               CAST(sum(CASE WHEN doc_id > m THEN 1 ELSE 0 END) + 1
+                   AS BIGINT) AS b
+        FROM documents, mid GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb
+        FROM counts
+    ), grid AS (
+        SELECT lang, a, b, a * tb AS num, b * ta AS den, ta
+        FROM counts CROSS JOIN tot
+    ), signed AS (
+        SELECT lang, a, b, ta, c16 FROM ({pos})
+        UNION ALL
+        SELECT lang, a, b, ta, -n16 AS c16 FROM ({neg})
+    )
+    SELECT lang, a AS n_first_half, b AS n_second_half,
+           CAST(c16 AS BIGINT) AS pointwise16,
+           CAST(a * c16 // ta AS BIGINT) AS contribution16
+    FROM signed
+    ORDER BY lang
+    """
+
+
+@register(
+    "dq_kl_drift",
+    _kl_oracle(),
+    doc="distribution drift as information: per-language pointwise"
+    " log-ratio and KL contribution (1/16-bit fixed point) between"
+    " corpus halves, Laplace-smoothed",
+)
+def dq_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The information-theoretic drift monitor: split the corpus into
+    id-halves, compare the language mix as pointwise log2 ratios
+    log2(p_lang/q_lang) and their KL contributions p·log2(p/q), both
+    in exact sixteenth-bits via the shared kernel (signed by mirroring
+    sub-1 ratios). Add-1 smoothing keeps a language that vanished
+    from one half finite instead of infinite — the standard guard.
+    Σ contribution16 ≈ 16·KL(P||Q) ≥ 0 (tested); a language whose
+    pointwise16 swings hard is WHERE the mix moved, which the
+    chi-square-style dq_distribution_drift number alone cannot tell
+    you. One aggregate over the corpus, a |langs|-row grid after."""
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(
+        F.expr(
+            "CAST(min(doc_id) + (max(doc_id) - min(doc_id)) div 2"
+            " AS BIGINT)"
+        ).alias("m")
+    )
+    counts = (
+        docs.crossJoin(F.broadcast(mid))
+        .groupBy("lang")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN doc_id <= m THEN 1 ELSE 0 END) + 1"
+                " AS BIGINT)"
+            ).alias("a"),
+            F.expr(
+                "CAST(sum(CASE WHEN doc_id > m THEN 1 ELSE 0 END) + 1"
+                " AS BIGINT)"
+            ).alias("b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("a").cast("bigint").alias("ta"),
+        F.sum("b").cast("bigint").alias("tb"),
+    )
+    grid = counts.crossJoin(F.broadcast(tot)).selectExpr(
+        "lang", "a", "b", "a * tb AS num", "b * ta AS den", "ta"
+    )
+    pos = _apply_steps(
+        grid.filter("num >= den"),
+        log2_fp16_steps("num", "den", "c16", " div "),
+    ).select("lang", "a", "b", "ta", "c16")
+    neg = (
+        _apply_steps(
+            grid.filter("num < den"),
+            log2_fp16_steps("den", "num", "n16", " div "),
+        )
+        .selectExpr("lang", "a", "b", "ta", "-n16 AS c16")
+    )
+    return (
+        pos.unionByName(neg)
+        .selectExpr(
+            "lang",
+            "a AS n_first_half",
+            "b AS n_second_half",
+            "CAST(c16 AS BIGINT) AS pointwise16",
+            "CAST(a * c16 div ta AS BIGINT) AS contribution16",
+        )
+        .orderBy("lang")
+    )

@@ -130,6 +130,7 @@ _OPERATOR_MODULES = (
     "operators.regression",
     "operators.skyline",
     "extensions.infotheory",
+    "operators.advisor",
 )
 
 import_errors: dict[str, str] = {}

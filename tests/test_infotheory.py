@@ -51,3 +51,23 @@ def test_entropy_bounds(spark, sf_dir):
         assert r.entropy16 <= 16 * math.log2(r.ndv) + 1, r
         # every audited column is non-constant in the fixtures
         assert r.ndv > 1 and r.entropy16 > 0, r
+
+
+def test_kl_contribution_sums_nonnegative(spark, sf_dir):
+    """Gibbs' inequality: Σ p·log2(p/q) >= 0, up to kernel
+    quantization (one sixteenth-bit per language)."""
+    from big_data_training_spark.extensions.infotheory import dq_kl_drift
+
+    rows = dq_kl_drift(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.contribution16 for r in rows)
+    assert total >= -len(rows)
+    for r in rows:
+        # pointwise sign must match the direction of the mix shift
+        a, b = r.n_first_half, r.n_second_half
+        ta = sum(x.n_first_half for x in rows)
+        tb = sum(x.n_second_half for x in rows)
+        if a * tb > b * ta:
+            assert r.pointwise16 >= 0, r
+        elif a * tb < b * ta:
+            assert r.pointwise16 <= 0, r
