@@ -1,0 +1,162 @@
+"""Prefix-filtered set-similarity join (PPJoin-style candidate
+pruning) with a built-in no-false-negative audit.
+
+The exact-Jaccard audit (extensions/dedup.py dd_ngram_jaccard_pairs)
+joins the full inverted index: every co-occurring shingle produces a
+candidate pair. Prefix filtering (Chaudhuri et al. SSJoin 2006;
+Xiao et al. PPJoin 2008) proves a much smaller candidate set suffices:
+order each document's shingles by a GLOBAL canonical order (rarest
+first) and keep only its first ``n − ⌈τ·n⌉ + 1`` shingles — any pair
+with Jaccard ≥ τ must still collide inside these prefixes, so joining
+prefixes instead of full postings cannot lose a true pair while
+skipping the collisions that only boilerplate-ish mid-frequency
+shingles produce.
+
+Scale notes: the canonical order is (document-frequency, hash) — a
+total order that needs NO global rank materialization, so there is no
+single-partition window anywhere; the prefix length is integer-exact
+(⌈0.35·n⌉ = (7n+19) div 20). The query emits the audit a production
+run would log: prefix-candidate count vs full-index candidate count
+(the reduction you bought) and matches-inside-candidates vs matches
+(which the theorem says MUST be equal — a red value here means the
+filter implementation broke, and the test asserts it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_training_spark.extensions import dedup as _dedup
+from big_data_training_spark.registry import register
+
+# τ = JACCARD_TAU = 0.35 = 7/20, kept as an exact rational
+_TAU_NUM, _TAU_DEN = 7, 20
+
+_PPJOIN_SQL = (
+    _dedup._SQL_JACCARD_PAIRS_CTES
+    + f"""
+    , cdf AS (SELECT h, count(*) AS dc FROM capped GROUP BY h),
+    ord AS (
+        SELECT c.doc_id, c.h,
+               row_number() OVER (PARTITION BY c.doc_id
+                                  ORDER BY cdf.dc, c.h) AS pos
+        FROM capped c JOIN cdf ON cdf.h = c.h
+    ),
+    pref AS (
+        SELECT o.doc_id, o.h
+        FROM ord o JOIN sizes s ON s.doc_id = o.doc_id
+        WHERE o.pos <= s.n - ({_TAU_NUM} * s.n + {_TAU_DEN - 1})
+                             // {_TAU_DEN} + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_i, b.doc_id AS doc_j
+        FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
+    )
+    SELECT
+        (SELECT count(*) FROM cand) AS n_prefix_candidates,
+        (SELECT count(*) FROM common) AS n_index_candidates,
+        (SELECT count(*) FROM pairs) AS n_matches,
+        (SELECT count(*) FROM pairs p
+          JOIN cand c ON c.doc_i = p.doc_i AND c.doc_j = p.doc_j)
+            AS n_matches_in_candidates,
+        ((SELECT count(*) FROM common) - (SELECT count(*) FROM cand))
+            * 1000
+            // greatest((SELECT count(*) FROM common), 1)
+            AS candidate_reduction_permille
+    """
+)
+
+
+@register(
+    "dd_prefix_filter_join",
+    _PPJOIN_SQL,
+    doc="PPJoin prefix filtering: candidate pairs from rarest-first"
+    " prefixes vs the full inverted index, with the zero-false-"
+    "negative guarantee surfaced as a column",
+)
+def dd_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many candidate pairs does prefix filtering save over the
+    full inverted-index self-join, at zero recall cost? Each doc keeps
+    its n − ⌈τn⌉ + 1 rarest shingles (canonical order = (df, hash),
+    which needs no global rank), prefixes self-join on the shingle
+    hash, and the theorem guarantees every Jaccard ≥ τ pair is still
+    among the candidates — emitted as n_matches_in_candidates, which
+    must equal n_matches. The verified matches themselves are
+    single-sourced from dd_ngram_jaccard_pairs (same capped universe,
+    same τ), so this query is the CANDIDATE-GENERATION upgrade, not a
+    different answer. At 100 TB the prefix index is the one you
+    materialize: ~(1−τ) of the postings, joined rare-key-first, with
+    the df-cap already bounding every bucket."""
+    inv1 = _dedup._cache_tracked(
+        _dedup._capped_inverted_index(spark, sf_dir)
+    )
+    sizes = inv1.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pos = inv1.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("dc", "h")
+        ),
+    )
+    pref = (
+        pos.join(sizes, "doc_id")
+        .filter(
+            F.col("pos")
+            <= F.col("n")
+            - F.expr(
+                f"({_TAU_NUM} * n + {_TAU_DEN - 1}) div {_TAU_DEN}"
+            )
+            + 1
+        )
+        .select("doc_id", "h")
+    )
+    pa, pb = pref.alias("a"), pref.alias("b")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_i"),
+            F.col("b.doc_id").alias("doc_j"),
+        )
+        .distinct()
+    )
+    inv = inv1.filter(F.col("dc") >= 2).select("doc_id", "h")
+    ia, ib = inv.alias("a"), inv.alias("b")
+    index_cand = (
+        ia.join(
+            ib,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_i"),
+            F.col("b.doc_id").alias("doc_j"),
+        )
+        .distinct()
+    )
+    matches = _dedup.dd_ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_i", "doc_j"
+    )
+    n_pref = cand.agg(F.count("*").alias("n_prefix_candidates"))
+    n_idx = index_cand.agg(F.count("*").alias("n_index_candidates"))
+    n_m = matches.agg(F.count("*").alias("n_matches"))
+    n_mc = matches.join(cand, ["doc_i", "doc_j"], "left_semi").agg(
+        F.count("*").alias("n_matches_in_candidates")
+    )
+    return (
+        n_pref.crossJoin(F.broadcast(n_idx))
+        .crossJoin(F.broadcast(n_m))
+        .crossJoin(F.broadcast(n_mc))
+        .selectExpr(
+            "n_prefix_candidates",
+            "n_index_candidates",
+            "n_matches",
+            "n_matches_in_candidates",
+            "(n_index_candidates - n_prefix_candidates) * 1000"
+            " div greatest(n_index_candidates, 1)"
+            " AS candidate_reduction_permille",
+        )
+    )

@@ -131,6 +131,7 @@ _OPERATOR_MODULES = (
     "operators.skyline",
     "extensions.infotheory",
     "operators.advisor",
+    "extensions.ppjoin",
 )
 
 import_errors: dict[str, str] = {}

@@ -137,3 +137,18 @@ def test_skyline_matches_bruteforce_dominance(spark, sf_dir):
     want = {c for c in pts if not dominated(c)}
     got = {r.custkey for r in ev_customer_skyline(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_prefix_filter_loses_no_true_pairs(spark, sf_dir):
+    """The PPJoin theorem, empirically: every Jaccard >= tau pair must
+    appear among the prefix candidates, and the prefix index must
+    actually shrink the candidate set."""
+    from big_data_training_spark.extensions.ppjoin import (
+        dd_prefix_filter_join,
+    )
+
+    r = dd_prefix_filter_join(spark, sf_dir).collect()[0]
+    assert r.n_matches_in_candidates == r.n_matches
+    assert r.n_prefix_candidates < r.n_index_candidates
+    assert r.candidate_reduction_permille > 0
+    assert r.n_matches <= r.n_prefix_candidates
