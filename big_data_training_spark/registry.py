@@ -132,6 +132,7 @@ _OPERATOR_MODULES = (
     "extensions.infotheory",
     "operators.advisor",
     "extensions.ppjoin",
+    "operators.robustagg",
 )
 
 import_errors: dict[str, str] = {}
