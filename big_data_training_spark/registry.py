@@ -133,6 +133,7 @@ _OPERATOR_MODULES = (
     "operators.advisor",
     "extensions.ppjoin",
     "operators.robustagg",
+    "extensions.binaryann",
 )
 
 import_errors: dict[str, str] = {}

@@ -152,3 +152,21 @@ def test_prefix_filter_loses_no_true_pairs(spark, sf_dir):
     assert r.n_prefix_candidates < r.n_index_candidates
     assert r.candidate_reduction_permille > 0
     assert r.n_matches <= r.n_prefix_candidates
+
+
+def test_binary_hamming_containment_curve(spark, sf_dir):
+    """The filter-then-rescore economics: containment of the exact
+    top-10 inside the Hamming top-D must be monotone in D and strong
+    at the deepest rescoring depth."""
+    from big_data_training_spark.extensions.binaryann import (
+        BQ_DEPTHS,
+        BQ_TOP,
+        sim_binary_hamming_recall,
+    )
+
+    rows = sim_binary_hamming_recall(spark, sf_dir).collect()
+    assert [r.depth for r in rows] == sorted(BQ_DEPTHS)
+    contained = [r.n_exact_in_candidates for r in rows]
+    assert contained == sorted(contained)  # monotone in depth
+    assert all(0 <= c <= BQ_TOP for c in contained)
+    assert contained[-1] >= 9  # deepest depth recovers ~all of top-10
