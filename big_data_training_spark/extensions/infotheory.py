@@ -349,3 +349,72 @@ def dq_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+XENT_TOP = 25
+
+
+def _xent_oracle() -> str:
+    word_s = _nest_sql(
+        "SELECT w, n, t FROM uni CROSS JOIN t",
+        log2_fp16_steps("t", "n", "s16", " // "),
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), occ AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+    uni AS (SELECT w, count(*) AS n FROM occ GROUP BY 1),
+    t AS (SELECT count(*) AS t FROM occ),
+    word_s AS ({word_s})
+    SELECT o.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(ws.s16) // count(*) AS BIGINT)
+               AS cross_entropy16
+    FROM occ o JOIN word_s ws ON ws.w = o.w
+    GROUP BY o.doc_id
+    ORDER BY cross_entropy16 DESC, o.doc_id
+    LIMIT {XENT_TOP}
+    """
+
+
+@register(
+    "lm_cross_entropy_rank",
+    _xent_oracle(),
+    doc=f"unigram-LM cross-entropy per document (1/16-bit fixed-point"
+    f" log2), top-{XENT_TOP} most surprising docs — the true log-prob"
+    " outlier ranking",
+)
+def lm_cross_entropy_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The upgrade lm_unigram_doc_score's docstring said was off the
+    table ('a true log-prob perplexity would hinge on ln() ULPs'):
+    with the fixed-point log kernel, per-doc cross-entropy under the
+    corpus unigram LM — H(doc) = mean over tokens of log2(T/n_w) —
+    is exact sixteenth-bits, no float logs anywhere. Per-token
+    surprisal is a |vocab|-row broadcast table; the doc score is one
+    keyed aggregation. High scores = rare-token-heavy documents (the
+    quality-filter outliers); 16·log2(T/1) bounds the score (a doc of
+    hapaxes), tested. This is perplexity ranking as a data-curation
+    primitive, corpus-sized like word count."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(F.expr(_TOKS)).alias("w")
+    )
+    uni = occ.groupBy("w").agg(F.count("*").alias("n"))
+    t = occ.agg(F.count("*").alias("t"))
+    word_s = _apply_steps(
+        uni.crossJoin(F.broadcast(t)),
+        log2_fp16_steps("t", "n", "s16", " div "),
+    ).select("w", "s16")
+    return (
+        occ.join(F.broadcast(word_s), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr("CAST(sum(s16) div count(*) AS BIGINT)").alias(
+                "cross_entropy16"
+            ),
+        )
+        .orderBy(F.desc("cross_entropy16"), "doc_id")
+        .limit(XENT_TOP)
+    )

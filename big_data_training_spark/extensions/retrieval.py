@@ -333,3 +333,70 @@ def ix_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"substr(text, greatest(1, {minpos} - {SNIPPET_BEFORE}),"
         f" {SNIPPET_LEN}) AS snippet",
     ).orderBy("doc_id")
+
+
+PHRASE = ("slow", "hash", "batch")
+
+
+@register(
+    "ix_phrase_query",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), words AS (
+        SELECT doc_id, w, o
+        FROM (SELECT doc_id, unnest(ws) AS w,
+                     generate_subscripts(ws, 1) AS o
+              FROM toks)
+        WHERE w <> ''
+    )
+    SELECT p1.doc_id,
+           count(*) AS n_occurrences,
+           CAST(min(p1.o) AS BIGINT) AS first_pos
+    FROM words p1
+    JOIN words p2 ON p2.doc_id = p1.doc_id AND p2.o = p1.o + 1
+    JOIN words p3 ON p3.doc_id = p1.doc_id AND p3.o = p1.o + 2
+    WHERE p1.w = '{PHRASE[0]}' AND p2.w = '{PHRASE[1]}'
+      AND p3.w = '{PHRASE[2]}'
+    GROUP BY p1.doc_id
+    ORDER BY p1.doc_id
+    """,
+    doc=f"positional-index phrase query: exact consecutive match of"
+    f" {' '.join(PHRASE)!r} via position-list intersection",
+)
+def ix_phrase_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search — the query class a bag-of-words index
+    cannot answer and a positional index answers with equi-joins:
+    posting rows are (doc, term, position), and the phrase
+    '{p}' matches where the three terms' position lists intersect at
+    offsets (o, o+1, o+2). Each join leg is pre-filtered to ONE
+    term's postings before joining, so the join input is the phrase
+    terms' df, not the corpus; the joins are equi-joins on
+    (doc_id, position) — no window, no UDF, hot-doc-safe. Substring
+    LIKE '%{p}%' would scan every byte of every document and still
+    miss tokenization boundaries; this is why search engines ship
+    positional postings."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.expr("split(text, ' ')")).alias("o", "w"),
+    ).filter(F.col("w") != "")
+
+    def leg(i: int) -> DataFrame:
+        return words.filter(F.col("w") == PHRASE[i]).select(
+            "doc_id", (F.col("o") - i).alias("start")
+        )
+
+    matches = leg(0).join(leg(1), ["doc_id", "start"]).join(
+        leg(2), ["doc_id", "start"]
+    )
+    return (
+        matches.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            # oracle positions are 1-based generate_subscripts; ours are
+            # 0-based posexplode — align by +1
+            F.expr("CAST(min(start) + 1 AS BIGINT)").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )

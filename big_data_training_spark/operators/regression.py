@@ -85,7 +85,13 @@ def ev_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions (micro-cent units). The sums stay far inside BIGINT:
     x ≤ days, y ≤ corpus cents, so nΣxy ≤ days²·cents. Adding a
     regressor means adding a sufficient statistic, not a pass."""
-    daily = _daily(spark, sf_dir)
+    return finish_ols(_daily(spark, sf_dir))
+
+
+def finish_ols(daily: DataFrame) -> DataFrame:
+    """Normal-equation finish over a (event_type, x, y) table — shared
+    by the batch query and the streaming leg (st_trend_stream), whose
+    additively-maintained day state must finish identically."""
     stats = daily.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),

@@ -140,3 +140,53 @@ def st_bitmap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = materialize(_bitmap.finish_retention(words))
     cleanup_scratch()
     return out
+
+
+@register(
+    "st_trend_stream",
+    # single-sourced: streamed (event_type, day) partials must finish
+    # through the same normal equations as the batch OLS
+    _registry._REGISTRY["ev_trend_ols"].oracle,
+    doc="streaming OLS trend: per-batch daily cents partials folded"
+    " additively; the normal-equation finish over the bounded day"
+    " state equals the batch regression",
+)
+def st_trend_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the capacity-planning trend line current while events
+    arrive: each micro-batch appends its groupBy((event_type, day))
+    cents sums; the five OLS sufficient statistics are themselves sums
+    over that day table, so the whole regression state is additive in
+    any arrival order. The finishing step (finish_ols — the code the
+    batch ev_trend_ols runs) touches O(keys·days) rows; regression
+    cost never scales with event volume."""
+    from big_data_training_spark.operators import regression as _regression
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    topic = _write_id_segments(spark, events, "event_id", "bdts_trend_topic_")
+    partials_dir = scratch_dir("bdts_trend_partials_")
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.groupBy(
+            "event_type",
+            F.expr(
+                "CAST(datediff(date_trunc('day', ts),"
+                " TIMESTAMP '2024-01-01') AS BIGINT)"
+            ).alias("x"),
+        ).agg(
+            F.expr(
+                "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)"
+            ).alias("y")
+        ).write.mode("append").parquet(os.path.join(partials_dir, "p"))
+
+    _run_foreach_batch(spark, topic, apply)
+
+    daily = (
+        spark.read.parquet(os.path.join(partials_dir, "p"))
+        .groupBy("event_type", "x")
+        .agg(F.sum("y").cast("bigint").alias("y"))
+    )
+    out = materialize(_regression.finish_ols(daily))
+    cleanup_scratch()
+    return out
