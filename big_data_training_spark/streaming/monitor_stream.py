@@ -31,6 +31,7 @@ from big_data_training_spark import registry as _registry
 from big_data_training_spark.data import load_table
 from big_data_training_spark.operators import bitmap as _bitmap
 from big_data_training_spark.operators import forecast as _forecast
+from big_data_training_spark.operators import regression as _regression
 from big_data_training_spark.registry import register
 from big_data_training_spark.streaming.incremental import (
     _run_foreach_batch,
@@ -159,8 +160,6 @@ def st_trend_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     any arrival order. The finishing step (finish_ols — the code the
     batch ev_trend_ols runs) touches O(keys·days) rows; regression
     cost never scales with event volume."""
-    from big_data_training_spark.operators import regression as _regression
-
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )

@@ -54,6 +54,12 @@ def main() -> int:
     con = duck_connection(sf_dir)
     specs = all_queries()
     failures = []
+    # A requested name that is not registered must be a FAILURE, not a
+    # silent skip — a mid-import KeyError once unregistered a query and
+    # the name filter turned it into a vacuous "all green".
+    for missing in sorted(only - set(specs)):
+        failures.append(missing)
+        print(f"FAIL  {missing}: not in registry (import error?)")
     for name, spec in sorted(specs.items()):
         if only and name not in only:
             continue
