@@ -134,6 +134,7 @@ _OPERATOR_MODULES = (
     "extensions.ppjoin",
     "operators.robustagg",
     "extensions.binaryann",
+    "operators.evaluation",
 )
 
 import_errors: dict[str, str] = {}
