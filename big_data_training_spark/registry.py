@@ -135,6 +135,7 @@ _OPERATOR_MODULES = (
     "operators.robustagg",
     "extensions.binaryann",
     "operators.evaluation",
+    "operators.netchange",
 )
 
 import_errors: dict[str, str] = {}
