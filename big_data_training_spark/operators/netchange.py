@@ -213,3 +213,73 @@ def s8_delta_encoding_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = leg if out is None else out.unionByName(leg)
     assert out is not None
     return out.orderBy("column_name")
+
+
+@register(
+    "f_nested_struct_roundtrip",
+    """
+    WITH nested AS (
+        SELECT l_orderkey,
+               count(*) AS n_items,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS cents,
+               CAST(max(l_linenumber) AS BIGINT) AS max_line
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(n_items AS BIGINT) AS n_items_per_order,
+           count(*) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           CAST(max(max_line) AS BIGINT) AS max_linenumber
+    FROM nested
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="nested-record engineering: lineitems folded into per-order"
+    " array<struct> documents, aggregates recomputed FROM the nested"
+    " shape — document-model round trip equals the flat answer",
+)
+def f_nested_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The document-model detour, proven lossless: fold each order's
+    lineitems into an array<struct<line, cents>> column (sorted by
+    line number inside the array so the nested value is canonical),
+    then compute every reported number FROM the nested shape with
+    higher-order functions — size() for the item count,
+    aggregate(transform(...)) for the revenue — never by re-reading
+    the flat rows. The oracle aggregates the flat table directly, so
+    a hash match proves fold → HOF-compute loses nothing. This is
+    the shape event payloads take after from_json (SURVEY §1.3
+    nested StructType); one groupBy builds the documents, and the
+    per-document HOF work is embarrassingly parallel at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = (
+        li.selectExpr(
+            "l_orderkey",
+            "named_struct('line', l_linenumber, 'cents',"
+            " CAST(round(l_extendedprice * 100) AS BIGINT)) AS item",
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.expr(
+                "array_sort(collect_list(item), (a, b) ->"
+                " CASE WHEN a.line < b.line THEN -1"
+                " WHEN a.line > b.line THEN 1 ELSE 0 END) AS items"
+            )
+        )
+    )
+    from_nested = nested.selectExpr(
+        "CAST(size(items) AS BIGINT) AS n_items",
+        "aggregate(items, CAST(0 AS BIGINT),"
+        " (acc, x) -> acc + x.cents) AS cents",
+        "aggregate(items, CAST(0 AS BIGINT),"
+        " (acc, x) -> greatest(acc, CAST(x.line AS BIGINT)))"
+        " AS max_line",
+    )
+    return (
+        from_nested.groupBy(F.col("n_items").alias("n_items_per_order"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+            F.max("max_line").cast("bigint").alias("max_linenumber"),
+        )
+        .orderBy("n_items_per_order")
+    )
