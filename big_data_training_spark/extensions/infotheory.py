@@ -418,3 +418,85 @@ def lm_cross_entropy_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cross_entropy16"), "doc_id")
         .limit(XENT_TOP)
     )
+
+
+def _trans_entropy_oracle() -> str:
+    per_next = _nest_sql(
+        "SELECT prev, n, np FROM cnt",
+        log2_fp16_steps("np", "n", "s16", " // "),
+    )
+    return f"""
+    WITH seq AS (
+        SELECT event_type AS prev,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS nxt
+        FROM events
+    ), cnt AS (
+        SELECT prev, nxt, count(*) AS n,
+               CAST(sum(count(*)) OVER (PARTITION BY prev) AS BIGINT)
+                   AS np
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), scored AS ({per_next})
+    SELECT prev,
+           CAST(max(np) AS BIGINT) AS n_transitions,
+           count(*) AS n_next_states,
+           CAST(sum(n * s16) // max(np) AS BIGINT) AS entropy16
+    FROM scored
+    GROUP BY prev
+    ORDER BY prev
+    """
+
+
+@register(
+    "ev_transition_entropy",
+    _trans_entropy_oracle(),
+    doc="conditional entropy H(next | prev) of the event-type Markov"
+    " chain per source state, 1/16-bit fixed point — how predictable"
+    " each state's future is",
+)
+def ev_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much the argmax predictor (ev_markov_holdout_accuracy) can
+    possibly achieve: per source state, H(next|prev) = Σ (n_i/n)·
+    log2(n/n_i) over observed next-states, in exact sixteenth-bits
+    via the shared log kernel (each term's ratio n/n_i ≥ 1, so the
+    unsigned kernel suffices; the division by n floors once at the
+    end to keep the sum exact). entropy16 near 0 → the state's future
+    is deterministic and the holdout hit-rate should be high;
+    entropy16 near 16·log2(|states|) → irreducibly unpredictable, and
+    a low hit-rate is the CEILING, not a modeling failure. One window
+    pass + one |states|²-row grid — volume-free after the transition
+    count."""
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cnt = (
+        seq.groupBy("prev", "nxt")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "np",
+            F.expr(
+                "CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT)"
+            ),
+        )
+    )
+    scored = _apply_steps(
+        cnt.select("prev", "n", "np"),
+        log2_fp16_steps("np", "n", "s16", " div "),
+    )
+    return (
+        scored.groupBy("prev")
+        .agg(
+            F.max("np").cast("bigint").alias("n_transitions"),
+            F.count("*").alias("n_next_states"),
+            F.expr("CAST(sum(n * s16) div max(np) AS BIGINT)").alias(
+                "entropy16"
+            ),
+        )
+        .orderBy("prev")
+    )

@@ -71,3 +71,19 @@ def test_kl_contribution_sums_nonnegative(spark, sf_dir):
             assert r.pointwise16 >= 0, r
         elif a * tb < b * ta:
             assert r.pointwise16 <= 0, r
+
+
+def test_transition_entropy_bounds_and_holdout_link(spark, sf_dir):
+    """H(next|prev) within [0, 16*log2(n_next_states)] per state, and
+    the argmax holdout hit-rate must respect Fano-flavored intuition:
+    a state with lower entropy should not have a much worse hit-rate
+    than one with maximal entropy (sanity link, not a theorem)."""
+    from big_data_training_spark.extensions.infotheory import (
+        ev_transition_entropy,
+    )
+
+    rows = ev_transition_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.entropy16 <= 16 * math.log2(max(r.n_next_states, 2)) + 1
+        assert r.n_transitions > 0
