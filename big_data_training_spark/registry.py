@@ -136,6 +136,7 @@ _OPERATOR_MODULES = (
     "extensions.binaryann",
     "operators.evaluation",
     "operators.netchange",
+    "functions.udfs_arrow",
 )
 
 import_errors: dict[str, str] = {}
