@@ -31,6 +31,7 @@ from big_data_training_spark import registry as _registry
 from big_data_training_spark.data import load_table
 from big_data_training_spark.operators import bitmap as _bitmap
 from big_data_training_spark.operators import forecast as _forecast
+from big_data_training_spark.operators import netchange as _netchange
 from big_data_training_spark.operators import regression as _regression
 from big_data_training_spark.registry import register
 from big_data_training_spark.streaming.incremental import (
@@ -187,5 +188,97 @@ def st_trend_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("y").cast("bigint").alias("y"))
     )
     out = materialize(_regression.finish_ols(daily))
+    cleanup_scratch()
+    return out
+
+
+@register(
+    "st_net_effect_stream",
+    # single-sourced: per-batch edge-state partials must merge to the
+    # batch net-effect classification
+    _registry._REGISTRY["cdc_net_effect"].oracle,
+    doc="streaming CDC net-effect: per-key window-edge states"
+    " maintained as argmax-mergeable (ts, event_id, type) partials;"
+    " the merged classification equals the batch coalescing",
+)
+def st_net_effect_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-effect coalescing while the changelog streams in: the state
+    per key is two 'latest record' views — latest before the window
+    and latest inside it — plus the in-window change count. All three
+    are MERGEABLE: latest-wins is an argmax over (ts, event_id)
+    (taking the max of per-batch argmaxes is the global argmax) and
+    the count is additive, so arrival order never matters. Each
+    micro-batch appends its own tiny per-key partial; the finish
+    merges partials and runs the batch classifier's CASE. The state
+    is O(keys), the per-batch work is one keyed aggregate, and the
+    equality with the batch oracle is exactly the mergeability claim."""
+    NET_LO, NET_HI = _netchange.NET_LO, _netchange.NET_HI
+    TOMBSTONE = _netchange.TOMBSTONE
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    topic = _write_id_segments(spark, events, "event_id", "bdts_net_topic_")
+    partials_dir = scratch_dir("bdts_net_partials_")
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.filter(F.col("ts") < NET_HI).groupBy("user_id").agg(
+            F.expr(
+                f"max_by(struct(ts, event_id, event_type),"
+                f" struct(ts, event_id))"
+                f" FILTER (WHERE ts < TIMESTAMP '{NET_LO}')"
+            ).alias("before_last"),
+            F.expr(
+                f"max_by(struct(ts, event_id, event_type),"
+                f" struct(ts, event_id))"
+                f" FILTER (WHERE ts >= TIMESTAMP '{NET_LO}')"
+            ).alias("win_last"),
+            F.expr(
+                f"count(*) FILTER (WHERE ts >= TIMESTAMP '{NET_LO}')"
+            ).alias("n_win"),
+        ).write.mode("append").parquet(os.path.join(partials_dir, "p"))
+
+    _run_foreach_batch(spark, topic, apply)
+
+    merged = (
+        spark.read.parquet(os.path.join(partials_dir, "p"))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "max_by(before_last, struct(before_last.ts,"
+                " before_last.event_id))"
+            ).alias("before_last"),
+            F.expr(
+                "max_by(win_last, struct(win_last.ts, win_last.event_id))"
+            ).alias("win_last"),
+            F.sum("n_win").alias("n_changes"),
+        )
+        .filter(F.col("win_last").isNotNull() & (F.col("n_changes") > 0))
+    )
+    classified = merged.selectExpr(
+        "n_changes",
+        f"""CASE
+            WHEN (before_last IS NULL
+                  OR before_last.event_type = '{TOMBSTONE}')
+                 AND win_last.event_type <> '{TOMBSTONE}' THEN 'inserted'
+            WHEN before_last IS NULL
+                 OR before_last.event_type = '{TOMBSTONE}' THEN 'cancelled'
+            WHEN win_last.event_type = '{TOMBSTONE}' THEN 'deleted'
+            ELSE 'updated'
+        END AS net_op""",
+    )
+    out = materialize(
+        classified.groupBy("net_op")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("n_changes").cast("bigint").alias("n_raw_changes"),
+        )
+        .selectExpr(
+            "net_op",
+            "n_keys",
+            "n_raw_changes",
+            "n_raw_changes div n_keys AS coalesce_factor_floor",
+        )
+        .orderBy("net_op")
+    )
     cleanup_scratch()
     return out
