@@ -137,6 +137,8 @@ _OPERATOR_MODULES = (
     "operators.evaluation",
     "operators.netchange",
     "functions.udfs_arrow",
+    # round-5 fifth-session additions (END-registered as always).
+    "extensions.basket",
 )
 
 import_errors: dict[str, str] = {}
