@@ -139,6 +139,7 @@ _OPERATOR_MODULES = (
     "functions.udfs_arrow",
     # round-5 fifth-session additions (END-registered as always).
     "extensions.basket",
+    "operators.stataudit",
 )
 
 import_errors: dict[str, str] = {}
