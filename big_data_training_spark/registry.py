@@ -140,6 +140,7 @@ _OPERATOR_MODULES = (
     # round-5 fifth-session additions (END-registered as always).
     "extensions.basket",
     "operators.stataudit",
+    "extensions.queryexp",
 )
 
 import_errors: dict[str, str] = {}
