@@ -141,6 +141,7 @@ _OPERATOR_MODULES = (
     "extensions.basket",
     "operators.stataudit",
     "extensions.queryexp",
+    "extensions.mst",
 )
 
 import_errors: dict[str, str] = {}
