@@ -142,6 +142,8 @@ _OPERATOR_MODULES = (
     "operators.stataudit",
     "extensions.queryexp",
     "extensions.mst",
+    "extensions.keywords",
+    "operators.pathmine",
 )
 
 import_errors: dict[str, str] = {}
