@@ -144,6 +144,7 @@ _OPERATOR_MODULES = (
     "extensions.mst",
     "extensions.keywords",
     "operators.pathmine",
+    "operators.trending",
 )
 
 import_errors: dict[str, str] = {}
