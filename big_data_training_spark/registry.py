@@ -145,6 +145,8 @@ _OPERATOR_MODULES = (
     "extensions.keywords",
     "operators.pathmine",
     "operators.trending",
+    "extensions.epochplan",
+    "extensions.lincount",
 )
 
 import_errors: dict[str, str] = {}
