@@ -21,6 +21,26 @@ from big_data_training_spark.data import load_table
 from big_data_training_spark.registry import register
 
 
+def finish_trigrams(tri: DataFrame) -> DataFrame:
+    """Final share computation over (step1, step2, step3, n_paths)
+    partials — shared by the batch query and the streaming twin so
+    both finish through the same code path."""
+    tot = tri.agg(F.sum("n_paths").alias("tot"))
+    return (
+        tri.crossJoin(F.broadcast(tot))
+        .select(
+            "step1",
+            "step2",
+            "step3",
+            F.col("n_paths").cast("bigint").alias("n_paths"),
+            F.expr("CAST(n_paths * 1000 div tot AS BIGINT)").alias(
+                "share_permille"
+            ),
+        )
+        .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
+    )
+
+
 @register(
     "ev_path_trigrams",
     """
@@ -67,17 +87,4 @@ def ev_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("step1", "step2", "step3")
         .agg(F.count("*").alias("n_paths"))
     )
-    tot = tri.agg(F.sum("n_paths").alias("tot"))
-    return (
-        tri.crossJoin(F.broadcast(tot))
-        .select(
-            "step1",
-            "step2",
-            "step3",
-            F.col("n_paths").cast("bigint").alias("n_paths"),
-            F.expr("CAST(n_paths * 1000 div tot AS BIGINT)").alias(
-                "share_permille"
-            ),
-        )
-        .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
-    )
+    return finish_trigrams(tri)

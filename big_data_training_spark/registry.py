@@ -147,6 +147,7 @@ _OPERATOR_MODULES = (
     "operators.trending",
     "extensions.epochplan",
     "extensions.lincount",
+    "streaming.pathmine_stream",
 )
 
 import_errors: dict[str, str] = {}
