@@ -163,6 +163,26 @@ import_errors: dict[str, str] = {}
 _DRIVER_PRIORITY: tuple[str, ...] = ()
 
 _DRIVER_CERTIFIED: frozenset[str] = frozenset({
+    # round-5 rows (CORRECTNESS_r05.json, 50 names: 49 green + 1 rows-only
+    # by design — p1_partition_balance has no SQL oracle, hash families
+    # differ across engines; its rows-only row is terminal, so certify it).
+    'a_sliding_distinct_users', 'agg_cube_returns', 'agg_cube_status_priority',
+    'agg_exact_distinct', 'agg_grouping_sets_events', 'agg_mode_per_key',
+    'agg_percentiles_disc', 'agg_pivot_daily_types', 'agg_rollup_daily',
+    'agg_rollup_region_nation', 'agg_unpivot_daily', 'agg_value_histogram',
+    'cdc_scd2_history', 'dq_constraint_report', 'dq_freshness_lag',
+    'dq_skew_profile', 'dq_value_outliers', 'e4_dlq_monitoring',
+    'ev_out_of_order_ratio', 'ev_time_weighted_avg', 'f1_serde_roundtrip',
+    'f2_avro_roundtrip', 'f3_json_extract_agg', 'f4_protobuf_roundtrip',
+    'f6_hash_partition_assign', 'j_asof_last_click', 'j_asof_last_click_1h',
+    'j_range_band_join', 'j_skew_salted_join', 'k_topk_per_group',
+    'mv_incremental_refresh', 'mv_refresh_with_retractions',
+    'p1_partition_balance', 'p3_custom_partitioner', 'p5_rekey_counts',
+    'p7_per_key_order', 'p8_global_order_head', 'p_skew_salted_agg',
+    'pivot_daily_event_matrix', 's10_cdc_upsert', 'set_reprocess_compare',
+    'st_dau_stream', 'st_decontaminate_stream', 'st_dedup_within_watermark',
+    'st_hll_stream', 'st_zonemap_maintain', 't5_model_scoring',
+    'u1_grouped_zscore', 'w2_sessionization', 'w3_window_apply',
     # round-4 green rows (CORRECTNESS_r04.json, 50 names)
     'dd_components_incremental', 'dd_contaminated_eval_report',
     'dd_decontaminate_bloom', 'dd_decontaminated_stats',
