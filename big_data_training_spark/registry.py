@@ -148,6 +148,9 @@ _OPERATOR_MODULES = (
     "extensions.epochplan",
     "extensions.lincount",
     "streaming.pathmine_stream",
+    # round-6 additions (END-registered: driver slice composition
+    # unchanged; re-confirmed via driver_sim after each batch).
+    "extensions.bpe",
 )
 
 import_errors: dict[str, str] = {}
