@@ -151,6 +151,7 @@ _OPERATOR_MODULES = (
     # round-6 additions (END-registered: driver slice composition
     # unchanged; re-confirmed via driver_sim after each batch).
     "extensions.bpe",
+    "extensions.nbayes",
 )
 
 import_errors: dict[str, str] = {}
