@@ -152,6 +152,7 @@ _OPERATOR_MODULES = (
     # unchanged; re-confirmed via driver_sim after each batch).
     "extensions.bpe",
     "extensions.nbayes",
+    "operators.mleval",
 )
 
 import_errors: dict[str, str] = {}
