@@ -153,6 +153,7 @@ _OPERATOR_MODULES = (
     "extensions.bpe",
     "extensions.nbayes",
     "operators.mleval",
+    "extensions.feateng",
 )
 
 import_errors: dict[str, str] = {}
