@@ -154,6 +154,7 @@ _OPERATOR_MODULES = (
     "extensions.nbayes",
     "operators.mleval",
     "extensions.feateng",
+    "extensions.dpnoise",
 )
 
 import_errors: dict[str, str] = {}
