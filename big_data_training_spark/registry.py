@@ -155,6 +155,7 @@ _OPERATOR_MODULES = (
     "operators.mleval",
     "extensions.feateng",
     "extensions.dpnoise",
+    "extensions.truss",
 )
 
 import_errors: dict[str, str] = {}
