@@ -156,6 +156,7 @@ _OPERATOR_MODULES = (
     "extensions.feateng",
     "extensions.dpnoise",
     "extensions.truss",
+    "operators.saxmotif",
 )
 
 import_errors: dict[str, str] = {}
