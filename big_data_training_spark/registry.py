@@ -157,6 +157,7 @@ _OPERATOR_MODULES = (
     "extensions.dpnoise",
     "extensions.truss",
     "operators.saxmotif",
+    "extensions.aqp",
 )
 
 import_errors: dict[str, str] = {}
