@@ -226,9 +226,10 @@ def lm_nb_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "lm_nb_confusion",
-    f"""
+# Shared with the streaming twin (streaming/nbserve_stream.py): the
+# stream scores micro-batches against the same broadcast model, so its
+# oracle is this exact batch SQL.
+CONFUSION_ORACLE = f"""
     WITH {_model_ctes(" // ")},
     contrib AS (
         SELECT t.doc_id AS doc_id, m.lang AS cand,
@@ -256,7 +257,12 @@ def lm_nb_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pred WHERE rn = 1
     GROUP BY 1, 2
     ORDER BY 1, 2
-    """,
+    """
+
+
+@register(
+    "lm_nb_confusion",
+    CONFUSION_ORACLE,
     doc="NB resubstitution confusion matrix: every document scored "
     "against every class with integer fixed-point log-likelihoods, "
     "argmin class vs true lang — the curation-gate quality readout",
@@ -269,9 +275,29 @@ def lm_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus token scan, the (class, term) model and the |classes|-row
     class table broadcast, partial sums shuffled only on
     (doc_id, class); the matrix itself is |classes|^2 rows."""
+    docs, doctf, lang_aug, nllterm = _nb_model(spark, sf_dir)
+    return nb_predictions(docs, lang_aug, nllterm).groupBy(
+        "true_lang", "pred_lang"
+    ).agg(F.count("*").cast("bigint").alias("n_docs")).orderBy(
+        "true_lang", "pred_lang"
+    )
+
+
+def nb_predictions(
+    docs: DataFrame, lang_aug: DataFrame, nllterm: DataFrame
+) -> DataFrame:
+    """(doc_id, true_lang, pred_lang) for any batch of document rows
+    against a trained model — the serving step shared by the batch
+    confusion matrix and the streaming twin (micro-batches score
+    through this exact code path)."""
     from pyspark.sql.window import Window
 
-    docs, doctf, lang_aug, nllterm = _nb_model(spark, sf_dir)
+    doctf = (
+        docs.selectExpr("doc_id", f"explode({_TOKS}) AS term")
+        .groupBy("doc_id", "term")
+        .count()
+        .withColumnRenamed("count", "tf")
+    )
     miss = lang_aug.select("lang", "miss16")
     contrib = (
         doctf.crossJoin(F.broadcast(miss.withColumnRenamed("lang", "cand")))
@@ -308,7 +334,5 @@ def lm_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         score.withColumn("rn", F.row_number().over(w))
         .filter("rn = 1")
-        .groupBy("true_lang", F.col("cand").alias("pred_lang"))
-        .agg(F.count("*").cast("bigint").alias("n_docs"))
-        .orderBy("true_lang", "pred_lang")
+        .selectExpr("doc_id", "true_lang", "cand AS pred_lang")
     )

@@ -158,6 +158,7 @@ _OPERATOR_MODULES = (
     "extensions.truss",
     "operators.saxmotif",
     "extensions.aqp",
+    "streaming.nbserve_stream",
 )
 
 import_errors: dict[str, str] = {}
