@@ -1,6 +1,7 @@
-"""k-truss peeling and the global clustering coefficient over the part
-co-order graph — the cohesion layer above triangle counting
-(gr_triangle_count) and k-core (gr_kcore_ladder).
+"""k-truss peeling over the part co-order graph — the cohesion layer
+above triangle counting (gr_triangle_count), the global clustering
+coefficient (hits.gr_clustering_coefficient) and k-core
+(gr_kcore_ladder).
 
 A k-truss is the maximal subgraph where every edge sits in >= k-2
 triangles — the standard community-core definition that is strictly
@@ -175,85 +176,3 @@ def gr_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("round")
-
-
-@register(
-    "gr_clustering_coefficient",
-    f"""
-    WITH {_SQL_EDGES},
-    tri AS (
-        SELECT count(*) AS n_tri FROM e0 x
-        JOIN e0 y ON y.u = x.v
-        JOIN e0 z ON z.u = x.u AND z.v = y.v
-    ),
-    deg AS (
-        SELECT node, count(*) AS d FROM (
-            SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0
-        ) GROUP BY 1
-    ),
-    wedges AS (
-        SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
-    )
-    SELECT CAST(n_tri AS BIGINT) AS n_triangles,
-           n_wedges,
-           CAST(3 * n_tri * 1000000 // n_wedges AS BIGINT)
-               AS global_cc_ppm
-    FROM tri CROSS JOIN wedges
-    """,
-    doc="global clustering coefficient 3*triangles/wedges of the part "
-    "co-order graph, exact ppm from two aggregates",
-)
-def gr_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C = 3*closed / all wedges: the one-number cohesion summary.
-    Triangles reuse the degree-oriented intersect (one pass); wedges
-    are sum(d choose 2) from the degree table — no second graph join."""
-    edges = _part_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("deg"))
-    )
-    keyed = (
-        edges.join(
-            deg.select(F.col("node").alias("u"), F.col("deg").alias("du")),
-            "u",
-        )
-        .join(
-            deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")),
-            "v",
-        )
-        .filter((F.col("du") > 1) & (F.col("dv") > 1))
-        .select(
-            (F.col("du") * F.lit(1 << 32) + F.col("u")).alias("ku"),
-            (F.col("dv") * F.lit(1 << 32) + F.col("v")).alias("kv"),
-        )
-    )
-    oriented = keyed.select(
-        F.least("ku", "kv").alias("src"), F.greatest("ku", "kv").alias("dst")
-    )
-    nbrs = oriented.groupBy("src").agg(F.collect_list("dst").alias("ns"))
-    tri = (
-        oriented.join(
-            nbrs.select(F.col("src").alias("ju"), F.col("ns").alias("ns_u")),
-            oriented["src"] == F.col("ju"),
-        )
-        .join(
-            nbrs.select(F.col("src").alias("jv"), F.col("ns").alias("ns_v")),
-            oriented["dst"] == F.col("jv"),
-        )
-        .select(F.size(F.array_intersect("ns_u", "ns_v")).alias("k"))
-        .agg(F.coalesce(F.sum("k"), F.lit(0)).alias("n_tri"))
-    )
-    wedges = deg.agg(
-        F.expr("CAST(sum(deg * (deg - 1) div 2) AS BIGINT)").alias("n_wedges")
-    )
-    return (
-        tri.crossJoin(F.broadcast(wedges))
-        .selectExpr(
-            "CAST(n_tri AS BIGINT) AS n_triangles",
-            "n_wedges",
-            "CAST(3 * n_tri * 1000000 div n_wedges AS BIGINT)"
-            " AS global_cc_ppm",
-        )
-    )

@@ -51,6 +51,17 @@ def main() -> int:
         )
 
     qs, osql = m.queries(), m.oracle_sql()
+    # A module that fails import PARTWAY still registers every query
+    # decorated before the failure — so a name list can look right
+    # while later queries are silently missing (round-5/6 trap: a
+    # duplicate register() name aborts the module import after the
+    # first query). Fail loudly instead.
+    from big_data_training_spark import registry as _registry
+
+    if _registry.import_errors:
+        for mod, tb in _registry.import_errors.items():
+            print(f"IMPORT ERROR in {mod}:\n{tb}")
+        sys.exit(f"registry import errors: {sorted(_registry.import_errors)}")
     args = sys.argv[1:]
     if args == ["--all-uncertified"]:
         from big_data_training_spark import registry
