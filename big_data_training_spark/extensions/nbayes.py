@@ -110,14 +110,20 @@ def _model_ctes(div: str) -> str:
 
 
 def _nb_model(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, ...]:
-    """(doctf, langstat+miss16+prior16, nllterm) DataFrames mirroring
-    the oracle CTEs, fixed-point steps applied with Spark `div`."""
+    """(docs, doctf, langstat+miss16+prior16, nllterm) DataFrames
+    mirroring the oracle CTEs, fixed-point steps applied with Spark
+    `div`. doctf is materialized once (corpus constants, class totals,
+    the model AND the scorer all read it — without pinning, each
+    consumer re-runs the tokenize+count scan); the two model tables
+    are |classes|- and |vocab x classes|-bounded, pinned by callers
+    that reuse them across jobs."""
     docs = load_table(spark, sf_dir, "documents")
     doctf = (
         docs.selectExpr("doc_id", f"explode({_TOKS}) AS term")
         .groupBy("doc_id", "term")
         .count()
         .withColumnRenamed("count", "tf")
+        .localCheckpoint(eager=True)
     )
     corpus = doctf.selectExpr("term").agg(
         F.countDistinct("term").alias("v")
@@ -276,7 +282,7 @@ def lm_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     class table broadcast, partial sums shuffled only on
     (doc_id, class); the matrix itself is |classes|^2 rows."""
     docs, doctf, lang_aug, nllterm = _nb_model(spark, sf_dir)
-    return nb_predictions(docs, lang_aug, nllterm).groupBy(
+    return nb_predictions(docs, lang_aug, nllterm, doctf=doctf).groupBy(
         "true_lang", "pred_lang"
     ).agg(F.count("*").cast("bigint").alias("n_docs")).orderBy(
         "true_lang", "pred_lang"
@@ -284,20 +290,22 @@ def lm_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def nb_predictions(
-    docs: DataFrame, lang_aug: DataFrame, nllterm: DataFrame
+    docs: DataFrame,
+    lang_aug: DataFrame,
+    nllterm: DataFrame,
+    doctf: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, true_lang, pred_lang) for any batch of document rows
     against a trained model — the serving step shared by the batch
-    confusion matrix and the streaming twin (micro-batches score
-    through this exact code path)."""
-    from pyspark.sql.window import Window
-
-    doctf = (
-        docs.selectExpr("doc_id", f"explode({_TOKS}) AS term")
-        .groupBy("doc_id", "term")
-        .count()
-        .withColumnRenamed("count", "tf")
-    )
+    confusion matrix (which passes the already-materialized training
+    doctf) and the streaming twin (micro-batches tokenize fresh)."""
+    if doctf is None:
+        doctf = (
+            docs.selectExpr("doc_id", f"explode({_TOKS}) AS term")
+            .groupBy("doc_id", "term")
+            .count()
+            .withColumnRenamed("count", "tf")
+        )
     miss = lang_aug.select("lang", "miss16")
     contrib = (
         doctf.crossJoin(F.broadcast(miss.withColumnRenamed("lang", "cand")))
@@ -330,9 +338,11 @@ def nb_predictions(
             "prior16 + coalesce(tok_nll, 0) AS s",
         )
     )
-    w = Window.partitionBy("doc_id").orderBy("s", "cand")
+    # argmin via min(struct(score, class)): lexicographic struct order
+    # == the oracle's (s, cand) tie-break, but as a hash aggregate —
+    # no per-doc window sort in the serving path.
     return (
-        score.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .selectExpr("doc_id", "true_lang", "cand AS pred_lang")
+        score.groupBy("doc_id", "true_lang")
+        .agg(F.min(F.struct("s", "cand")).alias("m"))
+        .selectExpr("doc_id", "true_lang", "m.cand AS pred_lang")
     )
