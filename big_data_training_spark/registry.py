@@ -159,6 +159,7 @@ _OPERATOR_MODULES = (
     "operators.saxmotif",
     "extensions.aqp",
     "streaming.nbserve_stream",
+    "extensions.graphwalk",
 )
 
 import_errors: dict[str, str] = {}
