@@ -160,6 +160,7 @@ _OPERATOR_MODULES = (
     "extensions.aqp",
     "streaming.nbserve_stream",
     "extensions.graphwalk",
+    "operators.synopsis",
 )
 
 import_errors: dict[str, str] = {}
