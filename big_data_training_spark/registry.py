@@ -161,6 +161,8 @@ _OPERATOR_MODULES = (
     "streaming.nbserve_stream",
     "extensions.graphwalk",
     "operators.synopsis",
+    "extensions.walkpairs",
+    "operators.benford",
 )
 
 import_errors: dict[str, str] = {}
