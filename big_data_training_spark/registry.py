@@ -163,6 +163,8 @@ _OPERATOR_MODULES = (
     "operators.synopsis",
     "extensions.walkpairs",
     "operators.benford",
+    "extensions.editdist",
+    "operators.conformal",
 )
 
 import_errors: dict[str, str] = {}
