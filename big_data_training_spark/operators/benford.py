@@ -6,9 +6,10 @@ The dq_* family checks constraints, freshness, outliers and drift;
 Benford adds the forensic-accounting screen auditors actually run on
 financial facts. The expected frequencies are logarithms, so they come
 from the repo's fixed-point log2 kernel: weight w_d = 16*log2((d+1)/d)
-and the total W = 16*log2(10) = 53, giving expected share w_d/W — a
-DEFINED rational both engines compute identically (within 1/16-bit of
-the real Benford law, which is noted, not hidden). The deviation
+normalized by W = sum_d w_d (the quantized weights' own total, so the
+expected shares partition 1 exactly up to floor-ppm) — a DEFINED
+rational both engines compute identically (within 1/16-bit per digit
+of the real Benford law, which is noted, not hidden). The deviation
 statistic is the chi-square form with every division deferred:
 per digit (W*obs_d - n*w_d)^2 // (W*n*w_d) scaled to ppm — exact
 BIGINT throughout.
@@ -57,13 +58,14 @@ def _benford_oracle() -> str:
         SELECT s.digit AS digit, coalesce(h.obs, 0) AS obs, n.n AS n
         FROM spine s LEFT JOIN h ON h.digit = s.digit CROSS JOIN n
     ),
-    w AS ({w_steps})
+    w AS ({w_steps}),
+    ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM w)
     SELECT digit, obs,
            CAST(obs * 1000000 // n AS BIGINT) AS obs_ppm,
-           CAST(w * 1000000 // 53 AS BIGINT) AS benford_ppm,
-           CAST((53 * obs - n * w) * (53 * obs - n * w) * 1000
-                // (53 * n * w) AS BIGINT) AS chi2_term_milli
-    FROM w
+           CAST(w * 1000000 // wsum AS BIGINT) AS benford_ppm,
+           CAST((wsum * obs - n * w) * (wsum * obs - n * w) * 1000
+                // (wsum * n * w) AS BIGINT) AS chi2_term_milli
+    FROM w CROSS JOIN ws
     ORDER BY digit
     """
 
@@ -77,8 +79,8 @@ def _benford_oracle() -> str:
 )
 def dq_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leading digit of floor(o_totalprice) vs Benford's law. Expected
-    weights are the 1/16-bit kernel's 16*log2((d+1)/d) over the W=53
-    total, so the reference distribution is engine-identical; the
+    weights are the 1/16-bit kernel's 16*log2((d+1)/d) over their own
+    quantized total, so the reference distribution is engine-identical; the
     per-digit chi-square term keeps all divisions last. TPC-H prices
     are uniform-ish, so large deviations here are EXPECTED — the
     operator's job is the exact statistic, which a fraud screen
@@ -102,11 +104,12 @@ def dq_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _apply_steps(
         j, log2_fp16_steps("digit + 1", "digit", "w", " div ")
     )
-    return w.selectExpr(
+    ws = w.agg(F.expr("CAST(sum(w) AS BIGINT)").alias("wsum"))
+    return w.crossJoin(F.broadcast(ws)).selectExpr(
         "digit",
         "obs",
         "CAST(obs * 1000000 div n AS BIGINT) AS obs_ppm",
-        "CAST(w * 1000000 div 53 AS BIGINT) AS benford_ppm",
-        "CAST((53 * obs - n * w) * (53 * obs - n * w) * 1000"
-        " div (53 * n * w) AS BIGINT) AS chi2_term_milli",
+        "CAST(w * 1000000 div wsum AS BIGINT) AS benford_ppm",
+        "CAST((wsum * obs - n * w) * (wsum * obs - n * w) * 1000"
+        " div (wsum * n * w) AS BIGINT) AS chi2_term_milli",
     ).orderBy("digit")
