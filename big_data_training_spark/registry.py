@@ -165,6 +165,7 @@ _OPERATOR_MODULES = (
     "operators.benford",
     "extensions.editdist",
     "operators.conformal",
+    "streaming.mleval_stream",
 )
 
 import_errors: dict[str, str] = {}
