@@ -166,6 +166,7 @@ _OPERATOR_MODULES = (
     "extensions.editdist",
     "operators.conformal",
     "streaming.mleval_stream",
+    "operators.buscal",
 )
 
 import_errors: dict[str, str] = {}
