@@ -167,6 +167,7 @@ _OPERATOR_MODULES = (
     "operators.conformal",
     "streaming.mleval_stream",
     "operators.buscal",
+    "extensions.matryoshka",
 )
 
 import_errors: dict[str, str] = {}
