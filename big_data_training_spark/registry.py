@@ -168,6 +168,7 @@ _OPERATOR_MODULES = (
     "streaming.mleval_stream",
     "operators.buscal",
     "extensions.matryoshka",
+    "operators.quantile2p",
 )
 
 import_errors: dict[str, str] = {}
