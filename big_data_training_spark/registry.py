@@ -169,6 +169,7 @@ _OPERATOR_MODULES = (
     "operators.buscal",
     "extensions.matryoshka",
     "operators.quantile2p",
+    "operators.survival",
 )
 
 import_errors: dict[str, str] = {}
