@@ -170,6 +170,7 @@ _OPERATOR_MODULES = (
     "extensions.matryoshka",
     "operators.quantile2p",
     "operators.survival",
+    "operators.abtest",
 )
 
 import_errors: dict[str, str] = {}
