@@ -171,6 +171,7 @@ _OPERATOR_MODULES = (
     "operators.quantile2p",
     "operators.survival",
     "operators.abtest",
+    "operators.shapley",
 )
 
 import_errors: dict[str, str] = {}
