@@ -172,6 +172,7 @@ _OPERATOR_MODULES = (
     "operators.survival",
     "operators.abtest",
     "operators.shapley",
+    "operators.bandit",
 )
 
 import_errors: dict[str, str] = {}
