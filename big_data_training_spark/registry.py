@@ -173,6 +173,9 @@ _OPERATOR_MODULES = (
     "operators.abtest",
     "operators.shapley",
     "operators.bandit",
+    "operators.erasure",
+    "extensions.recapture",
+    "extensions.ecdfband",
 )
 
 import_errors: dict[str, str] = {}
