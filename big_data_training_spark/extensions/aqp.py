@@ -19,8 +19,9 @@ in Spark SQL (`div`) and DuckDB (`//`).
 
 Sampling is the portable-hash 1-in-10 bucket — the same reproducible
 device as the repo's split/AB operators, so the "sample" is a
-deterministic predicate both engines agree on, and at scale it pushes
-down to the scan (no shuffle to draw it).
+deterministic predicate both engines agree on, evaluated inside the
+scan stage — no shuffle and no RNG state to coordinate (the md5
+expression itself is not a parquet PushedFilter).
 
 Overflow scope (documented, not silent): the variance path squares
 per-stratum sample sums — exact while sum(dollars) per stratum stays
@@ -134,7 +135,7 @@ def _revenue_oracle() -> str:
 def apx_sampled_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expansion estimator sum_s * N/n per l_returnflag stratum, with
     se(total) ~= N * sqrt(s^2/n) from the sample variance and
-    floor(sqrt) via isqrt_steps. The sample predicate is a pushed-down
+    floor(sqrt) via isqrt_steps. The sample predicate is a scan-stage
     hash filter (no shuffle, no RNG state); the truth column exists
     only because the fixture is small enough to compute it — at 100 TB
     you'd drop `pop` and keep the estimate + CI."""

@@ -7,7 +7,7 @@ aggregate over all values; at cluster scale the standard trick is:
 (2) a cumulative pass over the bucket table (bounded, single task)
 locates the bucket containing the target rank k = ceil(p*n) and the
 rank mass before it, (3) a second scan touches ONLY that bucket's rows
-(a pushed-down range predicate) and picks element k - cum_before
+(a scan-stage range predicate) and picks element k - cum_before
 within it. No step sorts more than one bucket's residents; recursing
 on the bucket would bound phase 3 too. The oracle is plain
 percentile_disc — same value, radically different plan, which is the
@@ -56,8 +56,9 @@ def agg_exact_quantile_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket table locate bucket b with cum >= k and its preceding mass.
     Phase 3: only bucket b's rows are ranked (per-pct partitioned
     window over one bucket's residents) and the (k - cum_before)-th
-    value is the answer. The second scan's bucket predicate pushes to
-    the parquet reader."""
+    value is the answer. The second scan's bucket predicate is a
+    scan-stage filter (computed column, so evaluated in codegen right
+    after the reader rather than as a parquet PushedFilter)."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = li.selectExpr(
         "CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents"
