@@ -176,6 +176,7 @@ _OPERATOR_MODULES = (
     "operators.erasure",
     "extensions.recapture",
     "extensions.ecdfband",
+    "extensions.multimodal_gif",
 )
 
 import_errors: dict[str, str] = {}
