@@ -177,6 +177,7 @@ _OPERATOR_MODULES = (
     "extensions.recapture",
     "extensions.ecdfband",
     "extensions.multimodal_gif",
+    "operators.fixedwidth",
 )
 
 import_errors: dict[str, str] = {}
