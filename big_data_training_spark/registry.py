@@ -178,6 +178,7 @@ _OPERATOR_MODULES = (
     "extensions.ecdfband",
     "extensions.multimodal_gif",
     "operators.fixedwidth",
+    "operators.procmine",
 )
 
 import_errors: dict[str, str] = {}
