@@ -179,6 +179,7 @@ _OPERATOR_MODULES = (
     "extensions.multimodal_gif",
     "operators.fixedwidth",
     "operators.procmine",
+    "extensions.heapslaw",
 )
 
 import_errors: dict[str, str] = {}
