@@ -180,6 +180,8 @@ _OPERATOR_MODULES = (
     "operators.fixedwidth",
     "operators.procmine",
     "extensions.heapslaw",
+    "operators.cep",
+    "functions.binary_codecs",
 )
 
 import_errors: dict[str, str] = {}
