@@ -182,6 +182,7 @@ _OPERATOR_MODULES = (
     "extensions.heapslaw",
     "operators.cep",
     "functions.binary_codecs",
+    "operators.sprt",
 )
 
 import_errors: dict[str, str] = {}
