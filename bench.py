@@ -80,12 +80,14 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     line = json.dumps(payload, separators=(",", ":"))
-    if len(line) > 1800:
-        # Keep the most expensive queries (the perf signal), drop the rest
-        # from the line — never from the measurement.
-        keep = dict(
-            sorted(timings.items(), key=lambda kv: -kv[1])[: max(1, len(timings) // 2)]
-        )
+    # Keep the most expensive queries (the perf signal), drop the rest
+    # from the line — never from the measurement. Loop until the line
+    # actually fits the driver's ~2000-char stdout tail (one halving was
+    # not guaranteed to as the bench set grows).
+    n_keep = len(timings)
+    while len(line) > 1800 and n_keep > 1:
+        n_keep = max(1, n_keep // 2)
+        keep = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:n_keep])
         payload["queries"] = {k: keep[k] for k in sorted(keep)}
         payload["queries_omitted"] = len(timings) - len(keep)
         line = json.dumps(payload, separators=(",", ":"))

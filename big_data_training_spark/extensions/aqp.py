@@ -108,7 +108,7 @@ def _revenue_oracle() -> str:
     j AS (
         SELECT p.flag AS flag, n_pop, true_total, n_s, sum_s,
                ((n_s * sumsq_s - sum_s * sum_s)
-                // (n_s * (n_s - 1))) // n_s AS s2n
+                // greatest(n_s * (n_s - 1), 1)) // n_s AS s2n
         FROM pop p JOIN samp s ON s.flag = p.flag
     ),
     r AS ({sq})
@@ -167,8 +167,8 @@ def apx_sampled_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_total",
         "n_s",
         "sum_s",
-        "((n_s * sumsq_s - sum_s * sum_s) div (n_s * (n_s - 1)))"
-        " div n_s AS s2n",
+        "((n_s * sumsq_s - sum_s * sum_s)"
+        " div greatest(n_s * (n_s - 1), 1)) div n_s AS s2n",
     )
     r = _apply_steps(j, isqrt_steps("s2n", "rt", " div "))
     return r.selectExpr(

@@ -68,9 +68,9 @@ def _ztest_oracle() -> str:
                a.s * 1000 // a.n AS ma_milli,
                b.s * 1000 // b.n AS mb_milli,
                ((a.n * a.ss - a.s * a.s) * 1000000
-                    // (a.n * (a.n - 1))) // a.n
+                    // greatest(a.n * (a.n - 1), 1)) // a.n
              + ((b.n * b.ss - b.s * b.s) * 1000000
-                    // (b.n * (b.n - 1))) // b.n AS seg
+                    // greatest(b.n * (b.n - 1), 1)) // b.n AS seg
         FROM arms a, arms b WHERE a.arm = 0 AND b.arm = 1
     )
     SELECT na AS n_a, nb AS n_b,
@@ -130,8 +130,8 @@ def ab_mean_diff_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nb",
         "sa * 1000 div na AS ma_milli",
         "sb * 1000 div nb AS mb_milli",
-        "((na * ssa - sa * sa) * 1000000 div (na * (na - 1))) div na"
-        " + ((nb * ssb - sb * sb) * 1000000 div (nb * (nb - 1))) div nb"
+        "((na * ssa - sa * sa) * 1000000 div greatest(na * (na - 1), 1)) div na"
+        " + ((nb * ssb - sb * sb) * 1000000 div greatest(nb * (nb - 1), 1)) div nb"
         " AS seg",
     )
     r = _apply_steps(piv, isqrt_steps("seg", "se_milli", " div "))

@@ -13,9 +13,10 @@ the float back downstream).
 
 Semantics: unit of analysis = user; origin = user's first event;
 event = first 'error' event; censor horizon = 48 hours (users whose
-first error falls after the horizon are censored AT the horizon and
-contribute to n_at_risk but never to deaths — textbook right
-censoring). Durations are exact integer hours from microsecond
+first error falls after the horizon — or who never error at all —
+are censored AT the horizon and contribute to n_at_risk but never to
+deaths — textbook right censoring; the no-error users enter via a
+LEFT join with raw_h = horizon+1). Durations are exact integer hours from microsecond
 timestamps (epoch-second doubles are exact below 2^53; the difference
 and floor are IEEE-identical across engines).
 
@@ -55,9 +56,9 @@ def _km_oracle() -> str:
     ),
     dur AS (
         SELECT u.user_id AS user_id,
-               CAST(floor((epoch(fe.fe) - epoch(u.f)) / 3600)
-                    AS BIGINT) AS raw_h
-        FROM u JOIN fe ON fe.user_id = u.user_id
+               coalesce(CAST(floor((epoch(fe.fe) - epoch(u.f)) / 3600)
+                    AS BIGINT), {HORIZON_H} + 1) AS raw_h
+        FROM u LEFT JOIN fe ON fe.user_id = u.user_id
     ),
     lt AS (
         SELECT least(raw_h, {HORIZON_H}) AS t,
@@ -114,9 +115,9 @@ def ev_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("fe"))
     )
-    dur = u.join(fe, "user_id").selectExpr(
-        "CAST(floor((CAST(fe AS DOUBLE) - CAST(f AS DOUBLE)) / 3600)"
-        " AS BIGINT) AS raw_h"
+    dur = u.join(fe, "user_id", "left").selectExpr(
+        "coalesce(CAST(floor((CAST(fe AS DOUBLE) - CAST(f AS DOUBLE))"
+        f" / 3600) AS BIGINT), {HORIZON_H} + 1) AS raw_h"
     )
     lt = dur.selectExpr(
         f"least(raw_h, {HORIZON_H}) AS t",

@@ -141,17 +141,19 @@ def st_decayed_leaderboard_stream(
             "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
         ).alias("day_num"),
     )
-    refday = e.agg(F.max("day_num")).collect()[0][0]
+    # The as-of-now decay anchor stays a (broadcast) 1-row DataFrame —
+    # never collected to the driver; foreachBatch joins it per batch.
+    ref = e.agg(F.max("day_num").alias("refday"))
     topic = _write_id_segments(
         spark, e, "event_id", "bdts_decay_topic_"
     )
     partials_dir = scratch_dir("bdts_decay_partials_")
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.selectExpr(
+        batch_df.crossJoin(F.broadcast(ref)).selectExpr(
             "user_id",
             "cents",
-            f"{refday} - day_num AS age",
+            "refday - day_num AS age",
         ).selectExpr(
             "user_id", "cents", f"{_DECAY_EXPR} AS contrib"
         ).groupBy("user_id").agg(

@@ -198,6 +198,27 @@ import_errors: dict[str, str] = {}
 _DRIVER_PRIORITY: tuple[str, ...] = ()
 
 _DRIVER_CERTIFIED: frozenset[str] = frozenset({
+    # round-6 rows (CORRECTNESS_r06.json, 50 names: 49 green + 1 rows-only
+    # by design — agg_approx_sketches has no SQL oracle, sketch internals
+    # are engine-specific; its rows-only row is terminal, so certify it).
+    'agg_approx_sketches', 'agg_percentiles', 'cal_date_spine_gap_fill',
+    'dd_cross_source_dupes', 'dd_split_leakage_audit', 'dq_distribution_drift',
+    'emb_dim_stats', 'ev_anomaly_mad', 'ev_burst_detection',
+    'ev_cusum_changepoint', 'ev_funnel_conversion', 'ev_funnel_steps',
+    'ev_funnel_windowed', 'ev_markov_transitions', 'ev_peak_concurrency',
+    'ev_retention_cohorts', 'ev_rfm_segments', 'ev_session_cooccurrence',
+    'f_collated_group_dedup', 'f_sql_scripting_threshold',
+    'f_variant_props_stats', 'j_asof_join', 'j_lateral_topk_nation',
+    'j_nearest_click', 'mm_audio_chunk_plan', 'mm_audio_header_parse',
+    'mm_video_header_parse', 's11_retention_expiry', 's11_segment_compaction',
+    's1_kafka_envelope_consume', 's3_partition_assign_scan',
+    's5_s2_log_roundtrip', 's6_inmemory_dim_join', 's8_csv_roundtrip',
+    's8_json_roundtrip', 's8_orc_roundtrip', 's9_partitioned_layout_prune',
+    's9_snapshot_time_travel', 's9_warehouse_saveastable', 's9_zorder_layout',
+    's_schema_evolution', 'sim_pq_adc_topk', 'sim_pq_codes',
+    'sim_pq_recall_at_k', 'sk_kmv_jaccard', 'sk_kmv_setops',
+    'st_pq_encode_stream', 'tx_ngram_novelty', 'tx_per_source_sample',
+    'u6_python_udtf_props',
     # round-5 rows (CORRECTNESS_r05.json, 50 names: 49 green + 1 rows-only
     # by design — p1_partition_balance has no SQL oracle, hash families
     # differ across engines; its rows-only row is terminal, so certify it).

@@ -33,6 +33,7 @@ from big_data_training_spark.streaming.replay import (
     cleanup_scratch,
     materialize,
     scratch_dir,
+    stream_session,
 )
 
 N_SEGMENTS = 4
@@ -154,26 +155,24 @@ def st_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     history_dir = scratch_dir("bdts_cdc_hist_")
     state_dir = scratch_dir("bdts_cdc_state_")
     ckpt = scratch_dir("bdts_cdc_ckpt_")
+    # Plans on a pinned-conf clone (streaming/replay.py stream_session)
+    # so the shared session's shuffle.partitions is never mutated.
+    ss = stream_session(spark)
     schema = spark.read.parquet(os.path.join(topic, "seg00.parquet")).schema
     stream = (
-        spark.readStream.schema(schema)
+        ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(topic)
     )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch(history_dir, state_dir))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
     try:
-        q = (
-            stream.writeStream.foreachBatch(_merge_batch(history_dir, state_dir))
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        q.processAllAvailable()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        q.stop()
     versions = spark.read.parquet(os.path.join(history_dir, "versions"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     out = materialize(

@@ -57,27 +57,27 @@ def _write_id_segments(
 
 
 def _run_foreach_batch(spark: SparkSession, topic: str, apply) -> None:
+    # Plans on a pinned-conf clone (streaming/replay.py stream_session)
+    # so the shared session's shuffle.partitions is never mutated.
+    from big_data_training_spark.streaming.replay import stream_session
+
+    ss = stream_session(spark)
     schema = spark.read.parquet(os.path.join(topic, "seg00.parquet")).schema
     stream = (
-        spark.readStream.schema(schema)
+        ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(topic)
     )
     ckpt = scratch_dir("bdts_incr_ckpt_")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    q = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
     try:
-        q = (
-            stream.writeStream.foreachBatch(apply)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        q.processAllAvailable()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        q.stop()
 
 
 from big_data_training_spark import registry as _registry  # noqa: E402

@@ -50,6 +50,65 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+_stream_sessions: dict[SparkSession, SparkSession] = {}
+_stream_lock = threading.Lock()
+
+# Streaming state operators get one task (and for Python-state ops one
+# Python worker) per shuffle partition with no AQE coalescing — under an
+# untuned session's default 200 that is pure startup overhead per
+# micro-batch, so streaming helpers plan under a pinned small count.
+_STREAM_SHUFFLE_PARTITIONS = "16"
+
+
+def stream_session(spark: SparkSession) -> SparkSession:
+    """A per-parent cached CLONE pinned to a small shuffle-partition
+    count for bounded streaming helpers. Same isolation mechanism as the
+    batch pin session (extensions/graph.py): ``cloneSession`` copies the
+    SQLConf (shared SparkContext and cache), so the caller's shared
+    session is never mutated — concurrent unrelated queries keep
+    planning under their own conf instead of racing a set/restore
+    window.
+
+    StreamingQueryListeners are per-session (each SessionState owns a
+    StreamingQueryManager), so U4 listeners the user registered on the
+    PARENT are mirrored onto the clone on every fetch — a query running
+    here still fires the user's lifecycle callbacks."""
+    with _stream_lock:
+        s = _stream_sessions.get(spark)
+        if s is None:
+            jclone = spark._jsparkSession.cloneSession()
+            jclone.conf().set(
+                "spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS
+            )
+            s = SparkSession(spark.sparkContext, jsparkSession=jclone)
+            _stream_sessions[spark] = s
+        _sync_listeners(spark, s)
+    return s
+
+
+def _sync_listeners(parent: SparkSession, clone: SparkSession) -> None:
+    """Make the clone's JVM listener set equal the parent's (add missing,
+    drop removed) so lifecycle events reach listeners registered on the
+    user-facing session. JVM listener objects compare by identity, so
+    ``equals`` is exact."""
+    pj = list(parent.streams._jsqm.listListeners())
+    cj = list(clone.streams._jsqm.listListeners())
+    for l in pj:
+        if not any(l.equals(c) for c in cj):
+            clone.streams._jsqm.addListener(l)
+    for c in cj:
+        if not any(c.equals(l) for l in pj):
+            clone.streams._jsqm.removeListener(c)
+
+
+def reroot(df: DataFrame, target: SparkSession) -> DataFrame:
+    """Re-root a DataFrame's logical plan onto ``target`` (a clone of
+    the session it was built on) so it plans under the clone's conf."""
+    dataset_cls = df.sparkSession._jvm.org.apache.spark.sql.classic.Dataset
+    jdf = dataset_cls.ofRows(target._jsparkSession, df._jdf.logicalPlan())
+    return DataFrame(jdf, target)
+
+
 def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1 stream form: subscribe to a Parquet topic as an unbounded
     source. The static schema read is metadata-only (no data scan)."""
@@ -75,31 +134,28 @@ def run_to_completion(
     available file at the first trigger), so complete/update-mode output
     is deterministic.
 
-    Streaming state operators get one task (and for Python-state ops one
-    Python worker) per shuffle partition with no AQE coalescing — under
-    an untuned session's default 200 that is pure startup overhead, so
-    pin a sane count for the query's lifetime and restore after.
+    The query runs on a pinned-conf CLONE of the caller's session
+    (see ``stream_session``) — the shared session's conf is never
+    touched; the memory-sink view lives (and is dropped) on the clone,
+    and the materialized result is session-agnostic.
     """
     spark = result.sparkSession
+    ss = stream_session(spark)
+    result = reroot(result, ss)
     qname = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = scratch_dir("bdts_ckpt_")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    query = (
+        result.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
     try:
-        query = (
-            result.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(qname)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
+        query.processAllAvailable()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = materialize(spark.table(qname))
-    spark.catalog.dropTempView(qname)
+        query.stop()
+    out = materialize(ss.table(qname))
+    ss.catalog.dropTempView(qname)
     cleanup_scratch()
     return out

@@ -99,15 +99,18 @@ def st_state_store_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleanup_scratch,
         materialize,
         read_stream_table,
+        reroot,
         scratch_dir,
+        stream_session,
     )
 
-    events = read_stream_table(spark, sf_dir, "events")
+    # Runs on a pinned-conf clone (streaming/replay.py stream_session)
+    # so the shared session's shuffle.partitions is never mutated.
+    ss = stream_session(spark)
+    events = reroot(read_stream_table(spark, sf_dir, "events"), ss)
     agg = events.groupBy("event_type").agg(F.count("*").alias("n"))
     ckpt = scratch_dir("bdts_stateread_ckpt_")
     qname = f"stateq_{uuid.uuid4().hex[:10]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
         q = (
             agg.writeStream.outputMode("complete")
@@ -131,7 +134,6 @@ def st_state_store_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        spark.catalog.dropTempView(qname)
+        ss.catalog.dropTempView(qname)
         cleanup_scratch()
     return out
