@@ -621,6 +621,121 @@ def w6_session_timeout(stream: DataFrame) -> DataFrame:
     )
 
 
+N_W6_SEGMENTS = 8
+
+
+@register(
+    "w6_session_timeout",
+    f"""
+    WITH base AS (
+        SELECT user_id, ts, event_id,
+               ntile({N_W6_SEGMENTS}) OVER (ORDER BY ts, event_id) AS b
+        FROM events
+    ),
+    bm AS (
+        SELECT b, max(epoch_us(ts)) // 1000 AS bmax_ms FROM base GROUP BY b
+    ),
+    gwm AS (SELECT max(epoch_us(ts)) // 1000 AS wm_ms FROM base),
+    seq AS (
+        SELECT user_id, ts, event_id, b,
+               lag(ts) OVER w AS prev_ts,
+               lag(b) OVER w AS prev_b
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    -- A session splits between consecutive events of a user exactly when
+    -- a micro-batch ran with the user ABSENT (batches strictly between
+    -- their segments) whose watermark (= ms-floored max ts of the prior
+    -- segment) strictly exceeded the registered timer
+    -- (ms-floored last event + gap) — the engine's timeout rule.
+    flags AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL THEN 1
+                    WHEN b >= prev_b + 2
+                         AND (epoch_us(prev_ts) // 1000) + {SESSION_EVICT_GAP_MS}
+                             < (SELECT bmax_ms FROM bm WHERE bm.b = seq.b - 2)
+                    THEN 1 ELSE 0 END AS new_s
+        FROM seq
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS sid
+        FROM flags
+    ),
+    agg AS (
+        SELECT user_id, sid, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, n_events, session_start, session_end
+    FROM (
+        SELECT a.*, max(sid) OVER (PARTITION BY user_id) AS max_sid
+        FROM agg a
+    ), gwm
+    -- split-evicted sessions always fired; the tail session fires only
+    -- in the closing no-data micro-batch, when the final watermark
+    -- strictly passes its timer.
+    WHERE sid < max_sid
+       OR (epoch_us(session_end) // 1000) + {SESSION_EVICT_GAP_MS} < wm_ms
+    """,
+    doc="W6: event-time timer-evicted sessions (ProcessFunction timers) "
+    "over a deterministic time-ordered replay of the events topic",
+)
+def w6_session_timeout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 driver form (flink/README.md:28 ProcessFunction timers): replay
+    events as {N_SEG} time-ordered single-file segments (one micro-batch
+    each under maxFilesPerTrigger=1, mtime-ordered), run the
+    timer-evicted sessionizer, and return every session the TIMERS
+    emitted — data calls emit nothing, so the result is a direct probe of
+    event-time timer semantics (eviction in data batches for absent keys,
+    plus the closing no-data micro-batch for the final watermark).
+
+    Determinism device: the global ntile() fixes which events share a
+    micro-batch, making watermark progression (ms-floored segment maxima)
+    reproducible in the SQL oracle. At scale the segment split would be a
+    range partition on ts (the topic's natural log order), not a
+    single-task window.
+    """
+    import os
+    import time as _time
+
+    from big_data_training_spark.streaming.replay import (
+        materialize,
+        scratch_dir,
+        stream_session,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    b = materialize(
+        ev.withColumn(
+            "b", F.ntile(N_W6_SEGMENTS).over(Window.orderBy("ts", "event_id"))
+        )
+    )
+    topic = scratch_dir("bdts_w6_topic_")
+    base_mt = _time.time() - 10.0 * (N_W6_SEGMENTS + 1)
+    for k in range(1, N_W6_SEGMENTS + 1):
+        path = os.path.join(topic, f"seg{k:02d}")
+        (
+            b.filter(F.col("b") == k)
+            .select("user_id", "ts")
+            .coalesce(1)
+            .write.parquet(path)
+        )
+        mt = base_mt + 10.0 * k
+        for fname in os.listdir(path):
+            os.utime(os.path.join(path, fname), (mt, mt))
+        os.utime(path, (mt, mt))
+    ss = stream_session(spark)
+    stream = (
+        ss.readStream.schema("user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(topic + "/*")
+    )
+    return run_to_completion(w6_session_timeout(stream), "update")
+
+
 def _tws_processor():
     """W6/ST4 on the Spark 4 API: StatefulProcessor with explicit state
     handles (and timer support — the Flink ProcessFunction surface,
