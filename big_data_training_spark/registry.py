@@ -183,6 +183,10 @@ _OPERATOR_MODULES = (
     "operators.cep",
     "functions.binary_codecs",
     "operators.sprt",
+    # round-7 additions (END-registered: driver slice composition
+    # unchanged; re-confirmed via driver_sim after each batch).
+    "extensions.weaklabel",
+    "operators.calibration",
 )
 
 import_errors: dict[str, str] = {}
