@@ -374,3 +374,118 @@ def wl_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         " WHEN knum >= 0 THEN knum * 1000000 div kden"
         " ELSE -((-knum) * 1000000 div kden) END AS BIGINT) AS kappa_ppm",
     ).orderBy("lf_a", "lf_b")
+
+
+# Leave-one-out gold + per-LF accuracy as reusable SQL (the
+# wl_lf_loo_accuracy CTE chain, shared by the weighted vote below).
+_SQL_LOO_ACC = f"""
+    e AS (
+        SELECT l.lf, l.label,
+               d.n1 - CASE WHEN l.label = 1 THEN 1 ELSE 0 END AS o1,
+               d.n0 - CASE WHEN l.label = 0 THEN 1 ELSE 0 END AS o0
+        FROM long l JOIN da d ON d.doc_id = l.doc_id
+        WHERE l.label <> -1
+    ),
+    g AS (SELECT lf, label, CASE WHEN o1 > o0 THEN 1 WHEN o0 > o1 THEN 0
+                                 ELSE -1 END AS gold
+          FROM e),
+    w AS (
+        SELECT lf,
+               CAST(sum(CASE WHEN gold = label THEN 1 ELSE 0 END) * 1000000
+                    // greatest(sum(CASE WHEN gold <> -1 THEN 1 ELSE 0 END), 1)
+                    AS BIGINT) - 500000 AS wt
+        FROM g GROUP BY lf
+    )
+"""
+
+
+@register(
+    "wl_weighted_vote",
+    f"""
+    WITH long AS ({_SQL_LONG}),
+    da AS ({_SQL_DOCAGG}),
+    {_SQL_LOO_ACC},
+    s AS (
+        SELECT l.doc_id,
+               CAST(sum(w.wt * (2 * l.label - 1)) AS BIGINT) AS score
+        FROM long l JOIN w ON w.lf = l.lf
+        WHERE l.label <> -1 GROUP BY l.doc_id
+    ),
+    v AS (
+        SELECT d.doc_id,
+               CASE WHEN coalesce(s.score, 0) > 0 THEN 1
+                    WHEN coalesce(s.score, 0) < 0 THEN 0
+                    ELSE -1 END AS vote,
+               CASE WHEN coalesce(a.n1, 0) > coalesce(a.n0, 0) THEN 1
+                    WHEN coalesce(a.n0, 0) > coalesce(a.n1, 0) THEN 0
+                    ELSE -1 END AS maj
+        FROM documents d
+        LEFT JOIN s ON s.doc_id = d.doc_id
+        LEFT JOIN da a ON a.doc_id = d.doc_id
+    )
+    SELECT CAST(vote AS BIGINT) AS vote,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN vote = maj THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree_majority
+    FROM v GROUP BY vote ORDER BY vote
+    """,
+    doc="accuracy-weighted LF vote (one EM-lite label-model step): each "
+    "LF votes with weight = LOO accuracy − chance; distribution plus "
+    "agreement with the plain majority",
+)
+def wl_weighted_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step from majority vote toward a learned label model: weight
+    each LF's vote by its excess leave-one-out accuracy (acc_ppm −
+    500000), so a below-chance LF pushes the OTHER way and a chance-
+    level LF is ignored — the linearized form of Snorkel's log-odds
+    weighting, kept integer-exact. The 5-row weight table broadcasts;
+    the per-doc reduce is the same doc-keyed shuffle as the majority
+    vote, so the label model costs one extra tiny aggregate, not a new
+    pass over the corpus."""
+    long = _long(spark, sf_dir)
+    da = _docagg(long)
+    lab = long.filter(F.col("label") != -1)
+    g = lab.join(da, "doc_id").selectExpr(
+        "lf",
+        "label",
+        "CASE WHEN n1 - CASE WHEN label = 1 THEN 1 ELSE 0 END"
+        " > n0 - CASE WHEN label = 0 THEN 1 ELSE 0 END THEN 1"
+        " WHEN n0 - CASE WHEN label = 0 THEN 1 ELSE 0 END"
+        " > n1 - CASE WHEN label = 1 THEN 1 ELSE 0 END THEN 0"
+        " ELSE -1 END AS gold",
+    )
+    w = g.groupBy("lf").agg(
+        F.expr(
+            "CAST(sum(CASE WHEN gold = label THEN 1 ELSE 0 END) * 1000000"
+            " div greatest(sum(CASE WHEN gold <> -1 THEN 1 ELSE 0 END), 1)"
+            " AS BIGINT) - 500000"
+        ).alias("wt")
+    )
+    s = (
+        lab.join(F.broadcast(w), "lf")
+        .groupBy("doc_id")
+        .agg(F.expr("CAST(sum(wt * (2 * label - 1)) AS BIGINT)").alias("score"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    v = (
+        docs.join(s, "doc_id", "left")
+        .join(da, "doc_id", "left")
+        .selectExpr(
+            "CASE WHEN coalesce(score, 0) > 0 THEN 1"
+            " WHEN coalesce(score, 0) < 0 THEN 0 ELSE -1 END AS vote",
+            "CASE WHEN coalesce(n1, 0) > coalesce(n0, 0) THEN 1"
+            " WHEN coalesce(n0, 0) > coalesce(n1, 0) THEN 0"
+            " ELSE -1 END AS maj",
+        )
+    )
+    return (
+        v.groupBy("vote")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"),
+            F.expr(
+                "CAST(sum(CASE WHEN vote = maj THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_agree_majority"),
+        )
+        .selectExpr("CAST(vote AS BIGINT) AS vote", "n_docs", "n_agree_majority")
+        .orderBy("vote")
+    )

@@ -88,6 +88,38 @@ def test_ece_is_weighted_mean_of_gaps(spark, sf_dir):
     assert 0 <= r.brier_ppm <= 1_000_000
 
 
+def test_weighted_vote_partitions_corpus_and_broadcasts(spark, sf_dir):
+    df = _q("wl_weighted_vote")(spark, sf_dir)
+    rows = df.collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.n_agree_majority <= r.n_docs
+    # the 5-row LF weight table must broadcast, never shuffle the corpus
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_wl_family_no_cartesian_products(spark, sf_dir):
+    for name in (
+        "wl_lf_diagnostics",
+        "wl_majority_vote",
+        "wl_lf_loo_accuracy",
+        "wl_cohen_kappa",
+        "wl_weighted_vote",
+    ):
+        plan = (
+            _q(name)(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # unbroadcast cartesian products are forbidden; the 1-row
+        # scalar-total crossJoin(broadcast(...)) plans as a
+        # BroadcastNestedLoopJoin and is the intended pattern.
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
 def test_lift_deciles_shape(spark, sf_dir):
     rows = _q("ml_lift_deciles")(spark, sf_dir).collect()
     assert [r.decile for r in rows] == list(range(1, 11))
