@@ -13,12 +13,23 @@ no fixpoint claim), reporting the surviving-edge count per round.
 Scale design (Spark side): per-edge triangle support is computed by
 degree-oriented adjacency intersection, not a wedge self-join — the
 same O(m^1.5) orientation bound gr_triangle_count uses (out-neighbor
-arrays <= sqrt(2m) under the (degree, id) total order), except here
-the common neighbors are exploded so each triangle can credit its
-three edges. Per round: one degree aggregation, one collect_list, one
-edge-level join + explode, one groupBy — all shuffles keyed on node or
-edge ids, localCheckpoint between rounds to keep lineage O(1). The
-oracle keeps the simple id-oriented wedge SQL (support counts are
+arrays <= sqrt(2m) under the (degree, id) total order), with the
+common neighbors exploded so each triangle can credit its three
+edges. Round 1 does this over the full graph (the unavoidable cost:
+one intersect + one 3T-row map-side-combined groupBy); every later
+round runs the same plan over the *survivor* subgraph, which at k=12
+collapses ~40x after the first peel (1.196M -> 29k edges at sf0.1),
+so rounds 2..R are sub-second. A frontier-delta variant that
+materializes the triangle incidence once was measured SLOWER here
+(persisting 3T x 5-col rows + carrying triangle keys through the
+round-1 shuffle costs more than re-intersecting the collapsed
+survivor graph) — recompute-on-survivors is the right plan when the
+peel converges fast. Intermediates use reliable df.checkpoint()
+(replayable from the checkpoint dir on executor loss at scale) rather
+than eager localCheckpoint (executor-local blocks, lost on failure),
+and each round must truncate lineage either way — see the query
+docstring for the measured trade. The oracle
+keeps the simple id-oriented wedge SQL (support counts are
 orientation-invariant) with AS MATERIALIZED per round — the k-core
 lesson: each round references the previous one on both join sides.
 """
@@ -90,88 +101,111 @@ def _ktruss_oracle() -> str:
     return f"WITH {','.join(ctes)}\nSELECT * FROM ({rows}) ORDER BY round"
 
 
+def _edge_support(cur: DataFrame) -> DataFrame:
+    """(u, v, s): per-edge triangle support within the graph ``cur``.
+
+    Degree-oriented adjacency intersection (gr_triangle_count's
+    orientation: out-neighbor arrays <= sqrt(2m)) finds each triangle
+    exactly once; exploding the common neighbors credits all three
+    member edges, and the groupBy partial-aggregates map-side.
+    """
+    deg = (
+        cur.select(F.col("u").alias("node"))
+        .unionAll(cur.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    keyed = (
+        cur.join(
+            deg.select(F.col("node").alias("u"), F.col("deg").alias("du")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")),
+            "v",
+        )
+        # orient low (degree, id) -> high: out-fan-out <= sqrt(2m)
+        .selectExpr(
+            "CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v"
+            " END AS src",
+            "CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u"
+            " END AS dst",
+        )
+    )
+    nbrs = keyed.groupBy("src").agg(F.collect_list("dst").alias("ns"))
+    tri = (
+        keyed.join(
+            nbrs.select(F.col("src").alias("ju"), F.col("ns").alias("ns_u")),
+            keyed["src"] == F.col("ju"),
+        )
+        .join(
+            nbrs.select(F.col("src").alias("jv"), F.col("ns").alias("ns_v")),
+            keyed["dst"] == F.col("jv"),
+        )
+        .select(
+            "src",
+            "dst",
+            F.explode(F.array_intersect("ns_u", "ns_v")).alias("w"),
+        )
+    )
+    tri_edges = (
+        tri.selectExpr("src AS x", "dst AS y")
+        .unionAll(tri.selectExpr("src AS x", "w AS y"))
+        .unionAll(tri.selectExpr("dst AS x", "w AS y"))
+        .select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
+    )
+    return tri_edges.groupBy("u", "v").agg(F.count("*").alias("s"))
+
+
 @register(
     "gr_ktruss_peel",
     _ktruss_oracle(),
+    bench=True,
     doc=f"k-truss peeling (k={TRUSS_K}): {TRUSS_ROUNDS} rounds of "
     f"'drop edges in < k-2 triangles' over the part co-order graph, "
     f"surviving-edge count per round; support via degree-oriented "
-    f"adjacency intersection",
+    f"adjacency intersection over the (fast-collapsing) survivor graph",
 )
 def gr_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each round recomputes per-edge triangle support in the surviving
-    subgraph and keeps edges with support >= k-2. Support comes from
-    the degree-oriented intersect (arrays bounded by sqrt(2m)), with
-    the common neighbors exploded so each triangle credits its three
-    edges — no wedge set is ever materialized."""
-    edges = _part_edges(spark, sf_dir).localCheckpoint(eager=True)
+    subgraph and keeps edges with support >= k-2. Round 1 pays the
+    full-graph cost; the survivor graph then collapses ~40x, so later
+    rounds re-intersect a tiny subgraph — measured faster than a
+    materialize-incidence-once frontier-delta peel (see module doc).
+
+    Each round is RELIABLY checkpointed: iterative plans must truncate
+    the logical lineage (round R's tree otherwise embeds ~7 copies of
+    round R-1's — exponential plan-matching cost; .persist() alone,
+    eager or lazy, was measured to hang the planner >300s), and
+    ``df.checkpoint`` writes to the checkpoint dir (HDFS on a real
+    cluster) so a lost executor replays from storage instead of
+    failing the job — the fault-tolerance gap of executor-local
+    ``localCheckpoint`` blocks at scale. Measured trade at sf0.1:
+    reliable checkpoint ~14.5s vs localCheckpoint ~12.6s — the 2s is
+    the one non-tiny write (the 1.2M-edge base); every later round
+    checkpoints the collapsed survivor set (29k rows). A persist-the-
+    base hybrid measured WORSE (~26s: cache lookup over the nested
+    plan re-plans poorly under AQE), so everything checkpoints."""
+    if spark.sparkContext.getCheckpointDir() is None:
+        import tempfile
+
+        spark.sparkContext.setCheckpointDir(
+            tempfile.mkdtemp(prefix="spark-ktruss-ckpt-")
+        )
+    edges = _part_edges(spark, sf_dir).checkpoint()
     counts = [(0, edges)]
     cur = edges
     for i in range(TRUSS_ROUNDS):
-        deg = (
-            cur.select(F.col("u").alias("node"))
-            .unionAll(cur.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count("*").alias("deg"))
-        )
-        keyed = (
-            cur.join(
-                deg.select(
-                    F.col("node").alias("u"), F.col("deg").alias("du")
-                ),
-                "u",
-            )
-            .join(
-                deg.select(
-                    F.col("node").alias("v"), F.col("deg").alias("dv")
-                ),
-                "v",
-            )
-            # orient low (degree, id) -> high: out-fan-out <= sqrt(2m)
-            .selectExpr(
-                "CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v"
-                " END AS src",
-                "CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u"
-                " END AS dst",
-            )
-        )
-        nbrs = keyed.groupBy("src").agg(F.collect_list("dst").alias("ns"))
-        tri = (
-            keyed.join(
-                nbrs.select(F.col("src").alias("ju"), F.col("ns").alias("ns_u")),
-                keyed["src"] == F.col("ju"),
-            )
-            .join(
-                nbrs.select(F.col("src").alias("jv"), F.col("ns").alias("ns_v")),
-                keyed["dst"] == F.col("jv"),
-            )
-            .select(
-                "src",
-                "dst",
-                F.explode(F.array_intersect("ns_u", "ns_v")).alias("w"),
-            )
-        )
-        tri_edges = (
-            tri.selectExpr("src AS x", "dst AS y")
-            .unionAll(tri.selectExpr("src AS x", "w AS y"))
-            .unionAll(tri.selectExpr("dst AS x", "w AS y"))
-            .select(
-                F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
-            )
-        )
         cur = (
-            tri_edges.groupBy("u", "v")
-            .agg(F.count("*").alias("s"))
+            _edge_support(cur)
             .filter(F.col("s") >= TRUSS_K - 2)
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .checkpoint()
         )
         counts.append((i + 1, cur))
     out = None
     for rnd, df in counts:
-        row = df.agg(
-            F.count("*").cast("bigint").alias("n_edges")
-        ).select(
+        row = df.agg(F.count("*").cast("bigint").alias("n_edges")).select(
             F.lit(rnd).cast("bigint").alias("round"), "n_edges"
         )
         out = row if out is None else out.unionAll(row)
