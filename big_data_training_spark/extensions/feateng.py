@@ -70,8 +70,9 @@ _TOKS = "filter(split(text, ' '), w -> w <> '')"
     SELECT p.cat AS cat, CAST(p.fold AS BIGINT) AS fold,
            p.n AS n_in_fold,
            CAST(t.tot_n - p.n AS BIGINT) AS n_out_of_fold,
-           CAST((t.tot_cents - p.sum_cents) // (t.tot_n - p.n)
-                AS BIGINT) AS oof_mean_cents
+           CAST(CASE WHEN t.tot_n = p.n THEN NULL
+                     ELSE (t.tot_cents - p.sum_cents) // (t.tot_n - p.n)
+                END AS BIGINT) AS oof_mean_cents
     FROM pf p JOIN tot t ON t.cat = p.cat
     ORDER BY cat, fold
     """,
@@ -108,7 +109,10 @@ def fe_oof_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(fold AS BIGINT) AS fold",
             "n AS n_in_fold",
             "CAST(tot_n - n AS BIGINT) AS n_out_of_fold",
-            "CAST((tot_cents - sum_cents) div (tot_n - n) AS BIGINT)"
+            # a category whose rows all hash to one fold has no
+            # out-of-fold data: NULL, not an ANSI divide-by-zero
+            "CAST(CASE WHEN tot_n = n THEN NULL"
+            " ELSE (tot_cents - sum_cents) div (tot_n - n) END AS BIGINT)"
             " AS oof_mean_cents",
         )
         .orderBy("cat", "fold")

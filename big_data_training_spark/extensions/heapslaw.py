@@ -74,8 +74,9 @@ def _heaps_oracle() -> str:
         FROM logged
     )
     SELECT n AS n_checkpoints,
-           CAST(1000 * (n * sxy - sx * sy) // (n * sxx - sx * sx)
-                AS BIGINT) AS beta_milli
+           CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                     ELSE 1000 * (n * sxy - sx * sy) // (n * sxx - sx * sx)
+                END AS BIGINT) AS beta_milli
     FROM s
     """
 
@@ -142,6 +143,9 @@ def lm_heaps_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.selectExpr(
         "n AS n_checkpoints",
-        "CAST(1000 * (n * sxy - sx * sy) div (n * sxx - sx * sx)"
-        " AS BIGINT) AS beta_milli",
+        # a degenerate fit (all checkpoints in one bucket -> zero x
+        # variance) must yield NULL, not an ANSI divide-by-zero
+        "CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL"
+        " ELSE 1000 * (n * sxy - sx * sy) div (n * sxx - sx * sx)"
+        " END AS BIGINT) AS beta_milli",
     )

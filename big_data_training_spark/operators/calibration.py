@@ -179,9 +179,10 @@ def ml_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(decile AS BIGINT) AS decile, n, pos,
            CAST(pos * 1000000 // n AS BIGINT) AS rate_ppm,
-           CAST(pos * nt * 1000000 // (n * pt) AS BIGINT) AS lift_ppm,
-           CAST(sum(pos) OVER (ORDER BY decile) * 1000000 // pt AS BIGINT)
-               AS cum_gain_ppm
+           CAST(pos * nt * 1000000 // greatest(n * pt, 1) AS BIGINT)
+               AS lift_ppm,
+           CAST(sum(pos) OVER (ORDER BY decile) * 1000000
+                // greatest(pt, 1) AS BIGINT) AS cum_gain_ppm
     FROM a CROSS JOIN t ORDER BY decile
     """,
     doc="decile lift/gains table: positives per score decile, lift vs "
@@ -217,8 +218,14 @@ def ml_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "pos",
             "CAST(pos * 1000000 div n AS BIGINT) AS rate_ppm",
-            "CAST(pos * nt * 1000000 div (n * pt) AS BIGINT) AS lift_ppm",
-            "CAST(cum_pos * 1000000 div pt AS BIGINT) AS cum_gain_ppm",
+            # pt = 0 (no positives in a small fixture slice) must degrade
+            # to 0-lift rows, not an ANSI divide-by-zero (Spark throws
+            # where DuckDB // returns NULL); pos <= pt so the guard never
+            # changes a nonzero result.
+            "CAST(pos * nt * 1000000 div greatest(n * pt, 1) AS BIGINT)"
+            " AS lift_ppm",
+            "CAST(cum_pos * 1000000 div greatest(pt, 1) AS BIGINT)"
+            " AS cum_gain_ppm",
         )
         .orderBy("decile")
     )
