@@ -20,7 +20,7 @@ only ever emit child→smaller-parent edges, so the invariant is free.
 At the fixed point the edge set is a star forest: every node points
 directly at its component's minimum id.
 
-Per-round lineage is truncated with ``localCheckpoint`` (eager) —
+Per-round lineage is truncated with ``lineage.truncate_lineage`` —
 without it the plan tree doubles per iteration and the driver, not the
 cluster, becomes the bottleneck.
 """
@@ -29,6 +29,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from big_data_training_spark.lineage import truncate_lineage
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -85,13 +87,13 @@ def connected_components(
         )
         .filter(F.col("hi") != F.col("lo"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     n_edges = edges.count()
     for _ in range(max_rounds):
-        # localCheckpoint per round: bounds lineage AND makes the
+        # truncate_lineage per round: bounds lineage AND makes the
         # convergence compare read materialized blocks, not recompute.
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_edges = _small_star(_large_star(edges)).transform(truncate_lineage)
         n_new = new_edges.count()
         # Cheap check first: a count change is definitely not a fixed
         # point; only when counts agree is the exact set-compare run

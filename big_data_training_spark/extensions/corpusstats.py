@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 
 from big_data_training_spark.data import load_table, repartition_for_compute
 from big_data_training_spark.functions.text import SQL_TOKENS, tokens
+from big_data_training_spark.lineage import truncate_lineage
 from big_data_training_spark.registry import register
 
 EMB_DIM = 64
@@ -298,7 +299,7 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("j").alias("i"), F.col("i").alias("j"), "dot"
             )
         )
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     v = sym.select(F.col("i").alias("j")).distinct().withColumn(
         "v", F.lit(POWER_NORM).cast("bigint")

@@ -4,7 +4,9 @@ oracles.
 
 The reference's iterative-dataflow story (flink/README.md iteration
 operators) is the semantic target; the Spark-first form is a bounded
-number of join+aggregate rounds with per-round localCheckpoint to keep
+number of join+aggregate rounds with per-round lineage truncation
+(lineage.truncate_lineage: localCheckpoint locally, reliable
+checkpoint under SPARK_GRAFT_RELIABLE_CHECKPOINT=1) to keep
 lineage O(1), exactly like extensions/graph.py. Both queries run a FIXED
 round count R mirrored by the oracle's unrolled CTEs; the Spark side
 breaks out early once a round is a no-op (provably identical to running
@@ -24,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
+from big_data_training_spark.lineage import truncate_lineage
 from big_data_training_spark.registry import register
 from big_data_training_spark.streaming.replay import materialize
 
@@ -107,7 +110,7 @@ def gr_kcore_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     remain — the standard dense-subgraph / spam-cluster detector. One
     peel round = one equi-join of the live edge set against the live
     node set (both sides shrink monotonically) plus a degree
-    aggregation; per-round localCheckpoint truncates lineage so the
+    aggregation; per-round truncate_lineage cuts the plan so the
     plan stays O(1) in rounds. Early-exit once a round removes nothing
     (identical to the oracle's remaining no-op rounds); raises if the
     fixed horizon is ever insufficient rather than emitting a wrong
@@ -122,11 +125,11 @@ def gr_kcore_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds for every k share the same shuffle."""
     ue = _undirected_edges(spark, sf_dir)
     ks = spark.createDataFrame([(k,) for k in KCORE_KS], "k bigint")
-    edges_k = ue.crossJoin(F.broadcast(ks)).localCheckpoint(eager=True)
+    edges_k = ue.crossJoin(F.broadcast(ks)).transform(truncate_lineage)
     alive = (
         edges_k.select("k", F.col("src").alias("node"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     prev_n = -1
     n = alive.count()
@@ -146,7 +149,7 @@ def gr_kcore_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= F.col("k"))
             .select("k", "node")
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         n = alive.count()
         rounds += 1
@@ -220,7 +223,7 @@ def gr_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-free, hence engine-exact. At scale the visited set is the
     memory bound; at 100 TB you'd swap the distinct for a Bloom-guarded
     anti-join once layers stop growing."""
-    ue = _undirected_edges(spark, sf_dir).localCheckpoint(eager=True)
+    ue = _undirected_edges(spark, sf_dir).transform(truncate_lineage)
     seeds = (
         ue.select(F.col("src").alias("node"))
         .filter(F.col("node") < 1_000_000)
@@ -228,7 +231,7 @@ def gr_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("node")
         .limit(BFS_SEEDS)
     )
-    visited = seeds.localCheckpoint(eager=True)
+    visited = seeds.transform(truncate_lineage)
     total = visited.count()
     rows = [(0, total)]
     for layer in range(1, BFS_ROUNDS + 1):
@@ -239,7 +242,7 @@ def gr_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         new_total = expanded.count()
         rows.append((layer, new_total - total))
@@ -315,9 +318,9 @@ def gr_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparsity is the scale win: rank mass is zero outside the seeds'
     3-hop ball, and the `rank > 0` pre-filter keeps each round's join
     input proportional to the reached frontier, not the graph."""
-    ue = _undirected_edges(spark, sf_dir).localCheckpoint(eager=True)
-    nodes = ue.select(F.col("src").alias("node")).distinct().localCheckpoint(
-        eager=True
+    ue = _undirected_edges(spark, sf_dir).transform(truncate_lineage)
+    nodes = truncate_lineage(
+        ue.select(F.col("src").alias("node")).distinct()
     )
     seeds = (
         ue.select(F.col("src").alias("node"))
@@ -326,7 +329,7 @@ def gr_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("node")
         .limit(BFS_SEEDS)
         .withColumn("is_seed", F.lit(True))
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     outdeg = ue.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("outdeg")
@@ -363,7 +366,7 @@ def gr_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
     return materialize(
         ranks.orderBy(F.desc("rank"), F.asc("node")).limit(PPR_TOP)

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
 from big_data_training_spark.functions.hashing import hash60_expr, sql_hash60
+from big_data_training_spark.lineage import truncate_lineage
 from big_data_training_spark.registry import register
 
 WALK_STEPS = 3
@@ -111,7 +112,7 @@ def gr_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ue = ed.union(
         ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
 
     frontier = supplier.filter(
         F.expr(f"s_suppkey % {WALK_SEED_MOD} = 0")

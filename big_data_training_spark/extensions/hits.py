@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
+from big_data_training_spark.lineage import truncate_lineage
 from big_data_training_spark.registry import register
 
 HITS_SCALE = 1_000_000  # fixed point: 1.0 == 10^6
@@ -116,7 +117,7 @@ def gr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst"))
         .distinct()
     )
-    edges = edges.localCheckpoint()  # reused 2x per round: scan once
+    edges = edges.transform(truncate_lineage)  # reused 2x per round: scan once
     hub = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(HITS_SCALE).cast("bigint").alias("s")
     )

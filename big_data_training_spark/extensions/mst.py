@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
+from big_data_training_spark.lineage import truncate_lineage
 from big_data_training_spark.registry import register
 
 N_ROUNDS = 3
@@ -146,7 +147,7 @@ def gr_boruvka_msf_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(min(floor(l_extendedprice * 100)) AS BIGINT)")
             .alias("w")
         )
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     nodes = (
         wedges.select(F.col("u").alias("node"))
@@ -185,7 +186,7 @@ def gr_boruvka_msf_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter("rn = 1")
             .drop("rn")
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         fe = ch.select("w", "u", "v").distinct()
         a = ch.select(F.col("c"), F.col("o"))
@@ -201,11 +202,11 @@ def gr_boruvka_msf_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             p = p.join(nxt, F.col("nc") == F.col("p"), "left").select(
                 "c", F.coalesce("np", "p").alias("p")
             )
-        p = p.localCheckpoint(eager=True)
+        p = p.transform(truncate_lineage)
         labels = (
             labels.join(p, labels.lbl == p.c, "left")
             .select("node", F.coalesce("p", "lbl").alias("lbl"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
         metrics = (
             fe.agg(

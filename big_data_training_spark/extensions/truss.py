@@ -24,11 +24,11 @@ materializes the triangle incidence once was measured SLOWER here
 (persisting 3T x 5-col rows + carrying triangle keys through the
 round-1 shuffle costs more than re-intersecting the collapsed
 survivor graph) — recompute-on-survivors is the right plan when the
-peel converges fast. Intermediates use reliable df.checkpoint()
-(replayable from the checkpoint dir on executor loss at scale) rather
-than eager localCheckpoint (executor-local blocks, lost on failure),
-and each round must truncate lineage either way — see the query
-docstring for the measured trade. The oracle
+peel converges fast. Each round truncates lineage via the shared
+``lineage.truncate_lineage`` helper — executor-local blocks on a
+single node, reliable df.checkpoint() (replayable on executor loss)
+when SPARK_GRAFT_RELIABLE_CHECKPOINT=1 is set for a cluster run; see
+the query docstring for the measured trade. The oracle
 keeps the simple id-oriented wedge SQL (support counts are
 orientation-invariant) with AS MATERIALIZED per round — the k-core
 lesson: each round references the previous one on both join sides.
@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
+from big_data_training_spark.lineage import truncate_lineage
 from big_data_training_spark.registry import register
 
 TRUSS_K = 12
@@ -173,34 +174,24 @@ def gr_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds re-intersect a tiny subgraph — measured faster than a
     materialize-incidence-once frontier-delta peel (see module doc).
 
-    Each round is RELIABLY checkpointed: iterative plans must truncate
-    the logical lineage (round R's tree otherwise embeds ~7 copies of
-    round R-1's — exponential plan-matching cost; .persist() alone,
-    eager or lazy, was measured to hang the planner >300s), and
-    ``df.checkpoint`` writes to the checkpoint dir (HDFS on a real
-    cluster) so a lost executor replays from storage instead of
-    failing the job — the fault-tolerance gap of executor-local
-    ``localCheckpoint`` blocks at scale. Measured trade at sf0.1:
-    reliable checkpoint ~14.5s vs localCheckpoint ~12.6s — the 2s is
-    the one non-tiny write (the 1.2M-edge base); every later round
-    checkpoints the collapsed survivor set (29k rows). A persist-the-
-    base hybrid measured WORSE (~26s: cache lookup over the nested
-    plan re-plans poorly under AQE), so everything checkpoints."""
-    if spark.sparkContext.getCheckpointDir() is None:
-        import tempfile
-
-        spark.sparkContext.setCheckpointDir(
-            tempfile.mkdtemp(prefix="spark-ktruss-ckpt-")
-        )
-    edges = _part_edges(spark, sf_dir).checkpoint()
+    Each round truncates lineage via ``truncate_lineage`` (round R's
+    tree otherwise embeds ~7 copies of round R-1's — exponential
+    plan-matching cost; .persist() alone, eager or lazy, was measured
+    to hang the planner >300s). Locally that is ``localCheckpoint``
+    (~12.6s at sf0.1); with SPARK_GRAFT_RELIABLE_CHECKPOINT=1 it is a
+    reliable ``df.checkpoint`` (~14.5s — the one non-tiny write is the
+    1.2M-edge base; later rounds write the collapsed 29k-row survivor
+    set) so a lost executor replays from storage instead of failing
+    the job. A persist-the-base hybrid measured WORSE (~26s: cache
+    lookup over the nested plan re-plans poorly under AQE)."""
+    edges = truncate_lineage(_part_edges(spark, sf_dir))
     counts = [(0, edges)]
     cur = edges
     for i in range(TRUSS_ROUNDS):
-        cur = (
+        cur = truncate_lineage(
             _edge_support(cur)
             .filter(F.col("s") >= TRUSS_K - 2)
             .select("u", "v")
-            .checkpoint()
         )
         counts.append((i + 1, cur))
     out = None

@@ -21,6 +21,7 @@ from big_data_training_spark.extensions.graphwalk import (
     _walks_oracle,
     gr_deterministic_walks,
 )
+from big_data_training_spark.lineage import truncate_lineage
 from big_data_training_spark.registry import register
 
 SG_WINDOW = 2
@@ -56,9 +57,7 @@ def gr_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     join key is walk_id, so the pair stage is one bounded-fan-out
     shuffle — the heavy lifting (graph traversal) already happened in
     the walk generator, which is the right split at scale."""
-    walks = gr_deterministic_walks(spark, sf_dir).localCheckpoint(
-        eager=True
-    )
+    walks = truncate_lineage(gr_deterministic_walks(spark, sf_dir))
     a = walks.selectExpr("walk_id", "step AS sa", "node AS center")
     b = walks.selectExpr("walk_id", "step AS sb", "node AS context")
     return (

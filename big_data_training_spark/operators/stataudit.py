@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
 from big_data_training_spark.extensions.graphalgo import _undirected_edges
+from big_data_training_spark.lineage import truncate_lineage
 from big_data_training_spark.registry import register
 
 T_BUCKETS = 10
@@ -322,7 +323,7 @@ _SQL_UEDGES_STAT = """
 
 
 def _edge_endpoint_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ue = _undirected_edges(spark, sf_dir).localCheckpoint(eager=True)
+    ue = _undirected_edges(spark, sf_dir).transform(truncate_lineage)
     deg = ue.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
     da = deg.select(F.col("node").alias("src"), F.col("d").alias("x"))
     db = deg.select(F.col("node").alias("dst"), F.col("d").alias("y"))

@@ -132,3 +132,29 @@ def test_lift_deciles_shape(spark, sf_dir):
     gains = [r.cum_gain_ppm for r in rows]
     assert gains == sorted(gains)
     assert gains[-1] == 1_000_000
+
+
+def test_truncate_lineage_default_is_local(spark):
+    """Default path: executor-local blocks, plan cut to an RDD leaf."""
+    from big_data_training_spark.lineage import truncate_lineage
+
+    out = truncate_lineage(spark.range(10).selectExpr("id * 2 AS x"))
+    assert out.count() == 10
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # the parent projection must be gone from the logical plan
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+
+
+def test_truncate_lineage_reliable_env(spark, monkeypatch, tmp_path):
+    """SPARK_GRAFT_RELIABLE_CHECKPOINT=1 routes to df.checkpoint():
+    same values, plan still an RDD leaf, and a checkpoint dir is set
+    so blocks are replayable after executor loss."""
+    from big_data_training_spark.lineage import truncate_lineage
+
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", "1")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path))
+    out = truncate_lineage(spark.range(7).selectExpr("id + 1 AS y"))
+    assert [r.y for r in out.orderBy("y").collect()] == list(range(1, 8))
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan
+    assert spark.sparkContext.getCheckpointDir() is not None
