@@ -158,3 +158,18 @@ def test_truncate_lineage_reliable_env(spark, monkeypatch, tmp_path):
     plan = out._jdf.queryExecution().analyzed().toString()
     assert "LogicalRDD" in plan or "ExistingRDD" in plan
     assert spark.sparkContext.getCheckpointDir() is not None
+
+
+def test_ktruss_identical_under_reliable_checkpoint(
+    spark, sf_dir, monkeypatch, tmp_path
+):
+    """The reliable-checkpoint deployment mode must be a pure execution
+    policy: same peel, same rows, only the block storage differs."""
+    from big_data_training_spark.extensions.truss import gr_ktruss_peel
+
+    base = [tuple(r) for r in gr_ktruss_peel(spark, sf_dir).collect()]
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", "1")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path))
+    reliable = [tuple(r) for r in gr_ktruss_peel(spark, sf_dir).collect()]
+    assert base == reliable
+    assert base[0][1] > 0  # round 0 has edges
