@@ -118,19 +118,26 @@ def gr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = edges.transform(truncate_lineage)  # reused 2x per round: scan once
+    # score tables are NODE-sized (suppliers/customers), orders of
+    # magnitude below the edge table; broadcasting them makes every
+    # half-step's join map-side, so the edge table never crosses the
+    # network after its build (same adaptive judgment as the truss
+    # support kernel — at cluster scale a node table outgrowing the
+    # broadcast budget would shuffle instead, but HITS score vectors
+    # are the canonical broadcast case)
     hub = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(HITS_SCALE).cast("bigint").alias("s")
     )
     auth = None
     for _ in range(HITS_ROUNDS):
         araw = (
-            edges.join(hub.withColumnRenamed("node", "src"), "src")
+            edges.join(F.broadcast(hub.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("s").alias("s"))
         )
         auth = _normalize(araw)
         hraw = (
-            edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+            edges.join(F.broadcast(auth.withColumnRenamed("node", "dst")), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("s").alias("s"))
         )

@@ -110,9 +110,18 @@ def gr_linkpred_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"sum({RA_MICRO} div d)").cast("long").alias("ra_score_micro"),
         )
     )
+    # sdeg is supplier-sized (orders of magnitude below the pair table);
+    # broadcasting both lookups keeps the pair table from re-shuffling
+    # on s1 and then s2 just to pick up two degree columns
     scored = (
-        pairs.join(sdeg.select(F.col("s").alias("s1"), F.col("ds").alias("ds1")), "s1")
-        .join(sdeg.select(F.col("s").alias("s2"), F.col("ds").alias("ds2")), "s2")
+        pairs.join(
+            F.broadcast(sdeg.select(F.col("s").alias("s1"), F.col("ds").alias("ds1"))),
+            "s1",
+        )
+        .join(
+            F.broadcast(sdeg.select(F.col("s").alias("s2"), F.col("ds").alias("ds2"))),
+            "s2",
+        )
         .select(
             "s1",
             "s2",

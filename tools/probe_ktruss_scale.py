@@ -74,7 +74,7 @@ def peel(edges):
     sizes = [cur.count()]
     for _ in range(TRUSS_ROUNDS):
         cur = truncate_lineage(
-            _edge_support(cur)
+            _edge_support(cur, n_edges=sizes[-1])
             .filter(F.col("s") >= TRUSS_K - 2)
             .select("u", "v")
         )
