@@ -92,14 +92,21 @@ def _lp_labels(spark: SparkSession, sf_dir: str):
         .agg(F.least(F.col("a"), F.min("b")).alias("label"))
         .select(F.col("a").alias("node"), "label")
     )
+    # The label table is NODE-sized; broadcasting it makes the per-round
+    # edge-side join map-side so the cached edge list never re-shuffles
+    # (Catalyst cannot infer this: aggregate outputs carry no size
+    # estimate). nbr_min is also node-sized, so the label update join
+    # broadcasts too. At cluster scale a node table past the broadcast
+    # budget would fall back to the pinned-copartition strategy
+    # gr_pagerank_copartitioned demonstrates.
     for _ in range(LP_ROUNDS - 1):
         nbr_min = (
-            und.join(labels, und.b == labels.node)
+            und.join(F.broadcast(labels), und.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
         labels = (
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            labels.join(F.broadcast(nbr_min), labels.node == nbr_min.a, "left")
             .select(
                 "node",
                 F.least(
