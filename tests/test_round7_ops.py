@@ -173,3 +173,22 @@ def test_ktruss_identical_under_reliable_checkpoint(
     reliable = [tuple(r) for r in gr_ktruss_peel(spark, sf_dir).collect()]
     assert base == reliable
     assert base[0][1] > 0  # round 0 has edges
+
+
+def test_truss_support_broadcast_and_shuffle_paths_agree(spark, sf_dir):
+    """The edge-count gate only changes the JOIN STRATEGY: per-edge
+    support from the broadcast kernel (small graphs) and the shuffle
+    fallback (cluster-scale graphs) must be row-identical."""
+    from big_data_training_spark.extensions.truss import (
+        _edge_support,
+        _part_edges,
+    )
+    from big_data_training_spark.lineage import truncate_lineage
+
+    edges = truncate_lineage(_part_edges(spark, sf_dir))
+    n = edges.count()
+    small = _edge_support(edges, n_edges=n)  # under the 8M limit
+    large = _edge_support(edges, n_edges=None)  # shuffle fallback
+    sml = {(r.u, r.v): r.s for r in small.collect()}
+    lrg = {(r.u, r.v): r.s for r in large.collect()}
+    assert sml == lrg and len(sml) > 0
