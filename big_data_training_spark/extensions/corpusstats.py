@@ -305,8 +305,12 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v", F.lit(POWER_NORM).cast("bigint")
     )
     for _ in range(POWER_ROUNDS):
+        # v is d rows at ANY corpus size (the iterate of a d×d Gram
+        # matvec) — the canonical broadcast; without the hint Catalyst
+        # shuffles the Gram table on j every round (aggregate outputs
+        # carry no size estimate)
         u = (
-            sym.join(v, "j")
+            sym.join(F.broadcast(v), "j")
             .groupBy(F.col("i").alias("jj"))
             .agg(F.sum(F.col("dot") * F.col("v")).alias("u"))
             .select(F.col("jj").alias("j"), "u")
