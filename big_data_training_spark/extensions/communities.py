@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
 from big_data_training_spark.extensions.graph import _SQL_EDGES
+from big_data_training_spark.hints import broadcast_gate
 from big_data_training_spark.registry import register
 
 LP_ROUNDS = 2
@@ -74,6 +75,16 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _node_count_bound(spark: SparkSession, sf_dir: str) -> int:
+    """Upper bound on graph nodes: |supplier| + |customer| — the two
+    dimension tables the node keys come from. Parquet-metadata counts,
+    no shuffle, valid at any SF."""
+    return (
+        load_table(spark, sf_dir, "supplier").count()
+        + load_table(spark, sf_dir, "customer").count()
+    )
+
+
 def _lp_labels(spark: SparkSession, sf_dir: str):
     """(undirected edge list, node→label after LP_ROUNDS) — shared by the
     community-size report and the modularity scorer."""
@@ -96,17 +107,19 @@ def _lp_labels(spark: SparkSession, sf_dir: str):
     # edge-side join map-side so the cached edge list never re-shuffles
     # (Catalyst cannot infer this: aggregate outputs carry no size
     # estimate). nbr_min is also node-sized, so the label update join
-    # broadcasts too. At cluster scale a node table past the broadcast
-    # budget would fall back to the pinned-copartition strategy
+    # broadcasts too. Size-gated (hints.broadcast_gate on the dimension-
+    # table bound): a node table past the broadcast budget falls back to
+    # the shuffle join / pinned-copartition strategy
     # gr_pagerank_copartitioned demonstrates.
+    bcast = broadcast_gate(_node_count_bound(spark, sf_dir))
     for _ in range(LP_ROUNDS - 1):
         nbr_min = (
-            und.join(F.broadcast(labels), und.b == labels.node)
+            und.join(bcast(labels), und.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
         labels = (
-            labels.join(F.broadcast(nbr_min), labels.node == nbr_min.a, "left")
+            labels.join(bcast(nbr_min), labels.node == nbr_min.a, "left")
             .select(
                 "node",
                 F.least(

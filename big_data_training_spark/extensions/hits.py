@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
+from big_data_training_spark.hints import broadcast_gate
 from big_data_training_spark.lineage import truncate_lineage
 from big_data_training_spark.registry import register
 
@@ -121,23 +122,27 @@ def gr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # score tables are NODE-sized (suppliers/customers), orders of
     # magnitude below the edge table; broadcasting them makes every
     # half-step's join map-side, so the edge table never crosses the
-    # network after its build (same adaptive judgment as the truss
-    # support kernel — at cluster scale a node table outgrowing the
-    # broadcast budget would shuffle instead, but HITS score vectors
-    # are the canonical broadcast case)
+    # network after its build. Size-gated on the dimension-table bound
+    # (hints.broadcast_gate, parquet-metadata counts): past the budget
+    # the half-steps shuffle on the edge key instead — the
+    # gr_pagerank_copartitioned layout.
+    bcast = broadcast_gate(
+        load_table(spark, sf_dir, "supplier").count()
+        + load_table(spark, sf_dir, "customer").count()
+    )
     hub = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(HITS_SCALE).cast("bigint").alias("s")
     )
     auth = None
     for _ in range(HITS_ROUNDS):
         araw = (
-            edges.join(F.broadcast(hub.withColumnRenamed("node", "src")), "src")
+            edges.join(bcast(hub.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("s").alias("s"))
         )
         auth = _normalize(araw)
         hraw = (
-            edges.join(F.broadcast(auth.withColumnRenamed("node", "dst")), "dst")
+            edges.join(bcast(auth.withColumnRenamed("node", "dst")), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("s").alias("s"))
         )

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
+from big_data_training_spark.hints import broadcast_gate
 from big_data_training_spark.registry import register
 
 # Hot-neighbor guard: customers with more distinct suppliers than this
@@ -112,14 +113,18 @@ def gr_linkpred_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # sdeg is supplier-sized (orders of magnitude below the pair table);
     # broadcasting both lookups keeps the pair table from re-shuffling
-    # on s1 and then s2 just to pick up two degree columns
+    # on s1 and then s2 just to pick up two degree columns. Size-gated
+    # on the supplier-table bound (sdeg keys ⊆ supplier keys;
+    # parquet-metadata count) — past the budget the plan falls back to
+    # the two shuffle joins.
+    bcast = broadcast_gate(load_table(spark, sf_dir, "supplier").count())
     scored = (
         pairs.join(
-            F.broadcast(sdeg.select(F.col("s").alias("s1"), F.col("ds").alias("ds1"))),
+            bcast(sdeg.select(F.col("s").alias("s1"), F.col("ds").alias("ds1"))),
             "s1",
         )
         .join(
-            F.broadcast(sdeg.select(F.col("s").alias("s2"), F.col("ds").alias("ds2"))),
+            bcast(sdeg.select(F.col("s").alias("s2"), F.col("ds").alias("ds2"))),
             "s2",
         )
         .select(

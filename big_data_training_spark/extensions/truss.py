@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
+from big_data_training_spark.hints import broadcast_gate
 from big_data_training_spark.lineage import truncate_lineage
 from big_data_training_spark.registry import register
 
@@ -130,8 +131,7 @@ def _edge_support(cur: DataFrame, n_edges: int | None = None) -> DataFrame:
     the peel's shuffle volume drops ~400 MB -> ~30 MB. Above the limit
     (cluster-scale graphs) everything shuffles on node keys as before.
     """
-    small = n_edges is not None and n_edges <= BROADCAST_EDGE_LIMIT
-    bcast = F.broadcast if small else (lambda df: df)
+    bcast = broadcast_gate(n_edges, limit=BROADCAST_EDGE_LIMIT)
     deg = (
         cur.select(F.col("u").alias("node"))
         .unionAll(cur.select(F.col("v").alias("node")))

@@ -38,6 +38,23 @@ from pyspark.sql import DataFrame
 _ENV_FLAG = "SPARK_GRAFT_RELIABLE_CHECKPOINT"
 _ENV_DIR = "SPARK_GRAFT_CHECKPOINT_DIR"
 
+# Driver-local tempdirs created as a local-master fallback; removed at
+# interpreter exit so repeated registry sweeps don't accumulate
+# checkpoint blocks on disk (each iterative query checkpoints every
+# round). Cluster dirs (explicit _ENV_DIR) are deployment-owned storage
+# and are never deleted here — enable
+# ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` at session
+# creation for GC-driven cleanup there (a static conf; it must be set
+# before the JVM context exists, so this module cannot retrofit it).
+_TEMP_CKPT_DIRS: list[str] = []
+
+
+def _cleanup_temp_ckpt_dirs() -> None:
+    import shutil
+
+    for d in _TEMP_CKPT_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
 
 def reliable_enabled() -> bool:
     return os.environ.get(_ENV_FLAG, "") == "1"
@@ -56,9 +73,24 @@ def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
         if sc.getCheckpointDir() is None:
             ckpt = os.environ.get(_ENV_DIR)
             if not ckpt:
+                # A driver-local tempdir is only recoverable storage when
+                # the executors ARE the driver JVM. On a real cluster a
+                # non-shared path silently defeats the fault tolerance
+                # this mode exists for, so refuse instead of degrading.
+                if not sc.master.startswith("local"):
+                    raise RuntimeError(
+                        f"{_ENV_FLAG}=1 on master {sc.master!r} requires "
+                        f"{_ENV_DIR} to point at shared storage "
+                        "(HDFS/object store); a driver-local tempdir "
+                        "would make checkpoint blocks unrecoverable."
+                    )
+                import atexit
                 import tempfile
 
                 ckpt = tempfile.mkdtemp(prefix="spark-graft-ckpt-")
+                if not _TEMP_CKPT_DIRS:
+                    atexit.register(_cleanup_temp_ckpt_dirs)
+                _TEMP_CKPT_DIRS.append(ckpt)
             sc.setCheckpointDir(ckpt)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

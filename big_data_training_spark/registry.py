@@ -202,6 +202,31 @@ import_errors: dict[str, str] = {}
 _DRIVER_PRIORITY: tuple[str, ...] = ()
 
 _DRIVER_CERTIFIED: frozenset[str] = frozenset({
+    # round-7 rows (CORRECTNESS_r07.json, 50 names: 49 hash-green + 1
+    # rows-only by design — s8_parquet_footer_stats reads parquet file
+    # footers; the driver's oracle harness registers table views, not
+    # file paths, so no SQL oracle is possible. DuckDB parquet_metadata()
+    # parity is proven in tests/test_governance.py. Terminal, certify it.
+    'cal_hourly_coverage', 'dd_curation_funnel', 'dd_inflation_report',
+    'dd_lsh_band_sweep', 'dd_substring_dup_spans', 'dq_benford_audit',
+    'dq_embedding_health', 'dq_k_anonymity', 'ev_dau_wau_mau',
+    'ev_ltv_cohorts', 'ev_revenue_pareto', 'f8_xml_roundtrip',
+    'f_sql_pipe_syntax', 'gr_degree_histogram', 'gr_kcore_ladder',
+    'gr_label_propagation', 'gr_modularity_score',
+    'gr_pagerank_convergence_audit', 'lm_bigram_continuations',
+    'lm_bigram_oov_rate', 'lm_bpe_merge_candidates', 'lm_bpe_second_round',
+    'lm_dsir_importance', 'lm_fertility_by_lang', 'lm_kneser_ney_bigrams',
+    'lm_token_budget_plan', 'lm_unigram_doc_score',
+    'lm_vocab_pruning_plan', 'mm_binaryfile_ingest',
+    's1_pyds_partition_consume', 's5_pyds_transactional_append',
+    's8_parquet_footer_stats', 's8_wholetext_ingest',
+    's9_zonemap_prune_audit', 'sim_int8_recall_at_k',
+    'sim_ivfpq_recall_at_k', 'sim_ivfpq_topk', 'sim_matryoshka_recall',
+    'st_pyds_exactly_once_sink', 'st_pyds_stream_consume',
+    'st_rocksdb_state_counts', 'st_state_store_inspect',
+    'st_temperature_filter_stream', 'tx_curriculum_order',
+    'tx_gopher_rules', 'tx_lid_confusion', 'tx_padding_waste',
+    'tx_temperature_sample', 'u8_sql_udf', 'w6_session_timeout',
     # round-6 rows (CORRECTNESS_r06.json, 50 names: 49 green + 1 rows-only
     # by design — agg_approx_sketches has no SQL oracle, sketch internals
     # are engine-specific; its rows-only row is terminal, so certify it).

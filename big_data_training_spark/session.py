@@ -81,6 +81,15 @@ def session_builder(
         # refuses to plan a pushFilters-implementing reader without this.
         .config("spark.sql.python.filterPushdown.enabled", "true")
     )
+    if os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT", "") == "1":
+        # Reliable-checkpoint runs (lineage.truncate_lineage) write RDD
+        # blocks per iterative round; let the ContextCleaner delete them
+        # once the checkpointed RDD is GC'd. Static conf — only takes
+        # effect when this builder launches the JVM, which is why it
+        # lives here and not in lineage.py.
+        builder = builder.config(
+            "spark.cleaner.referenceTracking.cleanCheckpoints", "true"
+        )
     if master:
         builder = builder.master(master)
     return builder

@@ -50,7 +50,7 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-_stream_sessions: dict[SparkSession, SparkSession] = {}
+_pinned_clones: dict[tuple, SparkSession] = {}
 _stream_lock = threading.Lock()
 
 # Streaming state operators get one task (and for Python-state ops one
@@ -60,30 +60,36 @@ _stream_lock = threading.Lock()
 _STREAM_SHUFFLE_PARTITIONS = "16"
 
 
-def stream_session(spark: SparkSession) -> SparkSession:
-    """A per-parent cached CLONE pinned to a small shuffle-partition
-    count for bounded streaming helpers. Same isolation mechanism as the
-    batch pin session (extensions/graph.py): ``cloneSession`` copies the
-    SQLConf (shared SparkContext and cache), so the caller's shared
-    session is never mutated — concurrent unrelated queries keep
-    planning under their own conf instead of racing a set/restore
-    window.
+def pinned_clone(spark: SparkSession, conf: dict[str, str]) -> SparkSession:
+    """A cached CLONE of ``spark`` with ``conf`` pinned, keyed by
+    (parent, conf set). Same isolation mechanism as the batch pin
+    session (extensions/graph.py): ``cloneSession`` copies the SQLConf
+    (shared SparkContext and cache), so the caller's shared session is
+    never mutated — concurrent unrelated queries keep planning under
+    their own conf instead of racing a set/restore window.
 
     StreamingQueryListeners are per-session (each SessionState owns a
     StreamingQueryManager), so U4 listeners the user registered on the
     PARENT are mirrored onto the clone on every fetch — a query running
     here still fires the user's lifecycle callbacks."""
+    key = (spark, tuple(sorted(conf.items())))
     with _stream_lock:
-        s = _stream_sessions.get(spark)
+        s = _pinned_clones.get(key)
         if s is None:
             jclone = spark._jsparkSession.cloneSession()
-            jclone.conf().set(
-                "spark.sql.shuffle.partitions", _STREAM_SHUFFLE_PARTITIONS
-            )
+            for k, v in conf.items():
+                jclone.conf().set(k, v)
             s = SparkSession(spark.sparkContext, jsparkSession=jclone)
-            _stream_sessions[spark] = s
+            _pinned_clones[key] = s
         _sync_listeners(spark, s)
     return s
+
+
+def stream_session(spark: SparkSession) -> SparkSession:
+    """The default streaming clone: small shuffle-partition pin only."""
+    return pinned_clone(
+        spark, {"spark.sql.shuffle.partitions": _STREAM_SHUFFLE_PARTITIONS}
+    )
 
 
 def _sync_listeners(parent: SparkSession, clone: SparkSession) -> None:
@@ -103,8 +109,18 @@ def _sync_listeners(parent: SparkSession, clone: SparkSession) -> None:
 
 def reroot(df: DataFrame, target: SparkSession) -> DataFrame:
     """Re-root a DataFrame's logical plan onto ``target`` (a clone of
-    the session it was built on) so it plans under the clone's conf."""
-    dataset_cls = df.sparkSession._jvm.org.apache.spark.sql.classic.Dataset
+    the session it was built on) so it plans under the clone's conf.
+
+    Spark 4 moved the JVM Dataset to org.apache.spark.sql.classic (the
+    Connect split); 3.5.x still has it at org.apache.spark.sql.Dataset.
+    Resolve lazily and fall back so either runtime works."""
+    from py4j.java_gateway import JavaClass
+
+    jvm = df.sparkSession._jvm
+    # py4j yields a JavaPackage (not an error) for an absent class.
+    dataset_cls = jvm.org.apache.spark.sql.classic.Dataset
+    if not isinstance(dataset_cls, JavaClass):
+        dataset_cls = jvm.org.apache.spark.sql.Dataset
     jdf = dataset_cls.ofRows(target._jsparkSession, df._jdf.logicalPlan())
     return DataFrame(jdf, target)
 
@@ -137,11 +153,18 @@ def run_to_completion(
     The query runs on a pinned-conf CLONE of the caller's session
     (see ``stream_session``) — the shared session's conf is never
     touched; the memory-sink view lives (and is dropped) on the clone,
-    and the materialized result is session-agnostic.
+    and the materialized result is session-agnostic. A plan already
+    rooted on a pinned clone (e.g. statestore.rocksdb_stream_session)
+    runs there as-is — no clone-of-clone.
     """
     spark = result.sparkSession
-    ss = stream_session(spark)
-    result = reroot(result, ss)
+    with _stream_lock:
+        already_pinned = any(spark is v for v in _pinned_clones.values())
+    if already_pinned:
+        ss = spark
+    else:
+        ss = stream_session(spark)
+        result = reroot(result, ss)
     qname = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = scratch_dir("bdts_ckpt_")
     query = (

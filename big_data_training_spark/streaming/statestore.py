@@ -10,23 +10,31 @@ checkpoint location, so state size is bounded by disk, not heap, and
 recovery replays a changelog instead of re-uploading full snapshots.
 
 Sessions built by ``session.session_builder`` already default to
-RocksDB; the context manager here pins it (plus changelog
-checkpointing) *per query* so the guarantee also holds on externally
-built sessions — e.g. the driver harness's default-config
+RocksDB; ``rocksdb_stream_session`` pins it (plus changelog
+checkpointing) on a dedicated session CLONE so the guarantee also holds
+on externally built sessions — e.g. the driver harness's default-config
 SparkSession, where the provider would otherwise fall back to the
-heap-backed default. The conf is read at query start and restored
-after, so co-resident queries keep their configured backend.
+heap-backed default. The provider conf is read (and recorded in the
+offset log) at query start from the session that starts the query;
+pinning it on a clone means no set/restore window ever exists on the
+shared session — a concurrent query cannot observe the RocksDB keys
+(the round-6/7 conf-isolation pattern, streaming/replay.py
+``pinned_clone``).
 """
 
 from __future__ import annotations
-
-from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_training_spark.registry import register
-from big_data_training_spark.streaming.replay import read_stream_table, run_to_completion
+from big_data_training_spark.streaming.replay import (
+    _STREAM_SHUFFLE_PARTITIONS,
+    pinned_clone,
+    read_stream_table,
+    reroot,
+    run_to_completion,
+)
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -37,23 +45,18 @@ _CHANGELOG_KEY = (
 )
 
 
-@contextmanager
-def rocksdb_state_store(spark: SparkSession):
-    """Pin the RocksDB provider (+ changelog checkpointing) on the
-    session for the duration of one streaming query start."""
-    prev = {
-        k: spark.conf.get(k, None) for k in (_PROVIDER_KEY, _CHANGELOG_KEY)
-    }
-    spark.conf.set(_PROVIDER_KEY, ROCKSDB_PROVIDER)
-    spark.conf.set(_CHANGELOG_KEY, "true")
-    try:
-        yield
-    finally:
-        for k, v in prev.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+def rocksdb_stream_session(spark: SparkSession) -> SparkSession:
+    """Cached clone of ``spark`` with the RocksDB provider, changelog
+    checkpointing, and the streaming shuffle-partition pin — queries
+    started from it get RocksDB state without mutating the parent."""
+    return pinned_clone(
+        spark,
+        {
+            _PROVIDER_KEY: ROCKSDB_PROVIDER,
+            _CHANGELOG_KEY: "true",
+            "spark.sql.shuffle.partitions": _STREAM_SHUFFLE_PARTITIONS,
+        },
+    )
 
 
 @register(
@@ -69,13 +72,13 @@ def st_rocksdb_state_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     with per-key state held in RocksDB — the backend a billion-key
     aggregation needs. Stream-batch equivalence: bounded replay in
     complete mode equals the batch GROUP BY."""
-    events = read_stream_table(spark, sf_dir, "events")
+    ss = rocksdb_stream_session(spark)
+    events = reroot(read_stream_table(spark, sf_dir, "events"), ss)
     agg = events.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
         F.max("event_id").alias("max_offset"),
     )
-    with rocksdb_state_store(spark):
-        return run_to_completion(agg, "complete")
+    return run_to_completion(agg, "complete")
 
 
 @register(

@@ -580,3 +580,71 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_broadcast_gate_size_cutoff(spark, sf_dir):
+    """hints.broadcast_gate: a bounded small lookup plans as a broadcast
+    join; past the limit (or with unknown size) the same plan falls back
+    to a shuffle join — the cluster-safe default."""
+    from big_data_training_spark.hints import broadcast_gate
+
+    # Disable the auto threshold so the hint is the ONLY broadcast
+    # source — both join sides are tiny at test SF, and the point is
+    # gate semantics, not Catalyst's size-estimate path.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        supp = load_table(spark, sf_dir, "supplier")
+        deg = supp.groupBy("s_nationkey").agg(F.count("*").alias("d"))
+        nation = load_table(spark, sf_dir, "nation")
+
+        gated = nation.join(
+            broadcast_gate(30)(deg), nation.n_nationkey == deg.s_nationkey
+        )
+        assert "BroadcastHashJoin" in physical_plan(gated)
+
+        for n_rows in (31_000_000, None):
+            ungated = nation.join(
+                broadcast_gate(n_rows, limit=1_000_000)(deg),
+                nation.n_nationkey == deg.s_nationkey,
+            )
+            # past the limit (or unknown size) the gate is identity and
+            # the plan falls back to a shuffle join
+            assert "BroadcastHashJoin" not in physical_plan(ungated)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_reliable_checkpoint_refuses_nonlocal_tempdir(spark, monkeypatch):
+    """lineage: reliable mode + non-local master + no shared checkpoint
+    dir must fail fast, not silently degrade to a driver-local tempdir."""
+    import pytest as _pytest
+
+    from big_data_training_spark import lineage
+
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", "1")
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR", raising=False)
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is not None:
+        _pytest.skip("checkpoint dir already set on shared context")
+
+    class _FakeSC:
+        master = "spark://cluster:7077"
+
+        def getCheckpointDir(self):
+            return None
+
+    class _FakeSession:
+        sparkContext = _FakeSC()
+
+    class _FakeDF:
+        sparkSession = _FakeSession()
+
+        def checkpoint(self, eager=True):  # pragma: no cover - not reached
+            raise AssertionError("checkpoint should not be reached")
+
+        def localCheckpoint(self, eager=True):  # pragma: no cover
+            raise AssertionError("localCheckpoint should not be reached")
+
+    with _pytest.raises(RuntimeError, match="shared storage"):
+        lineage.truncate_lineage(_FakeDF())

@@ -246,37 +246,47 @@ def test_checkpoint_recovery_resumes_not_reprocesses(spark, sf_dir):
 
 def test_rocksdb_state_store_engages(spark, sf_dir):
     """ST2: the RocksDB provider must actually back the state operator
-    (customMetrics carry rocksdb* counters), and the result must match
-    the batch aggregate (stream-batch equivalence on a different
-    backend)."""
+    (customMetrics carry rocksdb* counters), the result must match the
+    batch aggregate (stream-batch equivalence on a different backend),
+    and the provider pin must live ONLY on the dedicated clone — the
+    shared session's conf is never written (no set/restore window a
+    concurrent query could observe)."""
     import uuid
 
-    from big_data_training_spark.streaming.statestore import rocksdb_state_store
+    from big_data_training_spark.streaming.replay import reroot
+    from big_data_training_spark.streaming.statestore import (
+        ROCKSDB_PROVIDER,
+        rocksdb_stream_session,
+    )
 
-    stream = read_stream_table(spark, sf_dir, "events")
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(provider_key, None)
+    ss = rocksdb_stream_session(spark)
+    assert ss is not spark
+    assert ss.conf.get(provider_key) == ROCKSDB_PROVIDER
+    # parent conf untouched by building or using the clone
+    assert spark.conf.get(provider_key, None) == prior
+
+    stream = reroot(read_stream_table(spark, sf_dir, "events"), ss)
     agg = stream.groupBy("user_id").agg(F.count("*").alias("n_events"))
     qname = f"rocks_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="bdts_rocks_ckpt_")
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    prior = spark.conf.get(provider_key, None)
-    with rocksdb_state_store(spark):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(qname)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-            progress = q.lastProgress
-        finally:
-            q.stop()
-    # provider conf restored to its pre-context value after exit
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.lastProgress
+    finally:
+        q.stop()
     assert spark.conf.get(provider_key, None) == prior
     metrics = progress["stateOperators"][0]["customMetrics"]
     assert any(k.startswith("rocksdb") for k in metrics), metrics
-    got = {tuple(r) for r in spark.table(qname).collect()}
+    got = {tuple(r) for r in ss.table(qname).collect()}
     want = {
         tuple(r)
         for r in load_table(spark, sf_dir, "events")
@@ -285,5 +295,5 @@ def test_rocksdb_state_store_engages(spark, sf_dir):
         .collect()
     }
     assert got == want
-    spark.catalog.dropTempView(qname)
+    ss.catalog.dropTempView(qname)
     shutil.rmtree(ckpt, ignore_errors=True)
