@@ -30,6 +30,35 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ITERS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
 
 
+def _cpu_mhz() -> float | None:
+    try:
+        with open("/proc/cpuinfo") as f:
+            mhz = [
+                float(line.split(":")[1])
+                for line in f
+                if line.startswith("cpu MHz")
+            ]
+        return round(statistics.median(mhz), 0) if mhz else None
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _calibration_sec(spark) -> float:
+    """Median runtime of a FIXED data-independent kernel (codegen'd
+    integer fold over range(1e9), all 32 cores) — a same-session yard-
+    stick for container speed. Round-over-round bench ratios divide out
+    this number before being read as code regressions: r6→r7 drifted a
+    uniform 1.4x on untouched code and was unattributable without it."""
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(1_000_000_000).selectExpr(
+            "sum(id * 3 + id % 7) AS s"
+        ).collect()
+        runs.append(time.time() - t0)
+    return round(statistics.median(runs), 3)
+
+
 def main() -> None:
     spark = get_session("bench")
     specs = all_queries()
@@ -46,6 +75,15 @@ def main() -> None:
             specs[name].fn(spark, warm_dir).count()
         except Exception:
             pass
+
+    # Environment stanza: measured BEFORE the timed runs so a loaded /
+    # down-clocked container is visible in the record itself.
+    env = {
+        "load1": round(os.getloadavg()[0], 2),
+        "cpu_mhz": _cpu_mhz(),
+        "cal_sec": _calibration_sec(spark),
+    }
+    print(f"# env: {env}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -78,6 +116,7 @@ def main() -> None:
         "queries": timings,
         "iters": ITERS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "env": env,
     }
     line = json.dumps(payload, separators=(",", ":"))
     # Keep the most expensive queries (the perf signal), drop the rest
