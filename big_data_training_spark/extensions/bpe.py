@@ -201,6 +201,7 @@ _SQL_ENCODE = (
     _SQL_ENCODE,
     doc="encode the corpus with the learned BPE merges: per-source char"
     " and token totals + tokens-per-kilochar compression",
+    bench=True,
 )
 def lm_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer statistics after applying the learned

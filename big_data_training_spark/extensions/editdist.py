@@ -66,6 +66,7 @@ LEV_MAX = 2
     f"first-token blocks, +/-1 length band, edit distance <= "
     f"{LEV_MAX}; per-block member/candidate/match counts (the "
     f"blocking-quality audit)",
+    bench=True,
 )
 def er_blocked_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block -> band -> compare: the ER triangle. The self-join is

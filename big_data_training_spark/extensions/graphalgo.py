@@ -213,6 +213,7 @@ def _bfs_oracle() -> str:
     _bfs_oracle(),
     doc="multi-source BFS reach: nodes newly reached per hop from the"
     " 5 lowest supplier ids, 4 hops",
+    bench=True,
 )
 def gr_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier BFS — the reachability primitive under impact analysis
@@ -309,6 +310,7 @@ def _ppr_oracle() -> str:
     _ppr_oracle(),
     doc=f"personalized PageRank from the {BFS_SEEDS} lowest supplier ids,"
     f" {PPR_ITER} integer-exact rounds, top-{PPR_TOP}",
+    bench=True,
 )
 def gr_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPR — 'importance relative to THESE seeds', the link-based

@@ -90,6 +90,7 @@ def _walks_oracle() -> str:
     f"walks from a hash-chosen supplier seed set over the co-order "
     f"graph — reproducible sequence training data, one keyed join "
     f"per step",
+    bench=True,
 )
 def gr_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier-join walker: step i joins the |walks|-row frontier on

@@ -87,6 +87,7 @@ def _heaps_oracle() -> str:
     doc="Heaps'-law exponent from the vocab-growth checkpoints: "
     "log-log OLS slope in exact milli units, logs from the 1/16-bit "
     "kernel — the crawl-saturation dial",
+    bench=True,
 )
 def lm_heaps_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """beta from V ~ K n^beta over ~50 ingestion buckets: cumulative

@@ -196,6 +196,7 @@ from big_data_training_spark.extensions.graph import (  # noqa: E402
     """,
     doc="global clustering coefficient: 3*triangles / wedges over the"
     " part co-order graph, exact integers (permille)",
+    bench=True,
 )
 def gr_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitivity of the co-order graph: the wedge denominator is one

@@ -123,6 +123,7 @@ def _boruvka_oracle() -> str:
     doc=f"minimum spanning forest: {N_ROUNDS} Borůvka rounds over the"
     f" weighted co-order graph — per round the component count, forest"
     f" edges added, and exact forest weight (cents)",
+    bench=True,
 )
 def gr_boruvka_msf_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Borůvka's MST, the distributed way: per round every component

@@ -74,6 +74,7 @@ _PPJOIN_SQL = (
     doc="PPJoin prefix filtering: candidate pairs from rarest-first"
     " prefixes vs the full inverted index, with the zero-false-"
     "negative guarantee surfaced as a column",
+    bench=True,
 )
 def dd_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How many candidate pairs does prefix filtering save over the

@@ -87,6 +87,7 @@ def _rocchio_oracle() -> str:
     doc=f"Rocchio pseudo-relevance feedback: top-{EXPANSION_TOP}"
     f" expansion terms (tf_sum x fixed-point idf) mined from BM25's"
     f" top-10 result docs for {' '.join(BM25_TERMS)!r}",
+    bench=True,
 )
 def ix_rocchio_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Close the retrieval loop: the BM25 top-10 docs are assumed

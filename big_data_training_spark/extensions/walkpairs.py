@@ -50,6 +50,7 @@ SG_TOP = 20
     doc=f"skip-gram (center, context) pair counts within a +/-"
     f"{SG_WINDOW} window over the deterministic walk corpus — the "
     f"graph-embedding trainer's input table, top {SG_TOP} pairs",
+    bench=True,
 )
 def gr_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-join the walk corpus per walk within the window; count

@@ -109,6 +109,7 @@ def ev_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=f"streaming decayed leaderboard: per-batch per-user fixed-point"
     f" decay partials folded additively; finishing top-{LEADERBOARD_TOP}"
     f" equals the batch answer",
+    bench=True,
 )
 def st_decayed_leaderboard_stream(
     spark: SparkSession, sf_dir: str

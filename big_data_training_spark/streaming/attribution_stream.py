@@ -140,6 +140,7 @@ def _apply_batch(credits_dir: str, state_dir: str):
     doc="streaming last-touch attribution: per-batch credits against"
     " one-row-per-user touch state; converges exactly to the batch"
     " attribution table",
+    bench=True,
 )
 def st_attribution_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Credit purchases micro-batch by micro-batch: rank each batch's

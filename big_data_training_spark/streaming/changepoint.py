@@ -49,6 +49,7 @@ from big_data_training_spark.streaming.replay import (
     doc="streaming CUSUM: per-batch daily-count partials folded"
     " additively; change-point scan over the bounded day state equals"
     " the batch scan",
+    bench=True,
 )
 def st_cusum_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monitor the event-rate regime while events stream in: each

@@ -93,6 +93,7 @@ from big_data_training_spark.extensions import similarity as _similarity  # noqa
     _registry._REGISTRY["sm_bottomk_sample"].oracle,
     doc="streaming bottom-k sample maintenance: per-batch merge of the"
     " k smallest key hashes; converges to the batch sample",
+    bench=True,
 )
 def st_bottomk_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintain the uniform panel while the corpus streams in: each
@@ -149,6 +150,7 @@ def st_bottomk_sample_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     _registry._REGISTRY["emb_gram_exact"].oracle,
     doc="streaming Gram-matrix maintenance: additive per-batch partials"
     " folded into d^2 state; converges to the batch Gram",
+    bench=True,
 )
 def st_gram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PCA input stays fresh while embeddings stream in: each
@@ -184,6 +186,7 @@ def st_gram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     _registry._REGISTRY["sim_kmeans_update"].oracle,
     doc="mini-batch k-means: per-batch decimal (sum, count) sufficient"
     " statistics folded additively; equals the batch Lloyd update",
+    bench=True,
 )
 def st_kmeans_update_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Lloyd update as mini-batch streaming: seed centroids are

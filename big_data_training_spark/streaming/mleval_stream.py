@@ -118,6 +118,7 @@ def st_auc_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="streaming conformal coverage: bands calibrated offline on the "
     "hash-half, test half streamed through a stream-static broadcast "
     "join + stateless hit flag + one streaming aggregation",
+    bench=True,
 )
 def st_conformal_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The monitoring half of split conformal: the |types|-row band

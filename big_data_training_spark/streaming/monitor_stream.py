@@ -53,6 +53,7 @@ from big_data_training_spark.streaming.replay import (
     doc="streaming EWMA baseline: per-batch (event_type, day) cents"
     " partials folded additively; the finishing smoother over the"
     " bounded day state equals the batch answer",
+    bench=True,
 )
 def st_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintain the anomaly-detection baseline while events arrive:
@@ -97,6 +98,7 @@ def st_ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="streaming bitmap index maintenance under deliberate"
     " redelivery: per-batch word partials OR-merged (idempotent), so"
     " at-least-once delivery still matches the batch oracle",
+    bench=True,
 )
 def st_bitmap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintain the audience bitmap index from the stream — and prove
@@ -152,6 +154,7 @@ def st_bitmap_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="streaming OLS trend: per-batch daily cents partials folded"
     " additively; the normal-equation finish over the bounded day"
     " state equals the batch regression",
+    bench=True,
 )
 def st_trend_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep the capacity-planning trend line current while events
@@ -200,6 +203,7 @@ def st_trend_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="streaming CDC net-effect: per-key window-edge states"
     " maintained as argmax-mergeable (ts, event_id, type) partials;"
     " the merged classification equals the batch coalescing",
+    bench=True,
 )
 def st_net_effect_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Net-effect coalescing while the changelog streams in: the state

@@ -42,6 +42,7 @@ from big_data_training_spark.streaming.replay import (
     doc="streaming NB serving: offline-trained model broadcast into a "
     "document stream, micro-batches scored in foreachBatch via the "
     "batch scorer — confusion matrix row-identical to the batch oracle",
+    bench=True,
 )
 def st_nb_classify_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train offline (batch aggregation over the warehouse copy), then

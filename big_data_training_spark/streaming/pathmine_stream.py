@@ -62,6 +62,7 @@ last_epochs_applied: list[int] = []
     doc="streaming path mining: per-user trigram counts maintained"
     " across time-ordered micro-batches via a 2-row-per-user tail"
     " state; additive partials finish equal to the batch answer",
+    bench=True,
 )
 def st_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mine behavioral trigrams while the stream runs: each

@@ -78,6 +78,7 @@ N_QUERIES = 8  # vec_id < 8 are the streamed queries
     """,
     doc="online ANN serving: streamed query vectors routed through the"
     " static IVF index per micro-batch; equals one-shot batch serving",
+    bench=True,
 )
 def st_ivf_serving_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Queries stream in (4 micro-batches); the IVF index — centroids

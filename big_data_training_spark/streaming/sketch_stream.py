@@ -67,6 +67,7 @@ def _cms_cells(df: DataFrame) -> DataFrame:
     doc="streaming count-min sketch: per-batch 256-cell partials merged"
     " cell-wise; end-of-stream probe estimates equal the one-pass batch"
     " sketch exactly",
+    bench=True,
 )
 def st_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maintain the heavy-hitter sketch while events stream in: every
