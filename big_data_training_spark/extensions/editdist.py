@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
+from big_data_training_spark.hints import broadcast_gate
 from big_data_training_spark.registry import register
 
 LEV_MAX = 2
@@ -75,13 +76,17 @@ def er_blocked_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison stays in codegen. The output IS the skew report: a
     block whose candidate count dwarfs its member count is the one to
     re-key before scaling 100x."""
-    p = load_table(spark, sf_dir, "part").selectExpr(
+    part = load_table(spark, sf_dir, "part")
+    p = part.selectExpr(
         "p_partkey AS pk",
         "p_name AS name",
         "split(p_name, ' ')[0] AS blk",
         "length(p_name) AS ln",
     )
     members = p.groupBy("blk").agg(F.count("*").alias("n_members"))
+    # members is block-keyed (distinct first tokens <= |part|); the
+    # parquet-metadata count bounds the broadcast, shuffle past it
+    bcast = broadcast_gate(part.count())
     a = p.selectExpr("blk", "pk AS pka", "name AS na", "ln AS lna")
     b = p.selectExpr("blk", "pk AS pkb", "name AS nb", "ln AS lnb")
     pairs = (
@@ -99,7 +104,7 @@ def er_blocked_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(count(*) AS BIGINT)").alias("n_candidate_pairs"),
             F.expr("CAST(sum(hit) AS BIGINT)").alias("n_matches"),
         )
-        .join(F.broadcast(members), "blk")
+        .join(bcast(members), "blk")
         .selectExpr(
             "blk AS block_token",
             "CAST(n_members AS BIGINT) AS n_members",
