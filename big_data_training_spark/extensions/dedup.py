@@ -984,9 +984,14 @@ def tx_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The doc-level quality signal built on span dedup: how much of a
     document is corpus-repeated boilerplate. High-ratio docs are
     template pages a curation pipeline drops even when no whole-doc
-    duplicate exists. The repeated-hash set is joined back as a
-    broadcast (it is bounded by the boilerplate vocabulary, tiny
-    relative to the corpus); integer permille keeps it engine-exact."""
+    duplicate exists. The repeated-hash join carries NO broadcast hint:
+    the repeated-span set grows with the corpus (no cheap bound exists
+    to gate on), so the plan relies on AQE's runtime join demotion —
+    measured at sf0.1: AQE broadcasts it anyway (final adaptive plan is
+    a BroadcastHashJoin, timing equal to the hinted form within noise),
+    and past the broadcast budget the shuffle join survives where an
+    unconditional hint would fail the job. Integer permille keeps it
+    engine-exact."""
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     # size(ws) = 0 guard: empty documents contribute zero spans (see
     # dd_paragraph_dedup) and so never appear in the per-doc ratio.
@@ -1009,7 +1014,7 @@ def tx_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("para_hash", F.lit(1).alias("is_rep"))
     )
     return (
-        paras.join(F.broadcast(rep), "para_hash", "left")
+        paras.join(rep, "para_hash", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_spans"),

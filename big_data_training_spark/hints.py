@@ -34,6 +34,24 @@ BROADCAST_ROW_LIMIT = int(
 )
 
 
+# (sf_dir, table) -> row count. Parquet count(*) is answered from row-
+# group metadata (no column scan), but it is still a Spark job; caching
+# amortizes it to once per table per session across the query catalog.
+_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def table_count(spark, sf_dir: str, name: str) -> int:
+    """Cached row count of a fixture table — the cheap bound callers
+    hand to :func:`broadcast_gate` for dimension-derived lookups
+    (filtered/projected/aggregated tables never exceed their source)."""
+    key = (sf_dir, name)
+    if key not in _COUNT_CACHE:
+        from big_data_training_spark.data import load_table
+
+        _COUNT_CACHE[key] = load_table(spark, sf_dir, name).count()
+    return _COUNT_CACHE[key]
+
+
 def broadcast_gate(
     n_rows: int | None, limit: int | None = None
 ) -> Callable[[DataFrame], DataFrame]:

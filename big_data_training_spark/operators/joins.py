@@ -10,10 +10,13 @@ J3 co-partitioned join requirement (kafka/README.md:352): Spark inserts
 the hash Exchange automatically; for repeated large-large joins use
 bucketing (see docs/SCALING.md).
 
-Scale notes: dimension sides here (customer/nation/region/supplier) stay
-broadcastable even at 100 TB fact scale (they grow ~linearly in SF but
-stay orders of magnitude below the fact tables; Spark's AQE demotes to
-shuffle join automatically past the threshold). The interval self-join
+Scale notes: nation/region are constant-size and broadcast
+unconditionally; customer/supplier/part grow linearly in SF, so their
+broadcasts go through hints.broadcast_gate on the table's own row count
+(an explicit F.broadcast hint bypasses Spark's size checks — AQE does
+NOT demote a user hint — so an ungated hint on an SF-scaled dim fails
+the job past the 8 GB broadcast limit; the gate falls back to a shuffle
+join instead). The interval self-join
 J2 is an equi-join on the key plus a range predicate — at scale the
 equi-key shuffle dominates and the range filter runs post-match, which
 is the same strategy Kafka Streams uses (per-key state within window).
@@ -26,6 +29,7 @@ from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
 from big_data_training_spark.functions.numeric import dsum, sql_dsum
+from big_data_training_spark.hints import broadcast_gate, table_count
 from big_data_training_spark.registry import register
 
 
@@ -42,13 +46,15 @@ from big_data_training_spark.registry import register
     bench=True,
 )
 def j1_enrichment_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events ⋈ customer on user_id=c_custkey, dimension broadcast."""
+    """events ⋈ customer on user_id=c_custkey, dimension broadcast
+    (size-gated on the customer count; shuffle fallback past it)."""
     events = load_table(spark, sf_dir, "events")
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
+    bc = broadcast_gate(table_count(spark, sf_dir, "customer"))
     return (
-        events.join(F.broadcast(customer), events.user_id == customer.c_custkey)
+        events.join(bc(customer), events.user_id == customer.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
     )
@@ -199,9 +205,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
     )
+    bc = broadcast_gate(table_count(spark, sf_dir, "customer"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .join(bc(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -248,10 +255,12 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | (
         (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     )
+    bc = broadcast_gate(table_count(spark, sf_dir, "customer"))
+    bs = broadcast_gate(table_count(spark, sf_dir, "supplier"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(bc(c), o.o_custkey == c.c_custkey)
+        .join(bs(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -290,9 +299,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     nation_vol = F.when(F.col("n_name") == "NATION_1", vol).otherwise(F.lit(0.0))
+    bs = broadcast_gate(table_count(spark, sf_dir, "supplier"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(bs(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -335,10 +345,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
     )
+    bp = broadcast_gate(table_count(spark, sf_dir, "part"))
+    bs = broadcast_gate(table_count(spark, sf_dir, "supplier"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(bp(p), l.l_partkey == p.p_partkey)
+        .join(bs(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
         .agg(dsum(profit, "profit"))
@@ -376,11 +388,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    bc = broadcast_gate(table_count(spark, sf_dir, "customer"))
+    bs = broadcast_gate(table_count(spark, sf_dir, "supplier"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(bc(c), o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            bs(s),
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
 from big_data_training_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from big_data_training_spark.hints import broadcast_gate, table_count
 from big_data_training_spark.registry import register
 
 
@@ -117,9 +118,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact join shuffles on orderkey; customer/nation broadcast; global
-    top-20 via TakeOrderedAndProject."""
+    """Fact join shuffles on orderkey; customer broadcasts under the
+    size gate (SF-scaled dim — shuffle fallback past the budget),
+    nation unconditionally; global top-20 via TakeOrderedAndProject."""
     c = load_table(spark, sf_dir, "customer")
+    bc = broadcast_gate(table_count(spark, sf_dir, "customer"))
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -128,7 +131,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(bc(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
@@ -222,16 +225,17 @@ def q12_shipmode_case_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_conditional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ratio of two conditional aggregates in a single pass; the part
-    dimension broadcasts."""
+    dimension broadcasts under the size gate."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part")
+    bp = broadcast_gate(table_count(spark, sf_dir, "part"))
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     cond = F.when(F.col("p_type").startswith("STANDARD"), rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bp(p), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -259,7 +263,8 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the common join key, evaluates the disjunction post-join."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    bp = broadcast_gate(table_count(spark, sf_dir, "part"))
+    j = li.join(bp(p), li.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 20) & (F.col("l_quantity") >= 5))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 10))
@@ -398,8 +403,9 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1") & (F.col("p_size") >= 10)
     )
+    bp = broadcast_gate(table_count(spark, sf_dir, "part"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(bp(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -646,12 +652,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    bs = broadcast_gate(table_count(spark, sf_dir, "supplier"))
+    bp = broadcast_gate(table_count(spark, sf_dir, "part"))
     eur_sup = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    eur = cost.join(F.broadcast(eur_sup), cost.l_suppkey == eur_sup.s_suppkey)
+    eur = cost.join(bs(eur_sup), cost.l_suppkey == eur_sup.s_suppkey)
     min_cost = eur.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
         F.min("unit_cost").alias("min_cost")
     )
@@ -664,7 +672,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (eur.l_partkey == min_cost.mc_partkey)
             & (eur.unit_cost == min_cost.min_cost),
         )
-        .join(F.broadcast(p), eur.l_partkey == p.p_partkey)
+        .join(bp(p), eur.l_partkey == p.p_partkey)
         .select(
             F.round("s_acctbal", 2).alias("s_acctbal"),
             "s_name",
@@ -705,11 +713,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    bs = broadcast_gate(table_count(spark, sf_dir, "supplier"))
     nat_sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
         "s_suppkey"
     )
     val = (
-        li.join(F.broadcast(nat_sup), li.l_suppkey == nat_sup.s_suppkey, "left_semi")
+        li.join(bs(nat_sup), li.l_suppkey == nat_sup.s_suppkey, "left_semi")
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(
             F.sum(
@@ -760,8 +769,9 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
+    bp = broadcast_gate(table_count(spark, sf_dir, "part"))
     heavy = (
-        li.join(F.broadcast(p_red), li.l_partkey == p_red.p_partkey, "left_semi")
+        li.join(bp(p_red), li.l_partkey == p_red.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 60)
@@ -834,8 +844,9 @@ def q21_last_shipper_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     s = load_table(spark, sf_dir, "supplier")
+    bs = broadcast_gate(table_count(spark, sf_dir, "supplier"))
     return (
-        waiting.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        waiting.join(bs(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
