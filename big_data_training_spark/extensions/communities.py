@@ -77,11 +77,12 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _node_count_bound(spark: SparkSession, sf_dir: str) -> int:
     """Upper bound on graph nodes: |supplier| + |customer| — the two
-    dimension tables the node keys come from. Parquet-metadata counts,
-    no shuffle, valid at any SF."""
-    return (
-        load_table(spark, sf_dir, "supplier").count()
-        + load_table(spark, sf_dir, "customer").count()
+    dimension tables the node keys come from. Cached parquet-metadata
+    counts (hints.table_count), no shuffle, valid at any SF."""
+    from big_data_training_spark.hints import table_count
+
+    return table_count(spark, sf_dir, "supplier") + table_count(
+        spark, sf_dir, "customer"
     )
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
-from big_data_training_spark.hints import broadcast_gate
+from big_data_training_spark.hints import broadcast_gate, table_count
 from big_data_training_spark.registry import register
 
 LEV_MAX = 2
@@ -86,7 +86,7 @@ def er_blocked_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = p.groupBy("blk").agg(F.count("*").alias("n_members"))
     # members is block-keyed (distinct first tokens <= |part|); the
     # parquet-metadata count bounds the broadcast, shuffle past it
-    bcast = broadcast_gate(part.count())
+    bcast = broadcast_gate(table_count(spark, sf_dir, "part"))
     a = p.selectExpr("blk", "pk AS pka", "name AS na", "ln AS lna")
     b = p.selectExpr("blk", "pk AS pkb", "name AS nb", "ln AS lnb")
     pairs = (

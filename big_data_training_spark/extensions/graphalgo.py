@@ -26,9 +26,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
+from big_data_training_spark.hints import broadcast_gate, table_count
 from big_data_training_spark.lineage import truncate_lineage
 from big_data_training_spark.registry import register
 from big_data_training_spark.streaming.replay import materialize
+
+
+def _node_bound(spark: SparkSession, sf_dir: str) -> int:
+    """Upper bound on graph nodes (suppliers + offset customers) from
+    cached parquet-metadata dimension counts — the gate input for
+    broadcasting node-sized per-round lookups (frontiers, live sets,
+    rank vectors), which Catalyst cannot size itself."""
+    return table_count(spark, sf_dir, "supplier") + table_count(
+        spark, sf_dir, "customer"
+    )
 
 # Undirected co-order graph: both orientations of every distinct
 # supplier→customer edge (customer ids offset into a disjoint space).
@@ -131,6 +142,11 @@ def gr_kcore_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .transform(truncate_lineage)
     )
+    # the live set is (k, node)-keyed — at most |KCORE_KS| x nodes rows;
+    # broadcasting it (size-gated) keeps the k-replicated edge table
+    # from shuffling on BOTH composite keys every round (the truss
+    # support-kernel pattern: Catalyst cannot size the distinct output)
+    bcast = broadcast_gate(len(KCORE_KS) * _node_bound(spark, sf_dir))
     prev_n = -1
     n = alive.count()
     rounds = 0
@@ -143,8 +159,8 @@ def gr_kcore_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         sa = alive.select("k", F.col("node").alias("src"))
         sb = alive.select("k", F.col("node").alias("dst"))
         alive = (
-            edges_k.join(sa, ["k", "src"])
-            .join(sb, ["k", "dst"])
+            edges_k.join(bcast(sa), ["k", "src"])
+            .join(bcast(sb), ["k", "dst"])
             .groupBy("k", F.col("src").alias("node"))
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= F.col("k"))
@@ -156,8 +172,8 @@ def gr_kcore_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = alive.select("k", F.col("node").alias("src"))
     sb = alive.select("k", F.col("node").alias("dst"))
     cores = (
-        edges_k.join(sa, ["k", "src"])
-        .join(sb, ["k", "dst"])
+        edges_k.join(bcast(sa), ["k", "src"])
+        .join(bcast(sb), ["k", "dst"])
         .groupBy("k")
         .agg(F.expr("count(*) div 2").alias("n_core_edges"))
     )
@@ -235,12 +251,15 @@ def gr_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = seeds.transform(truncate_lineage)
     total = visited.count()
     rows = [(0, total)]
+    # the visited set is node-sized: broadcast it (size-gated) into the
+    # edge join so the edge table never shuffles on src per hop
+    bcast = broadcast_gate(_node_bound(spark, sf_dir))
     for layer in range(1, BFS_ROUNDS + 1):
         expanded = (
             visited.union(
-                ue.join(visited.select(F.col("node").alias("src")), "src").select(
-                    F.col("dst").alias("node")
-                )
+                ue.join(
+                    bcast(visited.select(F.col("node").alias("src"))), "src"
+                ).select(F.col("dst").alias("node"))
             )
             .distinct()
             .transform(truncate_lineage)
@@ -345,20 +364,27 @@ def gr_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rank"),
     )
+    # rank/outdeg/contrib vectors are all node-sized: broadcast them
+    # (size-gated) so the edge table joins map-side and the only
+    # per-round shuffle is the dst aggregation (the LP/HITS pattern)
+    bcast = broadcast_gate(_node_bound(spark, sf_dir))
     for _ in range(PPR_ITER):
-        contribs = (
+        scored = (
             ranks.filter(F.col("rank") > 0)
-            .join(outdeg, "node")
+            .join(bcast(outdeg), "node")
             .withColumn(
                 "per_edge",
                 (F.lit(85) * F.expr("rank div outdeg")).cast("bigint"),
             )
+        )
+        contribs = (
+            bcast(scored)
             .join(ue, F.col("node") == F.col("src"))
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.expr("per_edge div 100")).alias("contrib"))
         )
         ranks = (
-            marked.join(contribs, "node", "left")
+            marked.join(bcast(contribs), "node", "left")
             .select(
                 "node",
                 (

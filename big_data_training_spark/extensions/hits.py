@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
-from big_data_training_spark.hints import broadcast_gate
+from big_data_training_spark.hints import broadcast_gate, table_count
 from big_data_training_spark.lineage import truncate_lineage
 from big_data_training_spark.registry import register
 
@@ -127,8 +127,8 @@ def gr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the half-steps shuffle on the edge key instead — the
     # gr_pagerank_copartitioned layout.
     bcast = broadcast_gate(
-        load_table(spark, sf_dir, "supplier").count()
-        + load_table(spark, sf_dir, "customer").count()
+        table_count(spark, sf_dir, "supplier")
+        + table_count(spark, sf_dir, "customer")
     )
     hub = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(HITS_SCALE).cast("bigint").alias("s")

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
-from big_data_training_spark.hints import broadcast_gate
+from big_data_training_spark.hints import broadcast_gate, table_count
 from big_data_training_spark.registry import register
 
 # Hot-neighbor guard: customers with more distinct suppliers than this
@@ -117,7 +117,7 @@ def gr_linkpred_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the supplier-table bound (sdeg keys ⊆ supplier keys;
     # parquet-metadata count) — past the budget the plan falls back to
     # the two shuffle joins.
-    bcast = broadcast_gate(load_table(spark, sf_dir, "supplier").count())
+    bcast = broadcast_gate(table_count(spark, sf_dir, "supplier"))
     scored = (
         pairs.join(
             bcast(sdeg.select(F.col("s").alias("s1"), F.col("ds").alias("ds1"))),

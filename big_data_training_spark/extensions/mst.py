@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
+from big_data_training_spark.hints import broadcast_gate, table_count
 from big_data_training_spark.lineage import truncate_lineage
 from big_data_training_spark.registry import register
 
@@ -156,6 +157,14 @@ def gr_boruvka_msf_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     labels = nodes.select("node", F.col("node").alias("lbl"))
+    # labels / choice-graph / pointer tables are all node-sized or
+    # smaller (components only merge); broadcasting them (size-gated on
+    # the dimension-count bound) keeps the weighted edge table from
+    # shuffling on u and v every round — the LP/HITS/truss pattern.
+    bcast = broadcast_gate(
+        table_count(spark, sf_dir, "supplier")
+        + table_count(spark, sf_dir, "customer")
+    )
     per_round = []
     for r in range(N_ROUNDS):
         lu = labels.select(
@@ -165,8 +174,8 @@ def gr_boruvka_msf_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("node").alias("v"), F.col("lbl").alias("cv")
         )
         el = (
-            wedges.join(lu, "u")
-            .join(lv, "v")
+            wedges.join(bcast(lu), "u")
+            .join(bcast(lv), "v")
             .filter(F.col("cu") != F.col("cv"))
         )
         dirr = el.select(
@@ -192,7 +201,7 @@ def gr_boruvka_msf_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         fe = ch.select("w", "u", "v").distinct()
         a = ch.select(F.col("c"), F.col("o"))
         b = ch.select(F.col("c").alias("bc"), F.col("o").alias("bo"))
-        p = a.join(b, F.col("bc") == F.col("o")).select(
+        p = a.join(bcast(b), F.col("bc") == F.col("o")).select(
             "c",
             F.expr(
                 "CASE WHEN bo = c THEN least(c, o) ELSE o END"
@@ -200,12 +209,12 @@ def gr_boruvka_msf_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for _ in range(D_DOUBLE):
             nxt = p.select(F.col("c").alias("nc"), F.col("p").alias("np"))
-            p = p.join(nxt, F.col("nc") == F.col("p"), "left").select(
+            p = p.join(bcast(nxt), F.col("nc") == F.col("p"), "left").select(
                 "c", F.coalesce("np", "p").alias("p")
             )
         p = p.transform(truncate_lineage)
         labels = (
-            labels.join(p, labels.lbl == p.c, "left")
+            labels.join(bcast(p), labels.lbl == p.c, "left")
             .select("node", F.coalesce("p", "lbl").alias("lbl"))
             .transform(truncate_lineage)
         )
