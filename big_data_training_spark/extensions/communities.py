@@ -325,6 +325,7 @@ def _modularity_oracle() -> str:
     doc="Newman modularity of the label-propagation partition, exact"
     " integers: Q*(4m^2) = sum(4m*e_c - d_c^2) per community, reported"
     " with the permille score",
+    bench=True,
 )
 def gr_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scores the partition the LP rounds produced: per community c,

@@ -456,6 +456,7 @@ def dd_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rk = 1
     """,
     doc="dedup keep-best: longest representative per near-dup cluster",
+    bench=True,
 )
 def dd_keep_best_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The step a real pipeline runs after clustering: keep ONE doc per

@@ -662,6 +662,7 @@ _SQL_COMPONENTS_CTES = (
     _SQL_COMPONENTS_CTES
     + "SELECT node AS doc_id, comp AS component_id FROM labels",
     doc="near-dup cluster assignment: connected components over MinHash-LSH pairs",
+    bench=True,
 )
 def dd_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group near-duplicate pairs into clusters (the step after pair
@@ -835,6 +836,7 @@ def dd_minhash_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS recall_permille
     """,
     doc="sketch recall audit: LSH candidate pairs vs exact-Jaccard truth",
+    bench=True,
 )
 def dd_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The recall side of the sketch-quality story (dd_minhash_vs_exact
@@ -883,6 +885,7 @@ def dd_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM comp_sizes GROUP BY family_size
     """,
     doc="duplicate-family size distribution over near-dup components",
+    bench=True,
 )
 def dd_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup planning report: how duplication mass is distributed —
@@ -1095,6 +1098,7 @@ def dd_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="incremental clustering maintenance: merge a new batch's pairs"
     " into standing components via the contracted component graph,"
     " oracle-proven equal to the full recompute",
+    bench=True,
 )
 def dd_components_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Yesterday's corpus already has component labels; today's batch

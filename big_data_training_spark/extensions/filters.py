@@ -445,6 +445,7 @@ from big_data_training_spark.extensions.dedup import (  # noqa: E402
     GROUP BY d.source
     """,
     doc="dedup accounting: per-source corpus shrinkage under exact and near dedup",
+    bench=True,
 )
 def dd_inflation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The number a curation run reports upward: how much of each source

@@ -115,6 +115,7 @@ def _kcore_oracle() -> str:
     _kcore_oracle(),
     doc="k-core decomposition ladder: iterative peeling at k=4/8/16/32,"
     " surviving node and edge counts per k",
+    bench=True,
 )
 def gr_kcore_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core: repeatedly delete nodes with degree < k until none

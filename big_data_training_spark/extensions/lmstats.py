@@ -221,6 +221,7 @@ def lm_unigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {TOP_MERGES}
     """,
     doc="LM: second BPE induction round — apply top merge, recount pairs",
+    bench=True,
 )
 def lm_bpe_second_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BPE loop made visible: take round 1's winning merge (a, b),

@@ -352,6 +352,7 @@ NEARDUP_TAU = 0.2
     FROM pairs WHERE cos >= {NEARDUP_TAU}
     """,
     doc="embedding-cosine near-dup pairs, sign-LSH bucket-blocked",
+    bench=True,
 )
 def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection in embedding space: candidates blocked by
@@ -622,6 +623,7 @@ def sim_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM p WHERE cos >= {NEARDUP_TAU}
     """,
     doc="semantic near-dup pairs blocked by k-means cell (IVF-style dedup)",
+    bench=True,
 )
 def dd_semantic_neardup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The third blocking strategy for embedding near-dup, alongside

@@ -603,6 +603,7 @@ def tx_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bucketed
     """,
     doc="vocabulary growth curve: first-seen char trigrams per ingestion bucket",
+    bench=True,
 )
 def tx_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-monitoring heap law in practice: character trigrams are

@@ -66,6 +66,7 @@ def synth_png(doc_id: int, text: str) -> bytes:
     FROM documents
     """,
     doc="S8/multimodal: binaryFile source over an image directory",
+    bench=True,
 )
 def mm_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize documents as one .png object each (written executor-
@@ -125,6 +126,7 @@ def mm_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents GROUP BY source
     """,
     doc="S8: whole-file text source, one document per object",
+    bench=True,
 )
 def s8_wholetext_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write each source's docs as one-text-file-per-doc (the raw-crawl

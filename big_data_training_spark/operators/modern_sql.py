@@ -40,6 +40,7 @@ from big_data_training_spark.registry import register
     FROM spine s LEFT JOIN daily d USING (day)
     """,
     doc="recursive CTE date spine: every calendar day gap-filled with 0",
+    bench=True,
 )
 def cal_date_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The warehouse date-spine pattern via a genuine recursive CTE

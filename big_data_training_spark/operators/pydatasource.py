@@ -291,6 +291,7 @@ def s1_pyds_partition_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY 1
     """,
     doc="S1 streaming: custom Python streaming source, offset-chunked replay",
+    bench=True,
 )
 def st_pyds_stream_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subscribe to the topic through the custom streaming source: the

@@ -317,6 +317,7 @@ def st_j1_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
     """,
     doc="J2 streaming form: stream–stream windowed join with watermarks",
+    bench=True,
 )
 def st_j2_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two streams, same-key match within 30 minutes; watermarks bound
@@ -371,6 +372,7 @@ def st_j2_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM matched UNION ALL SELECT * FROM unmatched
     """,
     doc="J2 outer streaming form: left-outer stream-stream join, null-padded after watermark",
+    bench=True,
 )
 def st_j2_outer_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT OUTER stream-stream join: matches emit immediately; an
@@ -682,6 +684,7 @@ N_W6_SEGMENTS = 8
     """,
     doc="W6: event-time timer-evicted sessions (ProcessFunction timers) "
     "over a deterministic time-ordered replay of the events topic",
+    bench=True,
 )
 def w6_session_timeout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6 driver form (flink/README.md:28 ProcessFunction timers): replay
@@ -962,6 +965,7 @@ def st_w2_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     doc="streaming decontamination: micro-batch docs vs broadcast eval shingles",
+    bench=True,
 )
 def st_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ingest-time form of dd_decontaminate_overlap: documents
@@ -1060,6 +1064,7 @@ def st_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     """,
     doc="C3 bounded-state form: dropDuplicatesWithinWatermark expiry",
+    bench=True,
 )
 def st_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bounded-state dedup the unbounded dropDuplicates can't be at
