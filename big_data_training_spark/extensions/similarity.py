@@ -41,6 +41,23 @@ def _cos_expr(a: str, b: str) -> str:
     return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
 
 
+def _with_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
+    """Attach the L2 norm as a column. The pairwise blocked joins use
+    cos = dot/(a.nrm*b.nrm): hoisting the two norms out of the per-PAIR
+    expression computes them once per VECTOR instead of once per pair —
+    the aggregate/zip_with lambdas are interpreted (no whole-stage
+    codegen for HOFs), so per-pair work drops ~3x. sqrt over the same
+    double accumulation order keeps the value bit-identical to the
+    inline form (and the oracle)."""
+    nrm = "sqrt(" + _DOT.format(a=col, b=col) + ")"
+    return df.withColumn("nrm", F.expr(nrm))
+
+
+_PAIR_COS = (
+    "(" + _DOT.format(a="a.embedding", b="b.embedding") + ") / (a.nrm * b.nrm)"
+)
+
+
 def _sql_dot(a: str, b: str, n: int = 64) -> str:
     return (
         f"(SELECT sum(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))"
@@ -365,7 +382,9 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in LSH_DIMS
         ]
     )
-    keyed = emb.withColumn("bucket", bucket).select("vec_id", "bucket", "embedding")
+    keyed = _with_norm(
+        emb.withColumn("bucket", bucket).select("vec_id", "bucket", "embedding")
+    )
     a = keyed.alias("a")
     b = keyed.alias("b")
     pairs = a.join(
@@ -375,7 +394,7 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.vec_id").alias("vec_i"),
         F.col("b.vec_id").alias("vec_j"),
-        F.expr(_cos_expr("a.embedding", "b.embedding")).alias("cos"),
+        F.expr(_PAIR_COS).alias("cos"),
     )
     return (
         pairs.filter(F.col("cos") >= NEARDUP_TAU)
@@ -635,7 +654,9 @@ def dd_semantic_neardup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     droplist."""
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = _kmeans_assignment(spark, sf_dir).select("vec_id", "cluster")
-    keyed = assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    keyed = _with_norm(
+        assigned.join(emb.select("vec_id", "embedding"), "vec_id")
+    )
     a = keyed.alias("a")
     b = keyed.alias("b")
     pairs = a.join(
@@ -645,7 +666,7 @@ def dd_semantic_neardup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.vec_id").alias("vec_i"),
         F.col("b.vec_id").alias("vec_j"),
-        F.expr(_cos_expr("a.embedding", "b.embedding")).alias("cos"),
+        F.expr(_PAIR_COS).alias("cos"),
     )
     return pairs.filter(F.col("cos") >= NEARDUP_TAU).select(
         "vec_i", "vec_j", F.round("cos", 6).alias("cosine")
@@ -896,13 +917,15 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in LSH_DIMS
         ]
     )
-    keyed = emb.withColumn("bucket", bucket).select("vec_id", "bucket", "embedding")
+    keyed = _with_norm(
+        emb.withColumn("bucket", bucket).select("vec_id", "bucket", "embedding")
+    )
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(F.expr(_cos_expr("a.embedding", "b.embedding")).alias("cos"))
+    ).select(F.expr(_PAIR_COS).alias("cos"))
     ts = F.explode(
         F.array(*[F.lit(t) for t in SWEEP_TAUS_PERMILLE])
     ).alias("t")
