@@ -717,24 +717,30 @@ def w6_session_timeout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     topic = scratch_dir("bdts_w6_topic_")
+    # ONE write job for all segments: repartition on b gives every
+    # segment value a single task, so partitionBy emits exactly one
+    # file per b=K dir — the one-file-per-micro-batch invariant
+    # maxFilesPerTrigger=1 relies on (was 8 filter+coalesce jobs, each
+    # rescanning the materialized base; ~2x fewer jobs end-to-end).
+    (
+        b.repartition(N_W6_SEGMENTS, "b")
+        .select("user_id", "ts", "b")
+        .write.partitionBy("b")
+        .parquet(topic + "/out")
+    )
     base_mt = _time.time() - 10.0 * (N_W6_SEGMENTS + 1)
     for k in range(1, N_W6_SEGMENTS + 1):
-        path = os.path.join(topic, f"seg{k:02d}")
-        (
-            b.filter(F.col("b") == k)
-            .select("user_id", "ts")
-            .coalesce(1)
-            .write.parquet(path)
-        )
+        path = os.path.join(topic, "out", f"b={k}")
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        assert len(files) == 1, (k, files)  # replay determinism invariant
         mt = base_mt + 10.0 * k
-        for fname in os.listdir(path):
-            os.utime(os.path.join(path, fname), (mt, mt))
+        os.utime(os.path.join(path, files[0]), (mt, mt))
         os.utime(path, (mt, mt))
     ss = stream_session(spark)
     stream = (
         ss.readStream.schema("user_id bigint, ts timestamp")
         .option("maxFilesPerTrigger", "1")
-        .parquet(topic + "/*")
+        .parquet(topic + "/out/*")
     )
     return run_to_completion(w6_session_timeout(stream), "update")
 
