@@ -202,6 +202,26 @@ import_errors: dict[str, str] = {}
 _DRIVER_PRIORITY: tuple[str, ...] = ()
 
 _DRIVER_CERTIFIED: frozenset[str] = frozenset({
+    # round-8 rows (CORRECTNESS_r08.json, 50 names, all hash-green).
+    'dd_minhash_calibration', 'dq_duplicate_key_audit', 'dq_fd_discovery',
+    'dq_referential_integrity', 'emb_gram_exact', 'emb_power_iteration',
+    'ev_attribution_last_touch', 'ev_attribution_linear',
+    'ev_attribution_position', 'ev_attribution_time_decay',
+    'ev_bitmap_audience_algebra', 'ev_bitmap_retention',
+    'ev_conversion_life_table', 'ev_dow_seasonal_adjust', 'ev_ewma_value',
+    'ev_interarrival_percentiles', 'ev_lifecycle_accounting',
+    'ev_streak_islands', 'gr_bfs_layers', 'gr_clustering_coefficient',
+    'gr_hits', 'gr_linkpred_scores', 'gr_personalized_pagerank',
+    'ix_bm25_topk', 'ix_phrase_query', 'ix_postings_stats', 'ix_snippets',
+    'lm_bigram_coverage_curve', 'lm_effective_token_budget',
+    'lm_good_turing', 'lm_zipf_curve', 'mm_patch_plan',
+    'mm_shard_manifest', 'mv_join_delta_refresh',
+    'p9_equidepth_range_plan', 's9_hilbert_layout', 'sim_hybrid_rrf',
+    'sim_lsh_multiprobe', 'sim_mmr_rerank', 'sim_nprobe_recall_sweep',
+    'sm_bottomk_sample', 'st_attribution_stream',
+    'st_bottomk_sample_stream', 'st_cms_stream', 'st_cusum_stream',
+    'st_gram_stream', 'st_ivf_serving_stream', 'st_kmeans_update_stream',
+    'st_scd2_stream', 'u7_grouped_agg_wavg',
     # round-7 rows (CORRECTNESS_r07.json, 50 names: 49 hash-green + 1
     # rows-only by design — s8_parquet_footer_stats reads parquet file
     # footers; the driver's oracle harness registers table views, not
