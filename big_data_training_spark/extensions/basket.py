@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
-from big_data_training_spark.hints import broadcast_gate, table_count
+from big_data_training_spark.hints import dim_gate
 from big_data_training_spark.registry import register
 
 MIN_PAIR_SUPPORT = 20  # pairs below this are noise at every SF
@@ -61,8 +61,9 @@ _SQL_BASKETS = """
 def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    # part is SF-scaled: broadcast only under the row-count gate
-    bp = broadcast_gate(table_count(spark, sf_dir, "part"))
+    # part is SF-scaled: broadcast only under the footer-byte gate
+    # (pruned to the two kept columns)
+    bp = dim_gate(spark, sf_dir, "part", ["p_partkey", "p_brand"])
     return (
         l.join(bp(p), l.l_partkey == p.p_partkey)
         .select(

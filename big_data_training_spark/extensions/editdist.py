@@ -85,8 +85,10 @@ def er_blocked_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     members = p.groupBy("blk").agg(F.count("*").alias("n_members"))
     # members is block-keyed (distinct first tokens <= |part|); the
-    # parquet-metadata count bounds the broadcast, shuffle past it
-    bcast = broadcast_gate(table_count(spark, sf_dir, "part"))
+    # parquet-metadata count bounds the broadcast, shuffle past it.
+    # row_bytes models (short string token + long) rather than the
+    # 16 B numeric-lookup default.
+    bcast = broadcast_gate(table_count(spark, sf_dir, "part"), row_bytes=48)
     a = p.selectExpr("blk", "pk AS pka", "name AS na", "ln AS lna")
     b = p.selectExpr("blk", "pk AS pkb", "name AS nb", "ln AS lnb")
     pairs = (

@@ -12,7 +12,9 @@ bucketing (see docs/SCALING.md).
 
 Scale notes: nation/region are constant-size and broadcast
 unconditionally; customer/supplier/part grow linearly in SF, so their
-broadcasts go through hints.broadcast_gate on the table's own row count
+broadcasts go through hints.dim_gate on footer-estimated bytes
+(uncompressed column sizes + per-row HashedRelation overhead — a wide
+dim row is ~100+ B, so a bare row-count gate would over-admit ~6x)
 (an explicit F.broadcast hint bypasses Spark's size checks — AQE does
 NOT demote a user hint — so an ungated hint on an SF-scaled dim fails
 the job past the 8 GB broadcast limit; the gate falls back to a shuffle
@@ -29,7 +31,7 @@ from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
 from big_data_training_spark.functions.numeric import dsum, sql_dsum
-from big_data_training_spark.hints import broadcast_gate, table_count
+from big_data_training_spark.hints import dim_gate
 from big_data_training_spark.registry import register
 
 
@@ -52,7 +54,7 @@ def j1_enrichment_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    bc = broadcast_gate(table_count(spark, sf_dir, "customer"))
+    bc = dim_gate(spark, sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     return (
         events.join(bc(customer), events.user_id == customer.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
@@ -205,7 +207,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
     )
-    bc = broadcast_gate(table_count(spark, sf_dir, "customer"))
+    bc = dim_gate(spark, sf_dir, "customer", ["c_custkey"])
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(bc(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
@@ -255,8 +257,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | (
         (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     )
-    bc = broadcast_gate(table_count(spark, sf_dir, "customer"))
-    bs = broadcast_gate(table_count(spark, sf_dir, "supplier"))
+    bc = dim_gate(spark, sf_dir, "customer")
+    bs = dim_gate(spark, sf_dir, "supplier")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(bc(c), o.o_custkey == c.c_custkey)
@@ -299,7 +301,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     nation_vol = F.when(F.col("n_name") == "NATION_1", vol).otherwise(F.lit(0.0))
-    bs = broadcast_gate(table_count(spark, sf_dir, "supplier"))
+    bs = dim_gate(spark, sf_dir, "supplier")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(bs(s), l.l_suppkey == s.s_suppkey)
@@ -345,8 +347,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
     )
-    bp = broadcast_gate(table_count(spark, sf_dir, "part"))
-    bs = broadcast_gate(table_count(spark, sf_dir, "supplier"))
+    bp = dim_gate(spark, sf_dir, "part")
+    bs = dim_gate(spark, sf_dir, "supplier")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(bp(p), l.l_partkey == p.p_partkey)
@@ -388,8 +390,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    bc = broadcast_gate(table_count(spark, sf_dir, "customer"))
-    bs = broadcast_gate(table_count(spark, sf_dir, "supplier"))
+    bc = dim_gate(spark, sf_dir, "customer")
+    bs = dim_gate(spark, sf_dir, "supplier")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(bc(c), o.o_custkey == c.c_custkey)

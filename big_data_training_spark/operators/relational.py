@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from big_data_training_spark.data import load_table
 from big_data_training_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
-from big_data_training_spark.hints import broadcast_gate, table_count
+from big_data_training_spark.hints import dim_gate
 from big_data_training_spark.registry import register
 
 
@@ -122,7 +122,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     size gate (SF-scaled dim — shuffle fallback past the budget),
     nation unconditionally; global top-20 via TakeOrderedAndProject."""
     c = load_table(spark, sf_dir, "customer")
-    bc = broadcast_gate(table_count(spark, sf_dir, "customer"))
+    bc = dim_gate(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -231,7 +231,7 @@ def q14_conditional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part")
-    bp = broadcast_gate(table_count(spark, sf_dir, "part"))
+    bp = dim_gate(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     cond = F.when(F.col("p_type").startswith("STANDARD"), rev).otherwise(F.lit(0.0))
     return (
@@ -263,7 +263,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the common join key, evaluates the disjunction post-join."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    bp = broadcast_gate(table_count(spark, sf_dir, "part"))
+    bp = dim_gate(spark, sf_dir, "part")
     j = li.join(bp(p), li.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 20) & (F.col("l_quantity") >= 5))
@@ -403,7 +403,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1") & (F.col("p_size") >= 10)
     )
-    bp = broadcast_gate(table_count(spark, sf_dir, "part"))
+    bp = dim_gate(spark, sf_dir, "part")
     return (
         l.join(bp(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type")
@@ -652,8 +652,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    bs = broadcast_gate(table_count(spark, sf_dir, "supplier"))
-    bp = broadcast_gate(table_count(spark, sf_dir, "part"))
+    bs = dim_gate(spark, sf_dir, "supplier")
+    bp = dim_gate(spark, sf_dir, "part")
     eur_sup = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -713,7 +713,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    bs = broadcast_gate(table_count(spark, sf_dir, "supplier"))
+    bs = dim_gate(spark, sf_dir, "supplier", ["s_suppkey"])
     nat_sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
         "s_suppkey"
     )
@@ -769,7 +769,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
-    bp = broadcast_gate(table_count(spark, sf_dir, "part"))
+    bp = dim_gate(spark, sf_dir, "part", ["p_partkey"])
     heavy = (
         li.join(bp(p_red), li.l_partkey == p_red.p_partkey, "left_semi")
         .groupBy("l_suppkey", "l_partkey")
@@ -844,7 +844,7 @@ def q21_last_shipper_wait(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     s = load_table(spark, sf_dir, "supplier")
-    bs = broadcast_gate(table_count(spark, sf_dir, "supplier"))
+    bs = dim_gate(spark, sf_dir, "supplier")
     return (
         waiting.join(bs(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
