@@ -725,14 +725,24 @@ def w6_session_timeout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     (
         b.repartition(N_W6_SEGMENTS, "b")
         .select("user_id", "ts", "b")
-        .write.partitionBy("b")
+        # write-level pin: a session-level spark.sql.files.maxRecordsPerFile
+        # would split a segment into several files and break the
+        # one-file-per-micro-batch replay invariant below
+        .write.option("maxRecordsPerFile", "0")
+        .partitionBy("b")
         .parquet(topic + "/out")
     )
     base_mt = _time.time() - 10.0 * (N_W6_SEGMENTS + 1)
     for k in range(1, N_W6_SEGMENTS + 1):
         path = os.path.join(topic, "out", f"b={k}")
         files = [f for f in os.listdir(path) if f.endswith(".parquet")]
-        assert len(files) == 1, (k, files)  # replay determinism invariant
+        if len(files) != 1:  # replay determinism invariant (not an
+            # assert: must hold under python -O too)
+            raise RuntimeError(
+                f"w6 replay segment b={k} must be exactly one file for "
+                f"maxFilesPerTrigger=1 to replay one micro-batch per "
+                f"segment; got {files}"
+            )
         mt = base_mt + 10.0 * k
         os.utime(os.path.join(path, files[0]), (mt, mt))
         os.utime(path, (mt, mt))

@@ -71,7 +71,14 @@ def pinned_clone(spark: SparkSession, conf: dict[str, str]) -> SparkSession:
     StreamingQueryListeners are per-session (each SessionState owns a
     StreamingQueryManager), so U4 listeners the user registered on the
     PARENT are mirrored onto the clone on every fetch — a query running
-    here still fires the user's lifecycle callbacks."""
+    here still fires the user's lifecycle callbacks.
+
+    The streaming shuffle-partition pin is merged into every conf set
+    (caller's value wins if present): ``run_to_completion`` treats any
+    pinned clone as ready-to-run, so a clone built without the pin
+    would silently lose the task-count invariant the state-operator
+    replays rely on."""
+    conf = {"spark.sql.shuffle.partitions": _STREAM_SHUFFLE_PARTITIONS, **conf}
     key = (spark, tuple(sorted(conf.items())))
     with _stream_lock:
         s = _pinned_clones.get(key)
