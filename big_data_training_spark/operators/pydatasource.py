@@ -11,10 +11,15 @@ a custom ``kafkalog`` data source registered via
   (``pushFilters``, Spark 4): ``partition = k`` prunes entire
   partitions source-side and ``offset >= o`` is a seek (S4), so the
   pruning happens before any bytes are read;
-* a streaming source (``SimpleDataSourceStreamReader``) whose offsets
-  are plain ``{"id": n}`` watermarks over the log — subscribe (S1),
-  bounded replay, resume-from-offset, through the same API a real
-  broker connector would implement.
+* a streaming source whose offsets are plain ``{"id": n}`` watermarks
+  over the log — subscribe (S1), bounded replay, resume-from-offset,
+  through the same API a real broker connector would implement. Two
+  readers behind one format: the default ``DataSourceStreamReader``
+  plans offset ranges from footer metadata and reads them
+  executor-parallel as Arrow RecordBatches; the ``chunk`` option
+  selects the paced ``SimpleDataSourceStreamReader`` (driver-fed by
+  API design — the price of exact per-trigger admission control),
+  which also ships Arrow batches, never per-row tuples.
 
 Scale honesty: a Python data source pays one Python worker per task —
 it is the API surface for systems with no JVM connector, not the bulk
@@ -34,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
@@ -127,76 +133,157 @@ class KafkaLogBatchReader(DataSourceReader):
         yield from _scan_batches(self.path, partition.k, self.min_offset)
 
 
-def _envelope_rows(path: str, lo: int, hi_exclusive: int) -> list[tuple]:
-    """Shared row builder for the streaming source's normal and
-    recovery paths — one definition of the envelope tuple, so a schema
-    change can never make replay diverge from first delivery. The
-    offset bounds prune parquet row groups via min/max statistics."""
+def _envelope_batches(path: str, lo: int, hi_exclusive: int):
+    """Executor-side Arrow scan of one offset slice [lo, hi): the single
+    definition of the streaming envelope, so a schema change can never
+    make replay diverge from first delivery. The offset bounds prune
+    parquet row groups via min/max statistics; everything except the
+    JSON value serialization stays columnar."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    rows = pq.read_table(
+    t = pq.read_table(
         path,
         columns=["event_id", "user_id", "event_type", "value"],
         filters=[("event_id", ">=", lo), ("event_id", "<", hi_exclusive)],
     )
-    return [
+    out = pa.table(
+        {
+            "partition": pc.bit_wise_and(
+                t["user_id"], N_PARTITIONS - 1
+            ).cast(pa.int32()),
+            "offset": t["event_id"].cast(pa.int64()),
+            "key": t["user_id"].cast(pa.string()),
+            # byte-identical with the historical row builder
+            # (json.dumps per record) — consumers get_json_object this
+            "value": pa.array(
+                [
+                    json.dumps({"event_type": et, "value": v})
+                    for et, v in zip(
+                        t["event_type"].to_pylist(), t["value"].to_pylist()
+                    )
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    yield from out.to_batches(max_chunksize=8192)
+
+
+def _log_end_offset(path: str) -> int | None:
+    """Exclusive high watermark of the topic log from parquet row-group
+    statistics — a footer read, never a data scan."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    col_idx = next(
+        i
+        for i in range(meta.num_columns)
+        if meta.row_group(0).column(i).path_in_schema == "event_id"
+    )
+    hi = max(
         (
-            int(u) & (N_PARTITIONS - 1),
-            int(e),
-            str(u),
-            json.dumps({"event_type": t, "value": v}),
-        )
-        for e, u, t, v in zip(
-            rows["event_id"].to_pylist(),
-            rows["user_id"].to_pylist(),
-            rows["event_type"].to_pylist(),
-            rows["value"].to_pylist(),
-        )
-    ]
+            meta.row_group(i).column(col_idx).statistics.max
+            for i in range(meta.num_row_groups)
+            if meta.row_group(i).column(col_idx).statistics is not None
+        ),
+        default=None,
+    )
+    return None if hi is None else hi + 1
 
 
-class KafkaLogStreamReader(SimpleDataSourceStreamReader):
-    """Offset-watermark replay: each micro-batch consumes the next
-    ``chunk`` offsets; ``{"id": n}`` is the committed position, so a
-    restart resumes (not reprocesses) — ST3/ST6 semantics through the
-    public connector API."""
+class _OffsetSlice(InputPartition):
+    def __init__(self, path: str, lo: int, hi: int):
+        self.path = path
+        self.lo = lo
+        self.hi = hi
+
+
+class KafkaLogStreamReader(DataSourceStreamReader):
+    """Executor-partitioned streaming read — the engine's scale path.
+
+    The driver only moves the ``{"id": n}`` watermark with parquet
+    footer probes (no data ever crosses the driver); each micro-batch's
+    offset range is split into executor-parallel slices whose ``read``
+    yields Arrow RecordBatches — the same fast path the batch reader
+    uses. ``latestOffset`` advertises the log end, so a trigger
+    consumes everything newly available (the built-in file source's
+    behavior without maxFilesPerTrigger); a restart sees
+    latest == committed and resumes without reprocessing (ST3/ST6),
+    and recovery replays are deterministic because
+    ``partitions(start, end)`` is a pure function of the offset range.
+
+    Per-trigger admission control (``chunk``) is NOT expressible here:
+    Spark asks this API for ``latestOffset()`` before the reader ever
+    learns the query's start position (on a fresh query the first call
+    precedes ``initialOffset``; on a restart the checkpointed offset
+    never reaches the reader at all), so any rate-capped answer risks
+    regressing behind a restarted query's committed offset. Chunked
+    pacing therefore lives in :class:`KafkaLogPacedStreamReader`, whose
+    driver-side ``read(start)`` is handed the true position each
+    trigger — request it with the ``chunk`` option.
+    """
 
     def __init__(self, options: dict):
         self.path = options["path"]
-        self.chunk = int(options.get("chunk", 5000))
+        self.slices = max(1, int(options.get("slices", 8)))
+
+    def initialOffset(self) -> dict:
+        return {"id": 0}
+
+    def latestOffset(self) -> dict:
+        return {"id": _log_end_offset(self.path) or 0}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = start["id"], end["id"]
+        if hi <= lo:
+            return []
+        n = min(self.slices, hi - lo)
+        step = (hi - lo + n - 1) // n
+        return [
+            _OffsetSlice(self.path, o, min(o + step, hi))
+            for o in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _OffsetSlice):
+        yield from _envelope_batches(partition.path, partition.lo, partition.hi)
+
+
+class KafkaLogPacedStreamReader(SimpleDataSourceStreamReader):
+    """Chunk-paced replay: each trigger consumes the next ``chunk``
+    offsets — the multi-micro-batch progress axis of the bounded
+    replay (S1 consumer-loop semantics). ``{"id": n}`` is the
+    committed position, so a restart resumes (not reprocesses).
+
+    The simple-reader API reads on the driver by design — that is what
+    buys exact admission control (``read(start)`` receives the true
+    position every trigger, which the partition-planning API never
+    learns; see :class:`KafkaLogStreamReader`). The rows still move as
+    Arrow RecordBatches, not per-row Python tuples: the runner passes
+    RecordBatch iterators through to the JVM unconverted."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.chunk = int(options["chunk"])
 
     def initialOffset(self) -> dict:
         return {"id": 0}
 
     def read(self, start: dict):
-        import pyarrow.parquet as pq
-
         lo = start["id"]
-        # row-group statistics bound the high-watermark probe — no
-        # full-file scan per micro-batch
-        meta = pq.ParquetFile(self.path).metadata
-        col_idx = next(
-            i
-            for i in range(meta.num_columns)
-            if meta.row_group(0).column(i).path_in_schema == "event_id"
-        )
-        hi_avail = max(
-            (
-                meta.row_group(i).column(col_idx).statistics.max
-                for i in range(meta.num_row_groups)
-                if meta.row_group(i).column(col_idx).statistics is not None
-            ),
-            default=None,
-        )
-        if hi_avail is None or lo > hi_avail:
+        avail = _log_end_offset(self.path)
+        if avail is None or lo >= avail:
             return iter([]), start
-        hi = min(lo + self.chunk - 1, hi_avail)
-        return iter(_envelope_rows(self.path, lo, hi + 1)), {"id": hi + 1}
+        hi = min(lo + self.chunk, avail)
+        # a list iterator, not a generator: the prefetch cache copies
+        # the iterator for replay, and generators are not copyable
+        return iter(list(_envelope_batches(self.path, lo, hi))), {"id": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         """Deterministic replay of a committed range [start, end) —
         recovery path; must NOT be capped by ``chunk``."""
-        return iter(_envelope_rows(self.path, start["id"], end["id"]))
+        return iter(list(_envelope_batches(self.path, start["id"], end["id"])))
 
 
 class KafkaLogDataSource(DataSource):
@@ -210,8 +297,21 @@ class KafkaLogDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return KafkaLogBatchReader(self.options)
 
-    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        """Executor-partitioned reader by default; a ``chunk`` option
+        selects the paced driver-side reader instead (falling back
+        through Spark's simpleStreamReader hook)."""
+        if "chunk" in self.options:
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader with chunk"},
+            )
         return KafkaLogStreamReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return KafkaLogPacedStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> "KafkaLogBatchWriter":
         return KafkaLogBatchWriter(self.options, overwrite)
@@ -294,15 +394,25 @@ def s1_pyds_partition_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def st_pyds_stream_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Subscribe to the topic through the custom streaming source: the
+    """Subscribe to the topic through the paced streaming source: the
     bounded log replays in offset-ordered micro-batches (multiple
     triggers, not one — the chunked offset range is the progress axis),
-    aggregated per partition in complete mode."""
+    aggregated per partition in complete mode.
+
+    The admission cap scales with the log (≈6 triggers at any SF,
+    floored at 4000 offsets): a FIXED chunk would mean a trigger count
+    proportional to data volume — millions of micro-batches at 100 TB —
+    when each trigger carries ~0.5 s of fixed engine cost. The log size
+    comes from the parquet footer (no scan); trigger count does not
+    affect the complete-mode result."""
     register_kafkalog(spark)
+    from big_data_training_spark.hints import table_count
+
+    n = table_count(spark, sf_dir, "events")
     env = (
         spark.readStream.format("kafkalog")
         .option("path", _events_path(sf_dir))
-        .option("chunk", 4000)
+        .option("chunk", max(4000, -(-n // 6)))
         .load()
     )
     agg = env.groupBy("partition").agg(

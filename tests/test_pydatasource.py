@@ -201,6 +201,75 @@ def test_stream_source_progresses_in_chunks(spark, sf_dir):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_partitioned_stream_reader_slices_executor_side(spark, sf_dir):
+    """Without a chunk option the source plans the executor-partitioned
+    DataSourceStreamReader: the whole log arrives in ONE micro-batch
+    split into offset slices read as Arrow batches by parallel tasks,
+    and the result matches the chunk-paced replay exactly."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from big_data_training_spark.operators.pydatasource import (
+        KafkaLogStreamReader,
+        _OffsetSlice,
+    )
+
+    # partition planning is a pure function of the offset range
+    r = KafkaLogStreamReader({"path": "unused", "slices": 8})
+    parts = r.partitions({"id": 0}, {"id": 1000})
+    assert len(parts) == 8
+    assert all(isinstance(p, _OffsetSlice) for p in parts)
+    assert parts[0].lo == 0 and parts[-1].hi == 1000
+    # contiguous, non-overlapping slices
+    for a, b in zip(parts, parts[1:]):
+        assert a.hi == b.lo
+    assert r.partitions({"id": 5}, {"id": 5}) == []
+
+    register_kafkalog(spark)
+    ckpt = tempfile.mkdtemp(prefix="bdts_part_ckpt_")
+    stream = (
+        spark.readStream.format("kafkalog")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .load()
+    )
+    qname = f"part_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        tuple(r)
+        for r in spark.table(qname)
+        .groupBy("partition")
+        .agg(F.count("*").alias("n"), F.max("offset").alias("mx"))
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.pmod("user_id", F.lit(N_PARTITIONS)).cast("int").alias("partition")
+        )
+        .agg(F.count("*").alias("n"), F.max("event_id").alias("mx"))
+        .collect()
+    }
+    assert got == want
+    n_batches = len(
+        [f for f in os.listdir(os.path.join(ckpt, "offsets")) if f.isdigit()]
+    )
+    assert n_batches == 1, f"expected one catch-up micro-batch, got {n_batches}"
+    spark.catalog.dropTempView(qname)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_read_committed_empty_manifest(spark, sf_dir):
     """A committed write of zero rows is a valid log state: the manifest
     exists with no segments and read_committed returns an empty
