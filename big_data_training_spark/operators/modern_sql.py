@@ -43,33 +43,32 @@ from big_data_training_spark.registry import register
     bench=True,
 )
 def cal_date_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The warehouse date-spine pattern via a genuine recursive CTE
-    (Spark 4): generate every calendar day between the dataset's bounds,
-    left-join the daily counts, and surface gap days as explicit zeros —
-    the shape every reporting layer needs and GROUP BY alone cannot
-    produce. The recursion depth is the day span (bounded, driver-side
-    plan growth only); the join is |days| rows against a grouped
-    aggregate. Identical SQL runs on DuckDB as the oracle."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "msql_events_spine"
+    """The warehouse date-spine pattern: every calendar day between the
+    dataset's bounds, daily counts left-joined on, gap days surfaced as
+    explicit zeros — the shape every reporting layer needs and GROUP BY
+    alone cannot produce.
+
+    Production plan: ``explode(sequence(d0, d1, interval 1 day))`` over
+    the 1-row bounds aggregate — ONE job whatever the calendar span.
+    The equivalent recursive CTE (kept as the DuckDB oracle above, and
+    exercised Spark-side in tests/test_modern_sql.py) plans one
+    micro-job per day of recursion depth: measured 7.5s for ~1.1k rows
+    at sf0.1 vs <1s here, 25× off for identical output. The depth is
+    calendar-bounded (not data-bounded) so it was never a scale killer
+    — just the wrong plan shape for a linear range."""
+    events = load_table(spark, sf_dir, "events")
+    b = events.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
     )
-    return spark.sql(
-        """
-        WITH RECURSIVE b AS (
-            SELECT min(date_trunc('day', ts)) AS d0,
-                   max(date_trunc('day', ts)) AS d1
-            FROM msql_events_spine
-        ), spine AS (
-            SELECT d0 AS day FROM b
-            UNION ALL
-            SELECT day + INTERVAL 1 DAY FROM spine, b WHERE day < d1
-        ), daily AS (
-            SELECT date_trunc('day', ts) AS day, count(*) AS n
-            FROM msql_events_spine GROUP BY 1
-        )
-        SELECT s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n_events
-        FROM spine s LEFT JOIN daily d USING (day)
-        """
+    spine = b.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events")
     )
 
 
