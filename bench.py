@@ -118,6 +118,29 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "env": env,
     }
+    # Persist the FULL payload (every query + spread) in-repo BEFORE the
+    # stdout trim below: the driver keeps only ~2000 chars of stdout, so
+    # BENCH_r08 lost per-query history for the 52 fastest queries (incl.
+    # the whole round-1 baseline set) and bench-vs-baseline had to be
+    # re-measured from scratch. The round number comes from the driver's
+    # CORRECTNESS_r{N}.json files already on disk (this round = max + 1).
+    try:
+        import re as _re
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(repo)
+            if (m := _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f))
+        ]
+        rnd = (max(rounds) + 1) if rounds else 0
+        full = dict(payload, spread=spread)
+        with open(
+            os.path.join(repo, "docs", f"BENCH_FULL_r{rnd:02d}.json"), "w"
+        ) as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+    except OSError as exc:  # never let bookkeeping kill the bench line
+        print(f"# BENCH_FULL write failed: {exc}", file=sys.stderr)
     line = json.dumps(payload, separators=(",", ":"))
     # Keep the most expensive queries (the perf signal), drop the rest
     # from the line — never from the measurement. Loop until the line

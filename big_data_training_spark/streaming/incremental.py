@@ -33,26 +33,58 @@ def _write_id_segments(
     spark: SparkSession, df: DataFrame, id_col: str, prefix: str
 ) -> str:
     """Split df into N_SEGMENTS id-ordered plain parquet files with
-    ascending mtimes (the file-stream source replays in mtime order)."""
+    ascending mtimes (the file-stream source replays in mtime order).
+
+    ONE write job for all segments (the w6 replay template): the
+    segment index is ``count(cuts < id)``, repartitioning on it gives
+    every segment a single task, so ``partitionBy`` emits exactly one
+    file per segment — vs the previous N filter+coalesce jobs that each
+    rescanned ``df``. Shared by 13 streaming replays, so the saved jobs
+    compound across the whole st_* family."""
+    import functools
+    import shutil
+
     cuts = df.approxQuantile(id_col, [i / N_SEGMENTS for i in range(1, N_SEGMENTS)], 0.0)
     topic = scratch_dir(prefix)
-    bounds = [float("-inf"), *cuts, float("inf")]
+    seg = functools.reduce(
+        lambda acc, c: acc + (F.col(id_col) > F.lit(c)).cast("int"),
+        cuts,
+        F.lit(0),
+    )
+    staged = os.path.join(topic, "_staged")
+    (
+        df.withColumn("_seg", seg)
+        .repartition(N_SEGMENTS, "_seg")
+        # write-level pin: a session-level maxRecordsPerFile would split
+        # a segment and break one-file-per-micro-batch replay
+        .write.option("maxRecordsPerFile", "0")
+        .partitionBy("_seg")
+        .parquet(staged)
+    )
     for i in range(N_SEGMENTS):
-        seg = df.filter(
-            (F.col(id_col) > F.lit(bounds[i]))
-            & (F.col(id_col) <= F.lit(bounds[i + 1]))
-        )
-        tmp = os.path.join(topic, f"_stage{i:02d}")
-        seg.coalesce(1).write.parquet(tmp)
-        part = next(
-            f
-            for f in os.listdir(tmp)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
+        seg_dir = os.path.join(staged, f"_seg={i}")
         path = os.path.join(topic, f"seg{i:02d}.parquet")
-        os.replace(os.path.join(tmp, part), path)
+        if os.path.isdir(seg_dir):
+            files = [f for f in os.listdir(seg_dir) if f.endswith(".parquet")]
+            if len(files) != 1:
+                raise RuntimeError(
+                    f"segment {i} must be exactly one file for "
+                    f"maxFilesPerTrigger=1 replay; got {files}"
+                )
+            os.replace(os.path.join(seg_dir, files[0]), path)
+        else:
+            # duplicate quantile cuts can empty a segment; keep the
+            # trigger-per-segment contract with a schema-only file
+            spark.createDataFrame([], df.schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(seg_dir)
+            part = next(
+                f for f in os.listdir(seg_dir) if f.endswith(".parquet")
+            )
+            os.replace(os.path.join(seg_dir, part), path)
         t = 1_600_000_000 + i
         os.utime(path, (t, t))
+    shutil.rmtree(staged, ignore_errors=True)
     return topic
 
 
