@@ -225,9 +225,17 @@ class KafkaLogStreamReader(DataSourceStreamReader):
     trigger — request it with the ``chunk`` option.
     """
 
+    # One task per ~this many offsets on big catch-up ranges: a fixed
+    # slice COUNT would mean ever-fatter tasks as the backlog grows
+    # (an 8-way split of a 10B-offset catch-up is 1.25B rows/task).
+    SLICE_ROWS = 250_000
+    MAX_SLICES = 4096  # per-batch task-count backstop
+
     def __init__(self, options: dict):
         self.path = options["path"]
+        # minimum parallelism per micro-batch (small ranges still fan out)
         self.slices = max(1, int(options.get("slices", 8)))
+        self.slice_rows = max(1, int(options.get("slice_rows", self.SLICE_ROWS)))
 
     def initialOffset(self) -> dict:
         return {"id": 0}
@@ -239,8 +247,9 @@ class KafkaLogStreamReader(DataSourceStreamReader):
         lo, hi = start["id"], end["id"]
         if hi <= lo:
             return []
-        n = min(self.slices, hi - lo)
-        step = (hi - lo + n - 1) // n
+        span = hi - lo
+        n = min(max(self.slices, -(-span // self.slice_rows)), self.MAX_SLICES, span)
+        step = (span + n - 1) // n
         return [
             _OffsetSlice(self.path, o, min(o + step, hi))
             for o in range(lo, hi, step)

@@ -225,6 +225,12 @@ def test_partitioned_stream_reader_slices_executor_side(spark, sf_dir):
     for a, b in zip(parts, parts[1:]):
         assert a.hi == b.lo
     assert r.partitions({"id": 5}, {"id": 5}) == []
+    # slice count scales with the range (not a fixed fan-out): a big
+    # catch-up range plans ~range/slice_rows tasks, capped
+    big = r.partitions({"id": 0}, {"id": 10_000_000})
+    assert len(big) == 40  # 10M / 250k
+    huge = r.partitions({"id": 0}, {"id": 10_000_000_000})
+    assert len(huge) == r.MAX_SLICES
 
     register_kafkalog(spark)
     ckpt = tempfile.mkdtemp(prefix="bdts_part_ckpt_")
