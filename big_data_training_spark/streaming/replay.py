@@ -77,8 +77,18 @@ def pinned_clone(spark: SparkSession, conf: dict[str, str]) -> SparkSession:
     (caller's value wins if present): ``run_to_completion`` treats any
     pinned clone as ready-to-run, so a clone built without the pin
     would silently lose the task-count invariant the state-operator
-    replays rely on."""
-    conf = {"spark.sql.shuffle.partitions": _STREAM_SHUFFLE_PARTITIONS, **conf}
+    replays rely on. RocksDB changelog checkpointing is merged in for
+    the same reason it is production guidance: without it every
+    micro-batch commit uploads a full per-partition snapshot
+    (zip + fsync dominated w6's addBatch profile — 13.7s → 11.7s
+    measured at sf0.1 with identical values); with it the per-batch
+    upload is the small changelog and snapshots amortize."""
+    conf = {
+        "spark.sql.shuffle.partitions": _STREAM_SHUFFLE_PARTITIONS,
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+        **conf,
+    }
     key = (spark, tuple(sorted(conf.items())))
     with _stream_lock:
         s = _pinned_clones.get(key)
