@@ -276,6 +276,38 @@ def test_partitioned_stream_reader_slices_executor_side(spark, sf_dir):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_paced_reader_recovery_matches_first_delivery(sf_dir):
+    """The paced reader's recovery path (readBetweenOffsets) must
+    reproduce the committed range byte-for-byte — same envelope builder
+    as first delivery — and must NOT be capped by chunk."""
+    import pyarrow as pa
+
+    from big_data_training_spark.operators.pydatasource import (
+        KafkaLogPacedStreamReader,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    r = KafkaLogPacedStreamReader({"path": path, "chunk": 300})
+
+    it, end = r.read({"id": 0})
+    first = pa.Table.from_batches(list(it))
+    assert end == {"id": 300}
+    assert first.num_rows == 300
+
+    replay = pa.Table.from_batches(list(r.readBetweenOffsets({"id": 0}, end)))
+    assert replay.equals(first)
+
+    # recovery of a range wider than chunk is NOT capped
+    wide = pa.Table.from_batches(
+        list(r.readBetweenOffsets({"id": 0}, {"id": 900}))
+    )
+    assert wide.num_rows == 900
+
+    # past the log end: empty iterator, offset unchanged
+    it2, end2 = r.read({"id": 10_000_000_000})
+    assert list(it2) == [] and end2 == {"id": 10_000_000_000}
+
+
 def test_read_committed_empty_manifest(spark, sf_dir):
     """A committed write of zero rows is a valid log state: the manifest
     exists with no segments and read_committed returns an empty
