@@ -49,36 +49,18 @@ def _write_time_segments(spark: SparkSession, sf_dir: str) -> str:
     order matches event time, as a compacted Kafka topic's segment list
     does. File mtimes are forced ascending so the file-stream source
     (which orders by modification time) replays them in segment order."""
+    from big_data_training_spark.streaming.incremental import (
+        _write_id_segments,
+    )
+
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    cuts = events.approxQuantile(
-        "event_id", [i / N_SEGMENTS for i in range(1, N_SEGMENTS)], 0.0
-    )
-    # event_id is unique and monotone with ingest order; exact-quantile
-    # cuts give deterministic segment membership (ties impossible).
-    topic = scratch_dir("bdts_cdc_topic_")
-    bounds = [float("-inf"), *cuts, float("inf")]
-    for i in range(N_SEGMENTS):
-        seg = events.filter(
-            (F.col("event_id") > F.lit(bounds[i]))
-            & (F.col("event_id") <= F.lit(bounds[i + 1]))
-        )
-        # segments are windows of the ts-ordered log: event ingest order
-        # == event_id order in the fixture, so per-user time order holds
-        # across segment boundaries. The file-stream source consumes
-        # plain files (it does not recurse into write-output dirs), so
-        # lift the single part file out of the Spark write directory.
-        tmp = os.path.join(topic, f"_stage{i:02d}")
-        seg.coalesce(1).write.parquet(tmp)
-        part = next(
-            f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
-        )
-        path = os.path.join(topic, f"seg{i:02d}.parquet")
-        os.replace(os.path.join(tmp, part), path)
-        t = 1_600_000_000 + i  # ascending mtimes -> deterministic replay
-        os.utime(path, (t, t))
-    return topic
+    # event_id is unique and monotone with ingest order, so segments are
+    # windows of the ts-ordered log and per-user time order holds across
+    # segment boundaries. One partitioned write job for all segments —
+    # incremental._write_id_segments, shared with the 13 st_* replays.
+    return _write_id_segments(spark, events, "event_id", "bdts_cdc_topic_")
 
 
 def _merge_batch(history_dir: str, state_dir: str):
