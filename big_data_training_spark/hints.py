@@ -133,7 +133,18 @@ def table_bytes(
     :data:`HASHED_RELATION_ROW_OVERHEAD` per row."""
     del spark
     rows, col_bytes = _footer_stats(os.path.join(sf_dir, f"{name}.parquet"))
-    cols = col_bytes if columns is None else {c: col_bytes.get(c, 0) for c in columns}
+    if columns is None:
+        cols = col_bytes
+    else:
+        unknown = [c for c in columns if c not in col_bytes]
+        if unknown:
+            # a typo'd column would silently contribute 0 bytes and
+            # under-gate the broadcast — fail loudly instead
+            raise ValueError(
+                f"{name}: columns {unknown} not in parquet footer "
+                f"(have {sorted(col_bytes)})"
+            )
+        cols = {c: col_bytes[c] for c in columns}
     return sum(cols.values()) + rows * HASHED_RELATION_ROW_OVERHEAD
 
 

@@ -652,6 +652,12 @@ def test_dim_gate_measures_row_width(spark, sf_dir):
         # fits a budget the full row does not
         pruned = hints.table_bytes(spark, sf_dir, "customer", ["c_custkey"])
         assert pruned < est
+
+        # a typo'd column must fail loudly, not under-gate silently
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="not in parquet footer"):
+            hints.table_bytes(spark, sf_dir, "customer", ["c_custkeyy"])
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
