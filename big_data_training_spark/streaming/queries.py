@@ -1009,8 +1009,12 @@ def st_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     stream = read_stream_table(spark, sf_dir, "documents")
+    # fan the expression-heavy shingling out of the single-file input
+    # split (the streaming analog of data.repartition_for_compute —
+    # at scale the topic is already many splits and this is ~free)
     train = (
-        stream.filter(f"NOT ({EVAL_PRED})")
+        stream.repartition(16)
+        .filter(f"NOT ({EVAL_PRED})")
         .withColumn("ws", F.expr("filter(split(text, '\\\\s+'), w -> w != '')"))
         .filter(F.size("ws") >= DECON_K)
         .withColumn("shingles", F.expr(_DECON_SHINGLES))
