@@ -202,6 +202,26 @@ import_errors: dict[str, str] = {}
 _DRIVER_PRIORITY: tuple[str, ...] = ()
 
 _DRIVER_CERTIFIED: frozenset[str] = frozenset({
+    # round-9 rows (CORRECTNESS_r09.json, 50 names, all hash-green).
+    'agg_winsorized_stats', 'cdc_net_effect', 'dd_prefix_filter_join',
+    'dq_column_entropy', 'dq_generalization_mask', 'dq_independence_cells',
+    'dq_join_cardinality_audit', 'dq_kl_drift', 'dq_l_diversity',
+    'dq_selectivity_audit', 'dq_t_closeness', 'ev_acf_sufficient',
+    'ev_customer_skyline', 'ev_decayed_leaderboard',
+    'ev_markov_holdout_accuracy', 'ev_path_trigrams',
+    'ev_transition_entropy', 'ev_trend_ols', 'ev_trend_theil_sen',
+    'f_nested_struct_roundtrip', 'gr_boruvka_msf_rounds',
+    'gr_degree_assortativity_stats', 'gr_degree_mixing_curve',
+    'ix_rocchio_expansion', 'j_pit_union_asof', 'lm_bpe_encode_tokens',
+    'lm_bpe_train_rounds', 'lm_collocations_pmi', 'lm_cross_entropy_rank',
+    'mb_assoc_rules', 'mb_brand_pairs', 'mb_item_jaccard_topk',
+    's11_compaction_plan', 's8_delta_encoding_estimate',
+    's9_clustering_factor', 'sim_binary_hamming_recall',
+    'sk_linear_counting', 'sm_weighted_priority_sample', 'st_bitmap_stream',
+    'st_decayed_leaderboard_stream', 'st_ewma_stream',
+    'st_net_effect_stream', 'st_path_trigrams', 'st_trend_stream',
+    'tx_epoch_shard_balance', 'tx_epoch_shuffle', 'tx_rake_top_phrases',
+    'tx_rake_word_scores', 'u10_map_in_arrow', 'u9_scalar_iter_scoring',
     # round-8 rows (CORRECTNESS_r08.json, 50 names, all hash-green).
     'dd_minhash_calibration', 'dq_duplicate_key_audit', 'dq_fd_discovery',
     'dq_referential_integrity', 'emb_gram_exact', 'emb_power_iteration',
