@@ -122,21 +122,32 @@ def main() -> None:
     # stdout trim below: the driver keeps only ~2000 chars of stdout, so
     # BENCH_r08 lost per-query history for the 52 fastest queries (incl.
     # the whole round-1 baseline set) and bench-vs-baseline had to be
-    # re-measured from scratch. The round number comes from the driver's
-    # CORRECTNESS_r{N}.json files already on disk (this round = max + 1).
+    # re-measured from scratch. The round label comes from
+    # $SPARK_GRAFT_ROUND when set; the max(CORRECTNESS_r*)+1 heuristic is
+    # only a fallback — it mislabels any run that happens AFTER the
+    # current round's CORRECTNESS file lands (the round-9 refresh wrote
+    # _r10.json that way). A unix-timestamp suffix makes every record
+    # unique so builder and driver runs can never collide either way.
     try:
         import re as _re
 
         repo = os.path.dirname(os.path.abspath(__file__))
-        rounds = [
-            int(m.group(1))
-            for f in os.listdir(repo)
-            if (m := _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f))
-        ]
-        rnd = (max(rounds) + 1) if rounds else 0
+        rnd_env = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd_env and rnd_env.isdigit():
+            rnd = int(rnd_env)
+        else:
+            rounds = [
+                int(m.group(1))
+                for f in os.listdir(repo)
+                if (m := _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f))
+            ]
+            rnd = (max(rounds) + 1) if rounds else 0
         full = dict(payload, spread=spread)
         with open(
-            os.path.join(repo, "docs", f"BENCH_FULL_r{rnd:02d}.json"), "w"
+            os.path.join(
+                repo, "docs", f"BENCH_FULL_r{rnd:02d}_{int(time.time())}.json"
+            ),
+            "w",
         ) as fh:
             json.dump(full, fh, indent=1, sort_keys=True)
     except OSError as exc:  # never let bookkeeping kill the bench line

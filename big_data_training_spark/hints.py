@@ -76,28 +76,33 @@ def _parquet_paths(path: str) -> list[str]:
 
 
 def _freshness(paths: list[str]) -> tuple:
+    # os.stat raises on a missing file (it never returns None) — let
+    # that propagate; a vanished fixture is a caller bug.
     return tuple(
-        (p, st.st_size, st.st_mtime_ns)
-        for p in paths
-        if (st := os.stat(p)) is not None
+        (p, (st := os.stat(p)).st_size, st.st_mtime_ns) for p in paths
     )
 
 
-# freshness-token -> (rows, {column -> uncompressed bytes}). Keyed on
-# (path, size, mtime_ns) per file so in-place fixture rewrites miss.
-_FOOTER_CACHE: dict[tuple, tuple[int, dict[str, int]]] = {}
+# (table path, freshness-token) -> (rows, {column -> uncompressed
+# bytes}, {dict-encoded binary columns}). Freshness is (path, size,
+# mtime_ns) per part file so in-place fixture rewrites miss; the table
+# path is in the key so two EMPTY directories (freshness ``()``) never
+# alias one entry.
+_FOOTER_CACHE: dict[tuple, tuple[int, dict[str, int], frozenset[str]]] = {}
 
 
-def _footer_stats(path: str) -> tuple[int, dict[str, int]]:
-    """(row count, per-column uncompressed byte size) from parquet
-    footers only — pyarrow metadata read, no Spark job, no data scan."""
+def _footer_stats(path: str) -> tuple[int, dict[str, int], frozenset[str]]:
+    """(row count, per-column uncompressed byte size, dictionary-encoded
+    binary column names) from parquet footers only — pyarrow metadata
+    read, no Spark job, no data scan."""
     paths = _parquet_paths(path)
-    key = _freshness(paths)
+    key = (path, _freshness(paths))
     if key not in _FOOTER_CACHE:
         import pyarrow.parquet as pq
 
         rows = 0
         col_bytes: dict[str, int] = {}
+        dict_binary: set[str] = set()
         for p in paths:
             md = pq.ParquetFile(p).metadata
             rows += md.num_rows
@@ -111,8 +116,42 @@ def _footer_stats(path: str) -> tuple[int, dict[str, int]]:
                     col_bytes[name] = (
                         col_bytes.get(name, 0) + c.total_uncompressed_size
                     )
-        _FOOTER_CACHE[key] = (rows, col_bytes)
+                    # "uncompressed" footer size is POST-encoding: a
+                    # dictionary-encoded string column's pages hold
+                    # codes, not values, so decoded width can be far
+                    # larger — flag it for table_bytes' decoded floor.
+                    if c.physical_type in (
+                        "BYTE_ARRAY",
+                        "FIXED_LEN_BYTE_ARRAY",
+                    ) and any("DICTIONARY" in e for e in c.encodings):
+                        dict_binary.add(name)
+        _FOOTER_CACHE[key] = (rows, col_bytes, frozenset(dict_binary))
     return _FOOTER_CACHE[key]
+
+
+# (table path, freshness, column) -> measured decoded bytes/row from a
+# one-row-group, one-column sample read (bounded: a single row group).
+_DECODED_RATE_CACHE: dict[tuple, float] = {}
+
+
+def _decoded_bytes_per_row(path: str, column: str) -> float:
+    """Measured in-memory bytes/row for one column: pyarrow reads the
+    FIRST row group of the FIRST part file only (bounded IO — one
+    column chunk), and the Arrow buffer size per row extrapolates to
+    the table. Used to floor dictionary-encoded string columns whose
+    footer 'uncompressed' size undercounts decoded width."""
+    paths = _parquet_paths(path)
+    key = (path, _freshness(paths), column)
+    if key not in _DECODED_RATE_CACHE:
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(paths[0])
+        if f.metadata.num_row_groups == 0 or f.metadata.num_rows == 0:
+            _DECODED_RATE_CACHE[key] = 0.0
+        else:
+            tbl = f.read_row_group(0, columns=[column])
+            _DECODED_RATE_CACHE[key] = tbl.nbytes / max(tbl.num_rows, 1)
+    return _DECODED_RATE_CACHE[key]
 
 
 def table_count(spark, sf_dir: str, name: str) -> int:
@@ -121,7 +160,7 @@ def table_count(spark, sf_dir: str, name: str) -> int:
     lookups (filtered/projected/aggregated tables never exceed their
     source). No Spark job; cached per file (path, size, mtime)."""
     del spark  # kept in the signature for call-site uniformity
-    rows, _ = _footer_stats(os.path.join(sf_dir, f"{name}.parquet"))
+    rows, _, _ = _footer_stats(os.path.join(sf_dir, f"{name}.parquet"))
     return rows
 
 
@@ -130,11 +169,19 @@ def table_bytes(
 ) -> int:
     """Estimated in-memory broadcast size of a fixture table: footer
     uncompressed column bytes (optionally only ``columns``) plus
-    :data:`HASHED_RELATION_ROW_OVERHEAD` per row."""
+    :data:`HASHED_RELATION_ROW_OVERHEAD` per row.
+
+    Dictionary-encoded string/binary columns are floored at a MEASURED
+    decoded bytes/row (one-row-group sample, :func:`_decoded_bytes_per_
+    row`): the footer's "uncompressed" size for a dictionary column is
+    the size of the code pages, so a highly repetitive wide string
+    column can be far larger in HashedRelation form than the footer
+    suggests — the exact over-admission this gate exists to prevent."""
     del spark
-    rows, col_bytes = _footer_stats(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    rows, col_bytes, dict_binary = _footer_stats(path)
     if columns is None:
-        cols = col_bytes
+        cols = dict(col_bytes)
     else:
         unknown = [c for c in columns if c not in col_bytes]
         if unknown:
@@ -145,6 +192,11 @@ def table_bytes(
                 f"(have {sorted(col_bytes)})"
             )
         cols = {c: col_bytes[c] for c in columns}
+    for c in cols:
+        if c in dict_binary:
+            cols[c] = max(
+                cols[c], int(rows * _decoded_bytes_per_row(path, c))
+            )
     return sum(cols.values()) + rows * HASHED_RELATION_ROW_OVERHEAD
 
 

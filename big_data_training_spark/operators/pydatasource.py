@@ -274,6 +274,16 @@ class KafkaLogPacedStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options: dict):
         self.path = options["path"]
+        if "chunk" not in options:
+            # selection is coupled to streamReader() raising
+            # NotImplementedError exactly when ``chunk`` is present; if a
+            # pyspark resolution-order change (or direct construction)
+            # ever routes here without it, fail intelligibly.
+            raise ValueError(
+                "kafkalog paced stream reader requires the 'chunk' option "
+                "(offsets per trigger); omit it to get the "
+                "executor-partitioned reader"
+            )
         self.chunk = int(options["chunk"])
 
     def initialOffset(self) -> dict:

@@ -1011,9 +1011,10 @@ def st_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_stream_table(spark, sf_dir, "documents")
     # fan the expression-heavy shingling out of the single-file input
     # split (the streaming analog of data.repartition_for_compute —
-    # at scale the topic is already many splits and this is ~free)
+    # at scale the topic is already many splits and this is ~free);
+    # width follows the session's parallelism, never a literal
     train = (
-        stream.repartition(16)
+        stream.repartition(spark.sparkContext.defaultParallelism)
         .filter(f"NOT ({EVAL_PRED})")
         .withColumn("ws", F.expr("filter(split(text, '\\\\s+'), w -> w != '')"))
         .filter(F.size("ws") >= DECON_K)

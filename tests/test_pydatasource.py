@@ -308,6 +308,22 @@ def test_paced_reader_recovery_matches_first_delivery(sf_dir):
     assert list(it2) == [] and end2 == {"id": 10_000_000_000}
 
 
+def test_paced_reader_without_chunk_fails_intelligibly(sf_dir):
+    """Constructing the paced reader without the 'chunk' option (only
+    reachable via a pyspark resolution-order change or direct
+    construction) must raise a descriptive error, not a bare KeyError
+    from the implicit streamReader/simpleStreamReader coupling."""
+    import pytest
+
+    from big_data_training_spark.operators.pydatasource import (
+        KafkaLogPacedStreamReader,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    with pytest.raises(ValueError, match="chunk"):
+        KafkaLogPacedStreamReader({"path": path})
+
+
 def test_read_committed_empty_manifest(spark, sf_dir):
     """A committed write of zero rows is a valid log state: the manifest
     exists with no segments and read_committed returns an empty

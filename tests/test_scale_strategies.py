@@ -680,6 +680,60 @@ def test_footer_cache_invalidates_on_rewrite(tmp_path, spark, sf_dir):
     assert n2 == 5, f"stale cached count: {n2}"
 
 
+def test_empty_table_dirs_do_not_alias_footer_cache(tmp_path, spark):
+    """Two different EMPTY table directories must not share one footer
+    cache entry: the cache key includes the table path, not just the
+    per-file freshness tuple (which is () for both)."""
+    from big_data_training_spark import hints
+
+    a = tmp_path / "a.parquet"
+    b = tmp_path / "b.parquet"
+    a.mkdir()
+    b.mkdir()
+    assert hints.table_count(spark, str(tmp_path), "a") == 0
+    # poison check: a's entry must not be served for b
+    ka = (str(a), ())
+    assert ka in hints._FOOTER_CACHE
+    hints._FOOTER_CACHE[ka] = (999, {}, frozenset())
+    assert hints.table_count(spark, str(tmp_path), "b") == 0
+
+
+def test_dict_encoded_string_dim_floors_at_decoded_width(tmp_path, spark):
+    """table_bytes must floor dictionary-encoded string columns at a
+    measured decoded bytes/row: a highly repetitive 4 KB string column
+    dictionary-encodes to almost nothing in the footer but hydrates to
+    rows x 4 KB in HashedRelation form — the byte gate must see the
+    decoded size, not the code-page size."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_training_spark import hints
+
+    rows, width = 2000, 4096
+    tbl = pa.table(
+        {
+            "k": pa.array(range(rows), type=pa.int64()),
+            "payload": pa.array(
+                [("x" * width, "y" * width)[i % 2] for i in range(rows)]
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "repet.parquet", use_dictionary=True)
+
+    _, col_bytes, dict_binary = hints._footer_stats(
+        str(tmp_path / "repet.parquet")
+    )
+    assert "payload" in dict_binary
+    # premise: footer "uncompressed" size is post-encoding (codes), far
+    # below the decoded payload
+    assert col_bytes["payload"] < rows * width / 4
+
+    est = hints.table_bytes(spark, str(tmp_path), "repet")
+    assert est >= rows * width, (
+        f"estimate {est} below decoded payload {rows * width}"
+    )
+
+
 def test_reliable_checkpoint_refuses_nonlocal_tempdir(spark, monkeypatch):
     """lineage: reliable mode + non-local master + no shared checkpoint
     dir must fail fast, not silently degrade to a driver-local tempdir."""
