@@ -68,6 +68,64 @@ _PPJOIN_SQL = (
 )
 
 
+def _prefix_candidates(inv1: DataFrame) -> DataFrame:
+    """Candidate pairs from the rarest-first prefixes of a capped
+    inverted index (columns doc_id, h, dc): each doc keeps its
+    n − ⌈τn⌉ + 1 first shingles in (df, hash) order, prefixes
+    self-join on the shingle hash."""
+    sizes = inv1.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pos = inv1.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("dc", "h")
+        ),
+    )
+    pref = (
+        pos.join(sizes, "doc_id")
+        .filter(
+            F.col("pos")
+            <= F.col("n")
+            - F.expr(
+                f"({_TAU_NUM} * n + {_TAU_DEN - 1}) div {_TAU_DEN}"
+            )
+            + 1
+        )
+        .select("doc_id", "h")
+    )
+    pa, pb = pref.alias("a"), pref.alias("b")
+    return (
+        pa.join(
+            pb,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_i"),
+            F.col("b.doc_id").alias("doc_j"),
+        )
+        .distinct()
+    )
+
+
+def _index_candidates(inv1: DataFrame) -> DataFrame:
+    """Candidate pairs from the FULL capped inverted index — the
+    baseline the prefix filter is measured against."""
+    inv = inv1.filter(F.col("dc") >= 2).select("doc_id", "h")
+    ia, ib = inv.alias("a"), inv.alias("b")
+    return (
+        ia.join(
+            ib,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_i"),
+            F.col("b.doc_id").alias("doc_j"),
+        )
+        .distinct()
+    )
+
+
 @register(
     "dd_prefix_filter_join",
     _PPJOIN_SQL,
@@ -92,52 +150,8 @@ def dd_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv1 = _dedup._cache_tracked(
         _dedup._capped_inverted_index(spark, sf_dir)
     )
-    sizes = inv1.groupBy("doc_id").agg(F.count("*").alias("n"))
-    pos = inv1.withColumn(
-        "pos",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("dc", "h")
-        ),
-    )
-    pref = (
-        pos.join(sizes, "doc_id")
-        .filter(
-            F.col("pos")
-            <= F.col("n")
-            - F.expr(
-                f"({_TAU_NUM} * n + {_TAU_DEN - 1}) div {_TAU_DEN}"
-            )
-            + 1
-        )
-        .select("doc_id", "h")
-    )
-    pa, pb = pref.alias("a"), pref.alias("b")
-    cand = (
-        pa.join(
-            pb,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_i"),
-            F.col("b.doc_id").alias("doc_j"),
-        )
-        .distinct()
-    )
-    inv = inv1.filter(F.col("dc") >= 2).select("doc_id", "h")
-    ia, ib = inv.alias("a"), inv.alias("b")
-    index_cand = (
-        ia.join(
-            ib,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_i"),
-            F.col("b.doc_id").alias("doc_j"),
-        )
-        .distinct()
-    )
+    cand = _prefix_candidates(inv1)
+    index_cand = _index_candidates(inv1)
     matches = _dedup.dd_ngram_jaccard_pairs(spark, sf_dir).select(
         "doc_i", "doc_j"
     )
