@@ -28,46 +28,6 @@ from big_data_training_spark.streaming.replay import (
 
 N_SEGMENTS = 4
 
-# Replayed-topic memo: (canonicalized plan, source-file freshness,
-# id_col, N_SEGMENTS) -> topic dir. A topic is a DETERMINISTIC
-# function of its source fixture (exact quantile cuts, id-ordered
-# content, forced mtimes), and a real deployment's topic exists ONCE
-# and is consumed many times — so re-synthesizing ~1.1s of segments at
-# sf0.1 on every invocation was pure harness overhead multiplied
-# across the 14 st_* replays. Cached dirs live OUTSIDE the per-query
-# scratch tracking (consumers only read them) and are removed atexit.
-_TOPIC_CACHE: dict[tuple, str] = {}
-_TOPIC_LOCK = __import__("threading").Lock()
-_TOPIC_CACHE_MAX = 64
-
-
-def _cleanup_topic_cache() -> None:
-    import shutil
-
-    with _TOPIC_LOCK:
-        while _TOPIC_CACHE:
-            shutil.rmtree(_TOPIC_CACHE.popitem()[1], ignore_errors=True)
-
-
-__import__("atexit").register(_cleanup_topic_cache)
-
-
-def _topic_key(df: DataFrame, id_col: str) -> tuple:
-    """Cache identity of a replayed topic: the CANONICALIZED analyzed
-    plan (exprIds normalized — two semantically identical reads hash
-    equal) plus (path, size, mtime_ns) of every input file, so an
-    in-place fixture rewrite misses (same rule as hints._freshness)."""
-    fresh = []
-    for uri in sorted(df.inputFiles()):
-        p = uri.removeprefix("file:")
-        try:
-            st = os.stat(p)
-            fresh.append((uri, st.st_size, st.st_mtime_ns))
-        except OSError:
-            fresh.append((uri, -1, -1))
-    plan = df._jdf.queryExecution().analyzed().canonicalized().toString()
-    return (plan, tuple(fresh), id_col, N_SEGMENTS)
-
 
 def _write_id_segments(
     spark: SparkSession, df: DataFrame, id_col: str, prefix: str
@@ -81,73 +41,62 @@ def _write_id_segments(
     file per segment — vs the previous N filter+coalesce jobs that each
     rescanned ``df``. Shared by 13 streaming replays, so the saved jobs
     compound across the whole st_* family. Memoized per source content
-    (see ``_TOPIC_CACHE``): the first call builds the topic, repeat
-    consumers stream the same read-only directory."""
+    (``replay.cached_topic``): the topic is deterministic from the
+    fixture (exact quantile cuts, id-ordered content, forced mtimes),
+    so the first call builds it and repeat consumers stream the same
+    read-only directory — 0.5-0.7s off every replay at sf0.1."""
     import functools
     import shutil
-    import tempfile
 
-    key = _topic_key(df, id_col)
-    with _TOPIC_LOCK:
-        cached = _TOPIC_CACHE.get(key)
-        if cached is not None and os.path.isdir(cached):
-            return cached
+    from big_data_training_spark.streaming.replay import cached_topic
 
-    cuts = df.approxQuantile(id_col, [i / N_SEGMENTS for i in range(1, N_SEGMENTS)], 0.0)
-    # NOT scratch_dir: the topic outlives the calling query (read-only
-    # for consumers); _cleanup_topic_cache removes it at process exit.
-    topic = tempfile.mkdtemp(prefix=prefix)
-    seg = functools.reduce(
-        lambda acc, c: acc + (F.col(id_col) > F.lit(c)).cast("int"),
-        cuts,
-        F.lit(0),
-    )
-    staged = os.path.join(topic, "_staged")
-    (
-        df.withColumn("_seg", seg)
-        .repartition(N_SEGMENTS, "_seg")
-        # write-level pin: a session-level maxRecordsPerFile would split
-        # a segment and break one-file-per-micro-batch replay
-        .write.option("maxRecordsPerFile", "0")
-        .partitionBy("_seg")
-        .parquet(staged)
-    )
-    for i in range(N_SEGMENTS):
-        seg_dir = os.path.join(staged, f"_seg={i}")
-        path = os.path.join(topic, f"seg{i:02d}.parquet")
-        if os.path.isdir(seg_dir):
-            files = [f for f in os.listdir(seg_dir) if f.endswith(".parquet")]
-            if len(files) != 1:
-                raise RuntimeError(
-                    f"segment {i} must be exactly one file for "
-                    f"maxFilesPerTrigger=1 replay; got {files}"
+    def build(topic: str) -> None:
+        cuts = df.approxQuantile(
+            id_col, [i / N_SEGMENTS for i in range(1, N_SEGMENTS)], 0.0
+        )
+        seg = functools.reduce(
+            lambda acc, c: acc + (F.col(id_col) > F.lit(c)).cast("int"),
+            cuts,
+            F.lit(0),
+        )
+        staged = os.path.join(topic, "_staged")
+        (
+            df.withColumn("_seg", seg)
+            .repartition(N_SEGMENTS, "_seg")
+            # write-level pin: a session-level maxRecordsPerFile would
+            # split a segment and break one-file-per-micro-batch replay
+            .write.option("maxRecordsPerFile", "0")
+            .partitionBy("_seg")
+            .parquet(staged)
+        )
+        for i in range(N_SEGMENTS):
+            seg_dir = os.path.join(staged, f"_seg={i}")
+            path = os.path.join(topic, f"seg{i:02d}.parquet")
+            if os.path.isdir(seg_dir):
+                files = [
+                    f for f in os.listdir(seg_dir) if f.endswith(".parquet")
+                ]
+                if len(files) != 1:
+                    raise RuntimeError(
+                        f"segment {i} must be exactly one file for "
+                        f"maxFilesPerTrigger=1 replay; got {files}"
+                    )
+                os.replace(os.path.join(seg_dir, files[0]), path)
+            else:
+                # duplicate quantile cuts can empty a segment; keep the
+                # trigger-per-segment contract with a schema-only file
+                spark.createDataFrame([], df.schema).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(seg_dir)
+                part = next(
+                    f for f in os.listdir(seg_dir) if f.endswith(".parquet")
                 )
-            os.replace(os.path.join(seg_dir, files[0]), path)
-        else:
-            # duplicate quantile cuts can empty a segment; keep the
-            # trigger-per-segment contract with a schema-only file
-            spark.createDataFrame([], df.schema).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(seg_dir)
-            part = next(
-                f for f in os.listdir(seg_dir) if f.endswith(".parquet")
-            )
-            os.replace(os.path.join(seg_dir, part), path)
-        t = 1_600_000_000 + i
-        os.utime(path, (t, t))
-    shutil.rmtree(staged, ignore_errors=True)
-    with _TOPIC_LOCK:
-        if len(_TOPIC_CACHE) >= _TOPIC_CACHE_MAX:
-            # evict oldest (insertion order) — bounded disk for a
-            # long-lived driver sweeping many distinct fixtures
-            old = _TOPIC_CACHE.pop(next(iter(_TOPIC_CACHE)))
-            shutil.rmtree(old, ignore_errors=True)
-        other = _TOPIC_CACHE.setdefault(key, topic)
-    if other is not topic:
-        # a concurrent builder won the race; keep one copy
-        shutil.rmtree(topic, ignore_errors=True)
-        return other
-    return topic
+                os.replace(os.path.join(seg_dir, part), path)
+            t = 1_600_000_000 + i
+            os.utime(path, (t, t))
+        shutil.rmtree(staged, ignore_errors=True)
+
+    return cached_topic(df, f"idseg:{id_col}:{N_SEGMENTS}", prefix, build)
 
 
 def _run_foreach_batch(spark: SparkSession, topic: str, apply) -> None:

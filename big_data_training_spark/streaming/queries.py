@@ -702,50 +702,57 @@ def w6_session_timeout_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-task window.
     """
     import os
-    import time as _time
 
     from big_data_training_spark.streaming.replay import (
+        cached_topic,
         materialize,
-        scratch_dir,
         stream_session,
     )
 
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    b = materialize(
-        ev.withColumn(
-            "b", F.ntile(N_W6_SEGMENTS).over(Window.orderBy("ts", "event_id"))
-        )
-    )
-    topic = scratch_dir("bdts_w6_topic_")
-    # ONE write job for all segments: repartition on b gives every
-    # segment value a single task, so partitionBy emits exactly one
-    # file per b=K dir — the one-file-per-micro-batch invariant
-    # maxFilesPerTrigger=1 relies on (was 8 filter+coalesce jobs, each
-    # rescanning the materialized base; ~2x fewer jobs end-to-end).
-    (
-        b.repartition(N_W6_SEGMENTS, "b")
-        .select("user_id", "ts", "b")
-        # write-level pin: a session-level spark.sql.files.maxRecordsPerFile
-        # would split a segment into several files and break the
-        # one-file-per-micro-batch replay invariant below
-        .write.option("maxRecordsPerFile", "0")
-        .partitionBy("b")
-        .parquet(topic + "/out")
-    )
-    base_mt = _time.time() - 10.0 * (N_W6_SEGMENTS + 1)
-    for k in range(1, N_W6_SEGMENTS + 1):
-        path = os.path.join(topic, "out", f"b={k}")
-        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
-        if len(files) != 1:  # replay determinism invariant (not an
-            # assert: must hold under python -O too)
-            raise RuntimeError(
-                f"w6 replay segment b={k} must be exactly one file for "
-                f"maxFilesPerTrigger=1 to replay one micro-batch per "
-                f"segment; got {files}"
+
+    def build(topic: str) -> None:
+        b = materialize(
+            ev.withColumn(
+                "b",
+                F.ntile(N_W6_SEGMENTS).over(Window.orderBy("ts", "event_id")),
             )
-        mt = base_mt + 10.0 * k
-        os.utime(os.path.join(path, files[0]), (mt, mt))
-        os.utime(path, (mt, mt))
+        )
+        # ONE write job for all segments: repartition on b gives every
+        # segment value a single task, so partitionBy emits exactly one
+        # file per b=K dir — the one-file-per-micro-batch invariant
+        # maxFilesPerTrigger=1 relies on (was 8 filter+coalesce jobs,
+        # each rescanning the materialized base).
+        (
+            b.repartition(N_W6_SEGMENTS, "b")
+            .select("user_id", "ts", "b")
+            # write-level pin: a session-level
+            # spark.sql.files.maxRecordsPerFile would split a segment
+            # into several files and break the one-file-per-micro-batch
+            # replay invariant below
+            .write.option("maxRecordsPerFile", "0")
+            .partitionBy("b")
+            .parquet(topic + "/out")
+        )
+        for k in range(1, N_W6_SEGMENTS + 1):
+            path = os.path.join(topic, "out", f"b={k}")
+            files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            if len(files) != 1:  # replay determinism invariant (not an
+                # assert: must hold under python -O too)
+                raise RuntimeError(
+                    f"w6 replay segment b={k} must be exactly one file for "
+                    f"maxFilesPerTrigger=1 to replay one micro-batch per "
+                    f"segment; got {files}"
+                )
+            # fixed ascending mtimes (the file source orders by mtime);
+            # stable across cache reuse
+            mt = float(1_600_000_000 + 10 * k)
+            os.utime(os.path.join(path, files[0]), (mt, mt))
+            os.utime(path, (mt, mt))
+
+    topic = cached_topic(
+        ev, f"w6seg:{N_W6_SEGMENTS}", "bdts_w6_topic_", build
+    )
     ss = stream_session(spark)
     stream = (
         ss.readStream.schema("user_id bigint, ts timestamp")

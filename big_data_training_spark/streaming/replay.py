@@ -53,6 +53,77 @@ def materialize(df: DataFrame) -> DataFrame:
 _pinned_clones: dict[tuple, SparkSession] = {}
 _stream_lock = threading.Lock()
 
+# Replayed-topic memo: (canonicalized source plan, source-file
+# freshness, builder label) -> topic dir. A replayed topic is a
+# DETERMINISTIC function of its source fixture, and a real
+# deployment's topic exists ONCE and is consumed many times — so
+# re-synthesizing segments on every invocation is pure harness
+# overhead multiplied across the st_* family. Cached dirs live OUTSIDE
+# the per-query scratch tracking (consumers only read them) and are
+# removed at process exit.
+_TOPIC_CACHE: dict[tuple, str] = {}
+_TOPIC_CACHE_MAX = 64
+
+
+def _cleanup_topic_cache() -> None:
+    with _stream_lock:
+        while _TOPIC_CACHE:
+            shutil.rmtree(_TOPIC_CACHE.popitem()[1], ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_topic_cache)
+
+
+def _topic_key(df: DataFrame, label: str) -> tuple:
+    """Cache identity of a replayed topic: the CANONICALIZED analyzed
+    plan (exprIds normalized — two semantically identical reads hash
+    equal) plus (path, size, mtime_ns) of every input file, so an
+    in-place fixture rewrite misses (same rule as hints._freshness),
+    plus the builder's label (segmenting scheme + params)."""
+    fresh = []
+    for uri in sorted(df.inputFiles()):
+        p = uri.removeprefix("file:")
+        try:
+            st = os.stat(p)
+            fresh.append((uri, st.st_size, st.st_mtime_ns))
+        except OSError:
+            fresh.append((uri, -1, -1))
+    plan = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    return (plan, tuple(fresh), label)
+
+
+def cached_topic(df: DataFrame, label: str, prefix: str, build) -> str:
+    """Return the topic directory for (``df``, ``label``), building it
+    with ``build(topic_dir)`` on first use. The builder must populate
+    ``topic_dir`` deterministically from ``df``; consumers treat the
+    returned directory as read-only."""
+    key = _topic_key(df, label)
+    with _stream_lock:
+        cached = _TOPIC_CACHE.get(key)
+        if cached is not None and os.path.isdir(cached):
+            return cached
+    # NOT scratch_dir: the topic outlives the calling query.
+    topic = tempfile.mkdtemp(prefix=prefix)
+    try:
+        build(topic)
+    except BaseException:
+        shutil.rmtree(topic, ignore_errors=True)
+        raise
+    with _stream_lock:
+        if len(_TOPIC_CACHE) >= _TOPIC_CACHE_MAX:
+            # evict oldest (insertion order) — bounded disk for a
+            # long-lived driver sweeping many distinct fixtures
+            old = _TOPIC_CACHE.pop(next(iter(_TOPIC_CACHE)))
+            shutil.rmtree(old, ignore_errors=True)
+        other = _TOPIC_CACHE.setdefault(key, topic)
+    if other is not topic:
+        # a concurrent builder won the race; keep one copy
+        shutil.rmtree(topic, ignore_errors=True)
+        return other
+    return topic
+
 # Streaming state operators get one task (and for Python-state ops one
 # Python worker) per shuffle partition with no AQE coalescing — under an
 # untuned session's default 200 that is pure startup overhead per
