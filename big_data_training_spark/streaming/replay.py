@@ -98,7 +98,25 @@ def cached_topic(df: DataFrame, label: str, prefix: str, build) -> str:
     """Return the topic directory for (``df``, ``label``), building it
     with ``build(topic_dir)`` on first use. The builder must populate
     ``topic_dir`` deterministically from ``df``; consumers treat the
-    returned directory as read-only."""
+    returned directory as read-only.
+
+    Only FILE-BACKED sources are memoized: a memory-backed df
+    (``createDataFrame``) has no input files and its canonicalized
+    plan does not identify the DATA, so two same-schema in-memory dfs
+    would alias one topic — those build fresh every call instead."""
+    if not df.inputFiles():
+        d = tempfile.mkdtemp(prefix=prefix)
+        try:
+            build(d)
+        except BaseException:
+            shutil.rmtree(d, ignore_errors=True)
+            raise
+        # tracked like any other per-query scratch: cleaned after the
+        # calling query materializes
+        if not hasattr(_scratch, "dirs"):
+            _scratch.dirs = []
+        _scratch.dirs.append(d)
+        return d
     key = _topic_key(df, label)
     with _stream_lock:
         cached = _TOPIC_CACHE.get(key)

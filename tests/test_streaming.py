@@ -297,3 +297,41 @@ def test_rocksdb_state_store_engages(spark, sf_dir):
     assert got == want
     ss.catalog.dropTempView(qname)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_cached_topic_memoizes_and_invalidates(tmp_path, spark):
+    """replay.cached_topic: same file-backed source -> one build, same
+    dir; in-place source rewrite -> freshness miss, rebuilt; memory-
+    backed source (no input files) -> never memoized (two same-schema
+    in-memory dfs must not alias one topic)."""
+    from big_data_training_spark.streaming.replay import cached_topic
+
+    src = tmp_path / "t.parquet"
+    spark.range(10).write.parquet(str(src))
+    df = spark.read.parquet(str(src))
+
+    calls = []
+
+    def build(d):
+        calls.append(d)
+        (tmp_path / "marker").touch()
+
+    d1 = cached_topic(df, "test", "bdts_test_topic_", build)
+    d2 = cached_topic(spark.read.parquet(str(src)), "test", "bdts_test_topic_", build)
+    assert d1 == d2 and len(calls) == 1
+
+    # a different label is a different topic
+    d3 = cached_topic(df, "test-b", "bdts_test_topic_", build)
+    assert d3 != d1 and len(calls) == 2
+
+    # in-place rewrite (different content + mtime) invalidates
+    shutil.rmtree(src)
+    spark.range(20).write.parquet(str(src))
+    d4 = cached_topic(spark.read.parquet(str(src)), "test", "bdts_test_topic_", build)
+    assert d4 != d1 and len(calls) == 3
+
+    # memory-backed: builds EVERY call, never cached
+    mem = spark.createDataFrame([(1,)], "a bigint")
+    m1 = cached_topic(mem, "test", "bdts_test_topic_", build)
+    m2 = cached_topic(spark.createDataFrame([(2,)], "a bigint"), "test", "bdts_test_topic_", build)
+    assert m1 != m2 and len(calls) == 5
