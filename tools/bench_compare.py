@@ -1,0 +1,66 @@
+"""Compare two bench records with the environment normalized out.
+
+Raw cross-round medians drift 1.4-4x on load/clock changes (measured:
+round 6→7 drifted a uniform 1.4x on untouched code; a loaded-container
+round-9 run showed mm_binaryfile_ingest 2.5x faster than the clean
+record purely from page cache). Every record carries `env.cal_sec` —
+the median runtime of a fixed data-independent codegen kernel in the
+SAME session — so this tool reports each query's delta both raw and
+net of the cal ratio, and flags only the net movers. A flagged mover
+still needs an interleaved old-vs-new A/B in ONE session before it is
+claimed as a regression or a win; this tool tells you where to look.
+
+Usage:
+    python tools/bench_compare.py OLD.json NEW.json [--threshold 1.3]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if len(args) != 2:
+        sys.exit(__doc__)
+    thr = 1.3
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    old = json.load(open(args[0]))
+    new = json.load(open(args[1]))
+    cal_o = (old.get("env") or {}).get("cal_sec")
+    cal_n = (new.get("env") or {}).get("cal_sec")
+    cal_ratio = (cal_n / cal_o) if cal_o and cal_n else 1.0
+    qo, qn = old["queries"], new["queries"]
+    shared = sorted(set(qo) & set(qn))
+    so, sn = sum(qo[q] for q in shared), sum(qn[q] for q in shared)
+    print(
+        f"shared={len(shared)} total {so:.1f}s -> {sn:.1f}s ="
+        f" {sn / so:.2f}x raw, {sn / so / cal_ratio:.2f}x net of cal"
+        f" (cal {cal_o} -> {cal_n}, ratio {cal_ratio:.2f})"
+    )
+    movers = []
+    for q in shared:
+        raw = qn[q] / max(qo[q], 1e-9)
+        net = raw / cal_ratio
+        if net >= thr or net <= 1 / thr:
+            movers.append((net, raw, q))
+    movers.sort(reverse=True)
+    if not movers:
+        print(f"no query moved beyond {thr}x net of cal")
+        return
+    print(f"\nnet movers beyond {thr}x (verify with an interleaved A/B):")
+    print("|    net |    raw | query | old s | new s | old spread | new spread |")
+    for net, raw, q in movers:
+        sp_o = (old.get("spread") or {}).get(q, "")
+        sp_n = (new.get("spread") or {}).get(q, "")
+        print(
+            f"| {net:6.2f} | {raw:6.2f} | {q} | {qo[q]} | {qn[q]} |"
+            f" {sp_o} | {sp_n} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
