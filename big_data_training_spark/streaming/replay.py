@@ -63,12 +63,17 @@ _stream_lock = threading.Lock()
 # removed at process exit.
 _TOPIC_CACHE: dict[tuple, str] = {}
 _TOPIC_CACHE_MAX = 64
+# Evicted dirs are NOT deleted eagerly — a concurrent query may still
+# be streaming them — they retire here and are removed at exit.
+_RETIRED_TOPICS: list[str] = []
 
 
 def _cleanup_topic_cache() -> None:
     with _stream_lock:
         while _TOPIC_CACHE:
             shutil.rmtree(_TOPIC_CACHE.popitem()[1], ignore_errors=True)
+        while _RETIRED_TOPICS:
+            shutil.rmtree(_RETIRED_TOPICS.pop(), ignore_errors=True)
 
 
 import atexit  # noqa: E402
@@ -131,10 +136,9 @@ def cached_topic(df: DataFrame, label: str, prefix: str, build) -> str:
         raise
     with _stream_lock:
         if len(_TOPIC_CACHE) >= _TOPIC_CACHE_MAX:
-            # evict oldest (insertion order) — bounded disk for a
-            # long-lived driver sweeping many distinct fixtures
-            old = _TOPIC_CACHE.pop(next(iter(_TOPIC_CACHE)))
-            shutil.rmtree(old, ignore_errors=True)
+            # retire oldest (insertion order) — deleted at exit, not
+            # now: a concurrent query may still be streaming it
+            _RETIRED_TOPICS.append(_TOPIC_CACHE.pop(next(iter(_TOPIC_CACHE))))
         other = _TOPIC_CACHE.setdefault(key, topic)
     if other is not topic:
         # a concurrent builder won the race; keep one copy
