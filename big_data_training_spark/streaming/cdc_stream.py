@@ -33,7 +33,7 @@ from big_data_training_spark.streaming.replay import (
     cleanup_scratch,
     materialize,
     scratch_dir,
-    stream_session,
+    light_stream_session,
 )
 
 N_SEGMENTS = 4
@@ -137,9 +137,10 @@ def st_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     history_dir = scratch_dir("bdts_cdc_hist_")
     state_dir = scratch_dir("bdts_cdc_state_")
     ckpt = scratch_dir("bdts_cdc_ckpt_")
-    # Plans on a pinned-conf clone (streaming/replay.py stream_session)
-    # so the shared session's shuffle.partitions is never mutated.
-    ss = stream_session(spark)
+    # Plans on a pinned-conf clone so the shared session's
+    # shuffle.partitions is never mutated; LIGHT pin — ~25k rows per
+    # micro-batch (see replay.py's per-trigger-volume regime note).
+    ss = light_stream_session(spark)
     schema = spark.read.parquet(os.path.join(topic, "seg00.parquet")).schema
     stream = (
         ss.readStream.schema(schema)

@@ -100,11 +100,13 @@ def _write_id_segments(
 
 
 def _run_foreach_batch(spark: SparkSession, topic: str, apply) -> None:
-    # Plans on a pinned-conf clone (streaming/replay.py stream_session)
-    # so the shared session's shuffle.partitions is never mutated.
-    from big_data_training_spark.streaming.replay import stream_session
+    # Plans on a pinned-conf clone so the shared session's
+    # shuffle.partitions is never mutated; the LIGHT pin because these
+    # replays move ~25k rows per micro-batch (see replay.py's regime
+    # note — task startup dominates, fewer tasks win 15-20%).
+    from big_data_training_spark.streaming.replay import light_stream_session
 
-    ss = stream_session(spark)
+    ss = light_stream_session(spark)
     schema = spark.read.parquet(os.path.join(topic, "seg00.parquet")).schema
     stream = (
         ss.readStream.schema(schema)

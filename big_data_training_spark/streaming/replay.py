@@ -202,6 +202,27 @@ def stream_session(spark: SparkSession) -> SparkSession:
     )
 
 
+# Streaming plans get NO AQE partition coalescing, so the shuffle pin
+# must match the per-micro-batch data volume by hand. Two measured
+# regimes: Python-state operators (applyInPandasWithState — w6) are
+# compute-bound and want one task per core-group (pin 16 measured
+# optimal: 2=26.4s, 4=16.9s, 16=12.2s, 32=14.6s at sf0.1); tiny
+# foreachBatch segment replays (~25k rows/batch) are task-startup-bound
+# and want FEWER tasks (interleaved sweep at sf0.1: pin 4 beats 16 by
+# 15-20% on st_cms/st_path_trigrams/st_ewma). At cluster scale the
+# same rule holds with bigger numbers: size the pin to per-trigger
+# volume, not to the executor count.
+_LIGHT_STREAM_SHUFFLE_PARTITIONS = "4"
+
+
+def light_stream_session(spark: SparkSession) -> SparkSession:
+    """Streaming clone for small-per-batch foreachBatch replays."""
+    return pinned_clone(
+        spark,
+        {"spark.sql.shuffle.partitions": _LIGHT_STREAM_SHUFFLE_PARTITIONS},
+    )
+
+
 def _sync_listeners(parent: SparkSession, clone: SparkSession) -> None:
     """Make the clone's JVM listener set equal the parent's (add missing,
     drop removed) so lifecycle events reach listeners registered on the
