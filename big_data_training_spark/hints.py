@@ -145,12 +145,22 @@ def _decoded_bytes_per_row(path: str, column: str) -> float:
     if key not in _DECODED_RATE_CACHE:
         import pyarrow.parquet as pq
 
-        f = pq.ParquetFile(paths[0])
-        if f.metadata.num_row_groups == 0 or f.metadata.num_rows == 0:
-            _DECODED_RATE_CACHE[key] = 0.0
-        else:
-            tbl = f.read_row_group(0, columns=[column])
-            _DECODED_RATE_CACHE[key] = tbl.nbytes / max(tbl.num_rows, 1)
+        # first part file with rows, not paths[0] blindly: an empty
+        # leading part (zero row groups) would cache 0.0 and silently
+        # no-op the decoded-width floor for the whole table
+        rate = 0.0
+        for p in paths:
+            f = pq.ParquetFile(p)
+            if f.metadata.num_row_groups == 0 or f.metadata.num_rows == 0:
+                continue
+            for rg in range(f.metadata.num_row_groups):
+                if f.metadata.row_group(rg).num_rows > 0:
+                    tbl = f.read_row_group(rg, columns=[column])
+                    rate = tbl.nbytes / max(tbl.num_rows, 1)
+                    break
+            if rate > 0.0:
+                break
+        _DECODED_RATE_CACHE[key] = rate
     return _DECODED_RATE_CACHE[key]
 
 

@@ -202,6 +202,25 @@ import_errors: dict[str, str] = {}
 _DRIVER_PRIORITY: tuple[str, ...] = ()
 
 _DRIVER_CERTIFIED: frozenset[str] = frozenset({
+    # round-10 rows (CORRECTNESS_r10.json, 50 names, all hash-green).
+    'ab_cuped_variance_reduction', 'ab_mean_diff_ztest', 'ab_sprt_sequential',
+    'ab_ucb1_scores', 'agg_exact_quantile_twophase', 'apx_capture_recapture',
+    'apx_ecdf_dkw_band', 'apx_event_share_ci', 'apx_sampled_revenue_ci',
+    'cal_business_day_wait', 'cep_vshape_patterns', 'dp_laplace_noised_counts',
+    'dp_randomized_response', 'dq_benford_deviation',
+    'dq_erasure_cascade_audit', 'er_blocked_editdist',
+    'ev_attribution_shapley', 'ev_auc_mannwhitney', 'ev_kaplan_meier',
+    'ev_ks_statistic', 'ev_pr_curve', 'f_base64_hex_roundtrip',
+    'fe_feature_hashing', 'fe_negative_sampling', 'fe_oof_target_encode',
+    'fe_string_indexer', 'gr_deterministic_walks', 'gr_ktruss_peel',
+    'gr_walk_skipgrams', 'lm_heaps_exponent', 'lm_nb_class_profile',
+    'lm_nb_class_stats', 'lm_nb_confusion', 'ml_conformal_coverage',
+    'ml_reliability_bins', 'mm_gif_bmp_header_parse', 'pm_eventually_follows',
+    'pm_transition_wait', 's8_fixed_width_roundtrip',
+    'sim_dim_truncation_recall', 'st_auc_stream', 'st_conformal_stream',
+    'st_nb_classify_stream', 'syn_haar_histogram', 'ts_sax_motifs',
+    'wl_cohen_kappa', 'wl_lf_diagnostics', 'wl_lf_loo_accuracy',
+    'wl_majority_vote', 'wl_weighted_vote',
     # round-9 rows (CORRECTNESS_r09.json, 50 names, all hash-green).
     'agg_winsorized_stats', 'cdc_net_effect', 'dd_prefix_filter_join',
     'dq_column_entropy', 'dq_generalization_mask', 'dq_independence_cells',

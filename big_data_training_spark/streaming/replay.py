@@ -95,7 +95,13 @@ def _topic_key(df: DataFrame, label: str) -> tuple:
             fresh.append((uri, st.st_size, st.st_mtime_ns))
         except OSError:
             fresh.append((uri, -1, -1))
-    plan = df._jdf.queryExecution().analyzed().canonicalized().toString()
+    # semanticHash is computed over the full canonicalized tree — unlike
+    # toString(), it does not truncate field lists at
+    # spark.sql.debug.maxToStringFields, so two >25-column derivations of
+    # the same files can never alias one key. The schema DDL string is a
+    # cheap non-truncating second factor.
+    canon = df._jdf.queryExecution().analyzed().canonicalized()
+    plan = (canon.semanticHash(), df.schema.simpleString())
     return (plan, tuple(fresh), label)
 
 
@@ -139,12 +145,17 @@ def cached_topic(df: DataFrame, label: str, prefix: str, build) -> str:
             # retire oldest (insertion order) — deleted at exit, not
             # now: a concurrent query may still be streaming it
             _RETIRED_TOPICS.append(_TOPIC_CACHE.pop(next(iter(_TOPIC_CACHE))))
-        other = _TOPIC_CACHE.setdefault(key, topic)
-    if other is not topic:
-        # a concurrent builder won the race; keep one copy
-        shutil.rmtree(topic, ignore_errors=True)
-        return other
-    return topic
+        other = _TOPIC_CACHE.get(key)
+        if other is None or not os.path.isdir(other):
+            # first build, or the cached dir was deleted externally (tmp
+            # cleaner in a long-lived driver): install the fresh build,
+            # retiring any stale path, so the stale entry can never be
+            # handed back after its directory vanished
+            _TOPIC_CACHE[key] = topic
+            return topic
+    # a concurrent builder won the race with a LIVE directory; keep one copy
+    shutil.rmtree(topic, ignore_errors=True)
+    return other
 
 # Streaming state operators get one task (and for Python-state ops one
 # Python worker) per shuffle partition with no AQE coalescing — under an

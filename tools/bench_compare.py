@@ -21,13 +21,26 @@ import sys
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # consume --threshold's VALUE token too, so the documented
+    # space-separated form `--threshold 1.3` does not land the value in
+    # the positional list and trip the usage exit
+    argv = sys.argv[1:]
+    args: list[str] = []
+    thr = 1.3
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--threshold"):
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            else:
+                i += 1
+                thr = float(argv[i])
+        elif not a.startswith("--"):
+            args.append(a)
+        i += 1
     if len(args) != 2:
         sys.exit(__doc__)
-    thr = 1.3
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
     old = json.load(open(args[0]))
     new = json.load(open(args[1]))
     cal_o = (old.get("env") or {}).get("cal_sec")
