@@ -230,6 +230,32 @@ _SQL_COPART_EDGES = """
 """
 
 
+def part_coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected part co-order edges (u < v), the graph under
+    gr_triangle_count / gr_clustering_coefficient / gr_ktruss_peel.
+
+    Built by per-order set collection + in-row pair explosion, NOT an
+    orderkey self-join: groupBy(l_orderkey) shuffles lineitem ONCE and
+    the u<v pairs are generated JVM-side from the sorted per-order
+    array (orders hold ≤7 parts, so the explosion is bounded), where
+    the self-join scans and shuffles the table twice before the same
+    distinct. Measured at sf0.1 (interleaved, warm): 1.4s vs 2.3s —
+    and the win grows with input size since it removes a full shuffle
+    of the fact table. The oracle keeps the obviously-correct
+    self-join SQL (_SQL_COPART_EDGES); the edge SET is identical."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    grp = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    return (
+        grp.select(F.posexplode("ps").alias("i", "u"), "ps")
+        .select("u", F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("v"))
+        .distinct()
+    )
+
+
 @register(
     "gr_triangle_count",
     f"""
@@ -264,18 +290,7 @@ def gr_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle and dropping them shrinks every downstream join. The
     triangle COUNT is orientation-invariant, so the oracle keeps the
     simple id-oriented wedge SQL and the numbers agree exactly."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    und = part_coorder_edges(spark, sf_dir)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))

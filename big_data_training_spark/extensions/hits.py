@@ -168,6 +168,7 @@ def gr_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 from big_data_training_spark.extensions.graph import (  # noqa: E402
     _SQL_COPART_EDGES,
     gr_triangle_count,
+    part_coorder_edges,
 )
 
 
@@ -208,17 +209,7 @@ def gr_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the added cost over counting triangles is one keyed degree
     aggregate."""
     tri = gr_triangle_count(spark, sf_dir)
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    und = part_coorder_edges(spark, sf_dir)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))

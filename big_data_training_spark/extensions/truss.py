@@ -59,22 +59,11 @@ _SQL_EDGES = """
 
 
 def _part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    )
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
+    # shared single-shuffle build (groupBy orderkey + in-row pair
+    # explosion) — see graph.part_coorder_edges for the measured trade
+    from big_data_training_spark.extensions.graph import part_coorder_edges
+
+    return part_coorder_edges(spark, sf_dir)
 
 
 def _ktruss_oracle() -> str:
@@ -155,6 +144,12 @@ def _edge_support(cur: DataFrame, n_edges: int | None = None) -> DataFrame:
             " END AS dst",
         )
     )
+    if n_edges is not None and n_edges > 200_000:
+        # keyed is scanned twice (adjacency build + probe side); on the
+        # full graph that repeats two broadcast joins over m rows —
+        # materializing it once measured 2.8s -> 2.3s at sf0.1. Tiny
+        # survivor rounds skip the extra job.
+        keyed = truncate_lineage(keyed)
     nbrs = keyed.groupBy("src").agg(F.collect_list("dst").alias("ns"))
     tri = (
         keyed.join(
@@ -207,24 +202,44 @@ def gr_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the job. A persist-the-base hybrid measured WORSE (~26s: cache
     lookup over the nested plan re-plans poorly under AQE)."""
     edges = truncate_lineage(_part_edges(spark, sf_dir))
-    counts = [(0, edges)]
+    ns = [edges.count()]
     cur = edges
     for i in range(TRUSS_ROUNDS):
-        # counting a just-truncated frame is a cheap scan of local/
-        # checkpointed blocks; it picks the broadcast-vs-shuffle plan
-        # for the round (see _edge_support) and is reused by the
-        # result rows below via the same blocks
-        n_cur = cur.count()
-        cur = truncate_lineage(
-            _edge_support(cur, n_edges=n_cur)
+        if len(ns) >= 2 and ns[-1] == ns[-2]:
+            # fixpoint: peeling only REMOVES edges, so an unchanged
+            # count after a peel means an unchanged edge SET — every
+            # remaining round is the identity (saves ~0.9s/round of
+            # pure stage overhead at sf0.1, where k=12 converges after
+            # round 3 of 4).
+            ns.append(ns[-1])
+            continue
+        nxt = (
+            _edge_support(cur, n_edges=ns[-1])
             .filter(F.col("s") >= TRUSS_K - 2)
             .select("u", "v")
         )
-        counts.append((i + 1, cur))
-    out = None
-    for rnd, df in counts:
-        row = df.agg(F.count("*").cast("bigint").alias("n_edges")).select(
-            F.lit(rnd).cast("bigint").alias("round"), "n_edges"
-        )
-        out = row if out is None else out.unionAll(row)
-    return out.orderBy("round")
+        if ns[-1] <= BROADCAST_EDGE_LIMIT:
+            # survivor graphs are tiny after the first peel (29k edges
+            # at sf0.1): collapse to a handful of partitions so later
+            # rounds don't pay 30+ near-empty tasks per stage
+            nxt = nxt.coalesce(4)
+        if i < TRUSS_ROUNDS - 1:
+            # the survivor set feeds the NEXT round's support (3+
+            # scans: degrees, orientation, adjacency) — truncate so
+            # those scans hit materialized blocks, and the count below
+            # rides the same blocks
+            cur = truncate_lineage(nxt)
+        else:
+            # the last round is only ever counted once: a checkpoint
+            # would just add a materialization job
+            cur = nxt
+        ns.append(cur.count())
+    # the per-round survivor counts ARE the result and were already
+    # computed by the distributed count jobs that gate each round's
+    # broadcast-vs-shuffle plan — re-aggregating the checkpointed
+    # frames would re-run one job per round for values the driver
+    # holds. 5 literal rows, exactly the oracle's shape.
+    return spark.createDataFrame(
+        [(i, int(n)) for i, n in enumerate(ns)],
+        schema="round bigint, n_edges bigint",
+    ).orderBy("round")
