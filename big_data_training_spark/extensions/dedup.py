@@ -23,6 +23,7 @@ bucket. The signature computation itself is a pure map — linear scan.
 
 from __future__ import annotations
 
+import os
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -142,22 +143,52 @@ def _hashed_shingle_batches(batches):
         )
 
 
-def _hashed_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Exact-audit corpus contract. The quadratic inverted-index self-joins
+# (dd_ngram_jaccard_pairs, dd_containment_pairs) and the recall audit
+# built on them (dd_lsh_recall_report) are AUDITS: even with the
+# NGRAM_DF_CAP skew guard their cost is O(cap² · shingles), so at
+# 100 TB they run on a deterministic hash-sample of the corpus — LSH
+# stays the only full-corpus near-dup path. pmod(xxhash64(doc_id), 100)
+# < pct keeps a stable, rerun-reproducible sample (same docs every run,
+# no RNG). Default 100 = audit the whole corpus at test scale: the
+# sample filter is omitted entirely, so plans and DuckDB-oracle parity
+# are byte-identical to the uncontracted query. A cluster run sets
+# SPARK_GRAFT_EXACT_AUDIT_SAMPLE_PCT (e.g. 1) to make audit cost
+# corpus-size-free; the oracle comparison is then against the same
+# sampled universe by construction (both sides filter identically only
+# when the knob is default — the knob is an OPERATIONS contract, not a
+# test-scale mode).
+EXACT_AUDIT_SAMPLE_PCT = int(
+    os.environ.get("SPARK_GRAFT_EXACT_AUDIT_SAMPLE_PCT", "100")
+)
+
+
+def _hashed_shingle_pairs(
+    spark: SparkSession, sf_dir: str, sample_pct: int | None = None
+) -> DataFrame:
     """Distinct (doc_id, shingle-hash) pairs — the inverted-index input
-    shared by the Jaccard and containment miners. Shuffle-free scan."""
+    shared by the Jaccard and containment miners. Shuffle-free scan.
+    ``sample_pct`` applies the exact-audit hash-sample contract before
+    shingling (None/100 = no filter in the plan)."""
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
+    if sample_pct is not None and sample_pct < 100:
+        docs = docs.filter(
+            F.pmod(F.xxhash64("doc_id"), F.lit(100)) < F.lit(sample_pct)
+        )
     return docs.select("doc_id", "text").mapInPandas(
         _hashed_shingle_batches, "doc_id bigint, h bigint"
     )
 
 
-def _capped_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _capped_inverted_index(
+    spark: SparkSession, sf_dir: str, sample_pct: int | None = None
+) -> DataFrame:
     """(doc_id, h, dc) with boilerplate shingles (df > NGRAM_DF_CAP)
     removed — the skew-proof inverted index the exact-audit self-joins
     run on. ``dc`` (the shingle's document frequency) rides along so
     callers can add the df >= 2 join-input filter without a second
     aggregation."""
-    inv0 = _hashed_shingle_pairs(spark, sf_dir)
+    inv0 = _hashed_shingle_pairs(spark, sf_dir, sample_pct=sample_pct)
     dfreq = (
         inv0.groupBy("h")
         .agg(F.count("*").alias("dc"))
@@ -261,7 +292,11 @@ def dd_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs), and shingles seen in only one doc (cannot produce a pair).
     Set sizes are computed over the capped universe so Jaccard stays
     internally consistent; one df aggregation feeds both filters."""
-    inv1 = _cache_tracked(_capped_inverted_index(spark, sf_dir))
+    inv1 = _cache_tracked(
+        _capped_inverted_index(
+            spark, sf_dir, sample_pct=EXACT_AUDIT_SAMPLE_PCT
+        )
+    )
     inv = inv1.filter(F.col("dc") >= 2).select("doc_id", "h")
     a = inv.alias("a")
     b = inv.alias("b")
@@ -713,7 +748,11 @@ def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs. Reuses the hashed inverted-index blocking (same shuffle shape
     as the Jaccard join: only co-occurring docs ever pair) including the
     NGRAM_DF_CAP boilerplate-shingle guard."""
-    inv1 = _cache_tracked(_capped_inverted_index(spark, sf_dir))
+    inv1 = _cache_tracked(
+        _capped_inverted_index(
+            spark, sf_dir, sample_pct=EXACT_AUDIT_SAMPLE_PCT
+        )
+    )
     inv = inv1.filter(F.col("dc") >= 2).select("doc_id", "h")
     a = inv.alias("a")
     b = inv.alias("b")

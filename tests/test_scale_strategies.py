@@ -767,3 +767,28 @@ def test_reliable_checkpoint_refuses_nonlocal_tempdir(spark, monkeypatch):
 
     with _pytest.raises(RuntimeError, match="shared storage"):
         lineage.truncate_lineage(_FakeDF())
+
+
+def test_exact_audit_sample_contract(spark, sf_dir):
+    """The quadratic exact audits carry a sampled-corpus contract: with
+    the knob at its default (100) the plan has NO sample filter (oracle
+    parity untouched), and with pct < 100 the audit runs on a strict,
+    deterministic hash-subset of the corpus — pairs from the sampled
+    run are a subset of the full run's pairs."""
+    from big_data_training_spark.extensions import dedup
+
+    full = dedup._hashed_shingle_pairs(spark, sf_dir)
+    assert "pmod" not in full._jdf.queryExecution().analyzed().toString().lower()
+
+    sampled = dedup._hashed_shingle_pairs(spark, sf_dir, sample_pct=40)
+    docs_full = {r[0] for r in full.select("doc_id").distinct().collect()}
+    docs_s1 = {r[0] for r in sampled.select("doc_id").distinct().collect()}
+    docs_s2 = {
+        r[0]
+        for r in dedup._hashed_shingle_pairs(spark, sf_dir, sample_pct=40)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert docs_s1 == docs_s2  # deterministic, rerun-stable
+    assert docs_s1 < docs_full  # strict subset at 40%
