@@ -187,6 +187,9 @@ _OPERATOR_MODULES = (
     # unchanged; re-confirmed via driver_sim after each batch).
     "extensions.weaklabel",
     "operators.calibration",
+    # round-11 additions (END-registered: driver slice composition
+    # unchanged; re-confirmed via driver_sim after each batch).
+    "functions.sqlsurface",
 )
 
 import_errors: dict[str, str] = {}
