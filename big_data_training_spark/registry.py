@@ -190,6 +190,7 @@ _OPERATOR_MODULES = (
     # round-11 additions (END-registered: driver slice composition
     # unchanged; re-confirmed via driver_sim after each batch).
     "functions.sqlsurface",
+    "operators.windows_adv",
 )
 
 import_errors: dict[str, str] = {}
