@@ -191,6 +191,7 @@ _OPERATOR_MODULES = (
     # unchanged; re-confirmed via driver_sim after each batch).
     "functions.sqlsurface",
     "operators.windows_adv",
+    "operators.stattests",
 )
 
 import_errors: dict[str, str] = {}
