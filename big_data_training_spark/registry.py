@@ -192,6 +192,7 @@ _OPERATOR_MODULES = (
     "functions.sqlsurface",
     "operators.windows_adv",
     "operators.stattests",
+    "operators.mlclosed",
 )
 
 import_errors: dict[str, str] = {}
