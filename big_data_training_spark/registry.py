@@ -193,6 +193,7 @@ _OPERATOR_MODULES = (
     "operators.windows_adv",
     "operators.stattests",
     "operators.mlclosed",
+    "operators.marketdata",
 )
 
 import_errors: dict[str, str] = {}
