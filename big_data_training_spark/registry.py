@@ -194,6 +194,7 @@ _OPERATOR_MODULES = (
     "operators.stattests",
     "operators.mlclosed",
     "operators.marketdata",
+    "operators.concentration",
 )
 
 import_errors: dict[str, str] = {}
