@@ -195,6 +195,7 @@ _OPERATOR_MODULES = (
     "operators.mlclosed",
     "operators.marketdata",
     "operators.concentration",
+    "operators.procvariants",
 )
 
 import_errors: dict[str, str] = {}
