@@ -196,6 +196,7 @@ _OPERATOR_MODULES = (
     "operators.marketdata",
     "operators.concentration",
     "operators.procvariants",
+    "extensions.cooccur",
 )
 
 import_errors: dict[str, str] = {}
