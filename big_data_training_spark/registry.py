@@ -197,6 +197,7 @@ _OPERATOR_MODULES = (
     "operators.concentration",
     "operators.procvariants",
     "extensions.cooccur",
+    "extensions.textir",
 )
 
 import_errors: dict[str, str] = {}
