@@ -198,6 +198,7 @@ _OPERATOR_MODULES = (
     "operators.procvariants",
     "extensions.cooccur",
     "extensions.textir",
+    "extensions.privacy2",
 )
 
 import_errors: dict[str, str] = {}
