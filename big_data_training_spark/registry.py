@@ -199,6 +199,8 @@ _OPERATOR_MODULES = (
     "extensions.cooccur",
     "extensions.textir",
     "extensions.privacy2",
+    "operators.abdesign",
+    "extensions.sampledesign",
 )
 
 import_errors: dict[str, str] = {}
