@@ -107,6 +107,96 @@ def _prefix_candidates(inv1: DataFrame) -> DataFrame:
     )
 
 
+# Candidate-volume crossover for auto-selecting the join strategy.
+# Measured (tools/probe_ppjoin_scale.py, round-10 clean record): the
+# full-index join wins at ~226 candidates/doc (prefix 0.65x — the
+# window ordering costs more than the pruning saves) and the prefix
+# filter wins 2.9x at ~1.6k candidates/doc; today's 4x point
+# (~1.2k/doc) also favors prefix. The crossover sits between, so the
+# gate flips at 512 candidates/doc — one cheap aggregate over the
+# already-built inverted index decides, no candidate is ever
+# materialized to decide.
+PPJOIN_CAND_PER_DOC_CROSSOVER = 512
+
+
+def candidate_pairs_adaptive(inv1: DataFrame) -> DataFrame:
+    """Candidate pairs via whichever strategy the df-statistics gate
+    predicts is faster: the estimated full-index candidate volume is
+    EXACT (Σ_h dc·(dc−1)/2 — dc rides on the index), so the per-doc
+    candidate load is known before any join runs; above the measured
+    crossover the prefix filter pays for its per-doc window, below it
+    the plain index join is cheaper. Both branches return the
+    identical pair SET (the prefix theorem guarantees supersets of
+    true pairs; candidates differ, matches do not — callers filter by
+    similarity afterwards)."""
+    # scalar plan-statistics fetch (one row, same class as the .count()
+    # gates in extensions/truss.py) — NOT a data collect
+    row = (
+        inv1.groupBy("h")
+        .agg(F.max("dc").alias("dc"))
+        .agg(
+            F.sum(F.expr("dc * (dc - 1) div 2")).alias("v_full"),
+        )
+        .crossJoin(inv1.agg(F.countDistinct("doc_id").alias("n_docs")))
+        .selectExpr("v_full div greatest(n_docs, 1) AS cand_per_doc")
+        .first()
+    )
+    if row["cand_per_doc"] > PPJOIN_CAND_PER_DOC_CROSSOVER:
+        return _prefix_candidates(inv1)
+    return _index_candidates(inv1)
+
+
+@register(
+    "dd_ppjoin_strategy_gate",
+    _dedup._SQL_JACCARD_PAIRS_CTES
+    + f"""
+    , vol AS (
+        SELECT CAST(sum(dc * (dc - 1) // 2) AS BIGINT) AS v_full
+        FROM dfreq WHERE dc <= {_dedup.NGRAM_DF_CAP}
+    ),
+    docs_ AS (
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM capped
+    )
+    SELECT v_full, n_docs,
+           CAST(v_full // greatest(n_docs, 1) AS BIGINT) AS cand_per_doc,
+           CAST({PPJOIN_CAND_PER_DOC_CROSSOVER} AS BIGINT) AS crossover,
+           CASE WHEN v_full // greatest(n_docs, 1)
+                     > {PPJOIN_CAND_PER_DOC_CROSSOVER}
+                THEN 'prefix' ELSE 'index' END AS strategy
+    FROM vol, docs_
+    """,
+    doc="PPJoin strategy gate: exact candidate-volume statistics and"
+    " the index-vs-prefix decision at the measured crossover",
+)
+def dd_ppjoin_strategy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The auto-selection audit: Σ_h dc·(dc−1)/2 over the capped
+    inverted index IS the full-index candidate count (with
+    multiplicity) — computable from one df aggregate before any join.
+    The released row shows the volume, the per-doc load, the measured
+    crossover, and which strategy candidate_pairs_adaptive would run.
+    At 100 TB this query is the planning step: the same statistics the
+    LSH band sweep logs, one scan, no candidates materialized."""
+    inv1 = _dedup._cache_tracked(
+        _dedup._capped_inverted_index(spark, sf_dir)
+    )
+    vol = (
+        inv1.groupBy("h")
+        .agg(F.max("dc").alias("dc"))
+        .agg(F.sum(F.expr("dc * (dc - 1) div 2")).cast("bigint").alias("v_full"))
+    )
+    docs_ = inv1.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    return vol.crossJoin(F.broadcast(docs_)).selectExpr(
+        "v_full",
+        "n_docs",
+        "CAST(v_full div greatest(n_docs, 1) AS BIGINT) AS cand_per_doc",
+        f"CAST({PPJOIN_CAND_PER_DOC_CROSSOVER} AS BIGINT) AS crossover",
+        f"CASE WHEN v_full div greatest(n_docs, 1)"
+        f" > {PPJOIN_CAND_PER_DOC_CROSSOVER}"
+        f" THEN 'prefix' ELSE 'index' END AS strategy",
+    )
+
+
 def _index_candidates(inv1: DataFrame) -> DataFrame:
     """Candidate pairs from the FULL capped inverted index — the
     baseline the prefix filter is measured against."""

@@ -201,6 +201,7 @@ _OPERATOR_MODULES = (
     "extensions.privacy2",
     "operators.abdesign",
     "extensions.sampledesign",
+    "extensions.encodings",
 )
 
 import_errors: dict[str, str] = {}

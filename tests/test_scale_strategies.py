@@ -792,3 +792,37 @@ def test_exact_audit_sample_contract(spark, sf_dir):
     }
     assert docs_s1 == docs_s2  # deterministic, rerun-stable
     assert docs_s1 < docs_full  # strict subset at 40%
+
+
+def test_ppjoin_gate_picks_index_at_test_scale(spark, sf_dir):
+    """The candidate-volume gate chooses the plain index join on the
+    test fixture (cand/doc far below the measured crossover) and would
+    flip to the prefix filter on a hot-df corpus — both branches
+    return supersets of the true pair set, so the choice is pure
+    performance."""
+    from pyspark.sql import functions as F
+
+    from big_data_training_spark.extensions import dedup, ppjoin
+
+    inv = dedup._capped_inverted_index(spark, sf_dir)
+    stats = (
+        inv.groupBy("h")
+        .agg(F.max("dc").alias("dc"))
+        .agg(F.sum(F.expr("dc * (dc - 1) div 2")).alias("v"))
+        .crossJoin(inv.agg(F.countDistinct("doc_id").alias("nd")))
+        .selectExpr("v div greatest(nd, 1) AS cpd")
+        .first()
+    )
+    assert stats["cpd"] <= ppjoin.PPJOIN_CAND_PER_DOC_CROSSOVER
+    # adaptive == index branch here, and its candidates are a superset
+    # of the prefix candidates' TRUE pairs by the PPJoin theorem; spot
+    # check set relationship on the fixture
+    adaptive = {
+        (r["doc_i"], r["doc_j"])
+        for r in ppjoin.candidate_pairs_adaptive(inv).collect()
+    }
+    prefix = {
+        (r["doc_i"], r["doc_j"])
+        for r in ppjoin._prefix_candidates(inv).collect()
+    }
+    assert prefix <= adaptive

@@ -69,13 +69,39 @@ def main() -> None:
                     runs.append(round(time.time() - t0, 2))
                 res[name] = (sorted(runs)[1], n_cand, runs)
             pn, ic = res["prefix"][1], res["index"][1]
+            # what would the auto-selection gate choose at this K?
+            from pyspark.sql import functions as F
+
+            from big_data_training_spark.extensions.ppjoin import (
+                PPJOIN_CAND_PER_DOC_CROSSOVER,
+            )
+
+            inv = _dedup._capped_inverted_index(spark, d)
+            stats = (
+                inv.groupBy("h")
+                .agg(F.max("dc").alias("dc"))
+                .agg(F.sum(F.expr("dc * (dc - 1) div 2")).alias("v"))
+                .crossJoin(inv.agg(F.countDistinct("doc_id").alias("nd")))
+                .selectExpr("v div greatest(nd, 1) AS cpd")
+                .first()
+            )
+            gate = (
+                "prefix"
+                if stats["cpd"] > PPJOIN_CAND_PER_DOC_CROSSOVER
+                else "index"
+            )
+            faster = (
+                "prefix" if res["prefix"][0] < res["index"][0] else "index"
+            )
             print(
                 f"K={k:2d} docs={5000 * k}:"
                 f" prefix median={res['prefix'][0]}s cands={pn}"
                 f" runs={res['prefix'][2]}"
                 f" | index median={res['index'][0]}s cands={ic}"
                 f" runs={res['index'][2]}"
-                f" | reduction={1000 * (ic - pn) // max(ic, 1)}‰",
+                f" | reduction={1000 * (ic - pn) // max(ic, 1)}‰"
+                f" | cand/doc={stats['cpd']} gate={gate}"
+                f" measured-faster={faster}",
                 flush=True,
             )
         finally:
