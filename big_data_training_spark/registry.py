@@ -202,6 +202,7 @@ _OPERATOR_MODULES = (
     "operators.abdesign",
     "extensions.sampledesign",
     "extensions.encodings",
+    "streaming.ohlc_stream",
 )
 
 import_errors: dict[str, str] = {}
