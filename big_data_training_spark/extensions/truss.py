@@ -166,11 +166,20 @@ def _edge_support(cur: DataFrame, n_edges: int | None = None) -> DataFrame:
             F.explode(F.array_intersect("ns_u", "ns_v")).alias("w"),
         )
     )
-    tri_edges = (
-        tri.selectExpr("src AS x", "dst AS y")
-        .unionAll(tri.selectExpr("src AS x", "w AS y"))
-        .unionAll(tri.selectExpr("dst AS x", "w AS y"))
-        .select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
+    # one generator pass credits all three member edges per triangle —
+    # a 3-way unionAll of tri would re-derive the (join + intersect +
+    # explode) subtree per branch on a cold plan (measured 4.9s vs
+    # 3.0s first-iteration at sf0.1; steady-state equal)
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("x"), F.col("dst").alias("y")),
+                F.struct(F.col("src").alias("x"), F.col("w").alias("y")),
+                F.struct(F.col("dst").alias("x"), F.col("w").alias("y")),
+            )
+        ).alias("p")
+    ).select(
+        F.least("p.x", "p.y").alias("u"), F.greatest("p.x", "p.y").alias("v")
     )
     return tri_edges.groupBy("u", "v").agg(F.count("*").alias("s"))
 
