@@ -218,6 +218,25 @@ import_errors: dict[str, str] = {}
 _DRIVER_PRIORITY: tuple[str, ...] = ()
 
 _DRIVER_CERTIFIED: frozenset[str] = frozenset({
+    # round-11 rows (CORRECTNESS_r11.json, 50 names, all hash-green).
+    'ab_beta_posterior', 'ab_power_sample_size', 'agg_trimmed_mean',
+    'apx_neyman_allocation', 'cal_iso_week_rollup', 'dd_ppjoin_strategy_gate',
+    'dp_exponential_mechanism', 'dp_gaussian_clipped_mean',
+    'er_token_blocking_pairs', 'ev_gini_coefficient',
+    'ev_herfindahl_concentration', 'ev_lorenz_deciles', 'f_bitwise_agg',
+    'f_higher_order_arrays', 'f_regexp_extract_all', 'f_sequence_explode',
+    'f_split_part', 'f_try_arithmetic', 'fe_woe_iv_binning', 'fin_max_drawdown',
+    'fin_ohlc_bars', 'fin_rolling_sharpe', 'fin_vwap_monthly',
+    'ix_query_likelihood_dirichlet', 'ml_decision_stump', 'ml_ece_calibration',
+    'ml_knn_classify', 'ml_lift_deciles', 'ml_linreg_normal_eq',
+    'ml_logreg_newton_univariate', 'ml_ridge_closed_form',
+    'pm_start_end_activities', 'pm_variant_frequency', 'rec_cooccur_npmi',
+    'rec_item_item_cosine', 'rec_user_jaccard_knn', 'sm_systematic_sample',
+    'st_ohlc_stream', 'stat_anova_oneway', 'stat_chi2_independence',
+    'stat_pearson_matrix', 'stat_spearman_corr', 'stat_welch_ttest',
+    'ts_bollinger_breakouts', 'ts_runs_test_daily', 'tx_syllable_complexity',
+    'tx_type_token_ratio', 'win_lag_lead_gaps', 'win_ntile_percentiles',
+    'win_range_frame_sum',
     # round-10 rows (CORRECTNESS_r10.json, 50 names, all hash-green).
     'ab_cuped_variance_reduction', 'ab_mean_diff_ztest', 'ab_sprt_sequential',
     'ab_ucb1_scores', 'agg_exact_quantile_twophase', 'apx_capture_recapture',
@@ -402,6 +421,46 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
 })
 
 
+# Re-certification rotation (round 12+): with all 497 pre-round-12 names
+# driver-certified, the driver's fixed-size slice would otherwise only ever
+# see brand-new queries. To guard against silent drift on old code, certified
+# names are re-queued OLDEST certification round first — round-1/2 names have
+# ~10 rounds of code evolution behind their green rows. ``all_queries()``
+# orders: priority, never-certified (registration order), then certified in
+# the order their certifying round appears in ``_DRIVER_CERTIFIED``'s
+# round-grouped literal REVERSED (oldest round first, registration order
+# within a round). After each round, fold the new CORRECTNESS names into
+# ``_DRIVER_CERTIFIED`` and append the re-greened names' round marker below.
+_ROUND_OF: dict[str, int] = {}
+
+
+def _round_markers() -> dict[str, int]:
+    """Map each certified name to its certifying round for rotation order.
+
+    Derived from the round-grouped blocks of ``_DRIVER_CERTIFIED``'s source
+    literal would be fragile; instead the blocks are re-declared here as
+    (round, names) in one place. Round 1/2's joint slice is round 2.
+    """
+    if _ROUND_OF:
+        return _ROUND_OF
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    for rnd in range(1, 99):
+        path = root / f"CORRECTNESS_r{rnd:02d}.json"
+        if not path.exists():
+            continue
+        try:
+            rows = json.loads(path.read_text())
+        except Exception:
+            continue
+        for name in rows:
+            # Latest green row wins: a re-certified name rotates to the back.
+            _ROUND_OF[name] = rnd
+    return _ROUND_OF
+
+
 def all_queries() -> dict[str, QuerySpec]:
     """Import every operator module (side effect: registration) and return
     the full name → QuerySpec map.
@@ -410,9 +469,10 @@ def all_queries() -> dict[str, QuerySpec]:
     queries (recorded in ``import_errors``, asserted empty by the test
     suite) instead of zeroing the whole registry for the driver.
 
-    Iteration order is deterministic: queries never yet certified by the
-    external driver come first (registration order), then the 50 names
-    already green in rounds 1-2 — see ``_DRIVER_CERTIFIED``.
+    Iteration order is deterministic: priority names first, then queries
+    never yet certified by the external driver (registration order), then
+    certified names ordered oldest-certifying-round first (the
+    re-certification rotation) — see ``_DRIVER_CERTIFIED``.
     """
     import importlib
     import traceback
@@ -429,5 +489,13 @@ def all_queries() -> dict[str, QuerySpec]:
         for n, s in _REGISTRY.items()
         if n not in _DRIVER_CERTIFIED and n not in priority
     }
-    certified = {n: s for n, s in _REGISTRY.items() if n in _DRIVER_CERTIFIED}
+    rounds = _round_markers()
+    reg_pos = {n: i for i, n in enumerate(_REGISTRY)}
+    certified = {
+        n: _REGISTRY[n]
+        for n in sorted(
+            (n for n in _REGISTRY if n in _DRIVER_CERTIFIED and n not in priority),
+            key=lambda n: (rounds.get(n, 0), reg_pos[n]),
+        )
+    }
     return {**priority, **unchecked, **certified}
