@@ -29,6 +29,17 @@ from big_data_training_spark.registry import all_queries
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ITERS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
 
+# Reference calibration-kernel runtime on an unloaded container: every
+# clean r10/r11 record measured 0.217-0.273 s (median ≈ 0.25), while the
+# load-contaminated BENCH_r11.json measured 1.026 s and its raw totals
+# read as a phantom 2.9x regression. All cal-adjusted numbers below scale
+# by (CAL_NORM_SEC / measured cal) so a loaded container cannot fake a
+# regression — compare `value_cal_adjusted` across rounds, not `value`.
+CAL_NORM_SEC = 0.25
+# A run whose cal exceeds this is flagged: its RAW numbers are ambient
+# load, not code, and should not be read per-query without adjustment.
+CAL_FLAG_RATIO = 1.5
+
 
 def _cpu_mhz() -> float | None:
     try:
@@ -102,6 +113,22 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Re-measure the calibration kernel AFTER the timed runs: ambient
+    # load that arrived mid-run shows up as cal_sec_end >> cal_sec, and
+    # the adjustment uses the mean of the two so a load ramp is split
+    # rather than ignored.
+    env["cal_sec_end"] = _calibration_sec(spark)
+    cal_mid = (env["cal_sec"] + env["cal_sec_end"]) / 2
+    cal_scale = CAL_NORM_SEC / cal_mid if cal_mid > 0 else 1.0
+    env["cal_flagged"] = cal_mid > CAL_FLAG_RATIO * CAL_NORM_SEC
+    if env["cal_flagged"]:
+        print(
+            f"# WARNING: calibration {cal_mid:.3f}s > "
+            f"{CAL_FLAG_RATIO}x norm {CAL_NORM_SEC}s — container is "
+            "loaded; read value_cal_adjusted, not value",
+            file=sys.stderr,
+        )
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Full detail (incl. min/max spread) goes to stderr for the repo's own
     # records; the driver only keeps the LAST ~2000 chars of stdout, so the
@@ -112,11 +139,16 @@ def main() -> None:
     payload = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
+        "value_cal_adjusted": round(sum(timings.values()) * cal_scale, 3),
+        "cal_norm_sec": CAL_NORM_SEC,
         "unit": "sec",
         "queries": timings,
         "iters": ITERS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "env": env,
+    }
+    queries_cal_adjusted = {
+        n: round(t * cal_scale, 3) for n, t in timings.items()
     }
     # Persist the FULL payload (every query + spread) in-repo BEFORE the
     # stdout trim below: the driver keeps only ~2000 chars of stdout, so
@@ -142,7 +174,9 @@ def main() -> None:
                 if (m := _re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f))
             ]
             rnd = (max(rounds) + 1) if rounds else 0
-        full = dict(payload, spread=spread)
+        full = dict(
+            payload, spread=spread, queries_cal_adjusted=queries_cal_adjusted
+        )
         with open(
             os.path.join(
                 repo, "docs", f"BENCH_FULL_r{rnd:02d}_{int(time.time())}.json"

@@ -148,19 +148,77 @@ def _hashed_shingle_batches(batches):
 # built on them (dd_lsh_recall_report) are AUDITS: even with the
 # NGRAM_DF_CAP skew guard their cost is O(cap² · shingles), so at
 # 100 TB they run on a deterministic hash-sample of the corpus — LSH
-# stays the only full-corpus near-dup path. pmod(xxhash64(doc_id), 100)
-# < pct keeps a stable, rerun-reproducible sample (same docs every run,
-# no RNG). Default 100 = audit the whole corpus at test scale: the
-# sample filter is omitted entirely, so plans and DuckDB-oracle parity
-# are byte-identical to the uncontracted query. A cluster run sets
+# stays the only full-corpus near-dup path. hash60(doc_id) % 100 < pct
+# keeps a stable, rerun-reproducible sample (same docs every run, no
+# RNG) — the md5-derived hash60, NOT Spark's xxhash64, so the predicate
+# is engine-portable and the SAME docs are sampled by Spark and the
+# DuckDB oracle (the knob is threaded into the exact-audit oracle CTEs
+# below); oracle parity therefore holds for ANY knob value, not just
+# the default (ADVICE r11 #2: xxhash64 sampling had no oracle twin, so
+# a gate run with the knob set reported spurious failures). Default
+# 100 = audit the whole corpus at test scale: the sample filter is
+# omitted entirely on both sides, so plans and oracle strings are
+# byte-identical to the uncontracted query. A cluster run sets
 # SPARK_GRAFT_EXACT_AUDIT_SAMPLE_PCT (e.g. 1) to make audit cost
-# corpus-size-free; the oracle comparison is then against the same
-# sampled universe by construction (both sides filter identically only
-# when the knob is default — the knob is an OPERATIONS contract, not a
-# test-scale mode).
+# corpus-size-free; leaving it unset past EXACT_AUDIT_MAX_UNSAMPLED_DOCS
+# documents raises a visible warning (the quadratic-ish audit should
+# never run unsampled by accident at corpus scale).
 EXACT_AUDIT_SAMPLE_PCT = int(
     os.environ.get("SPARK_GRAFT_EXACT_AUDIT_SAMPLE_PCT", "100")
 )
+EXACT_AUDIT_MAX_UNSAMPLED_DOCS = 5_000_000
+
+_SAMPLE_PRED_DUCK = (
+    f"{sql_hash60('CAST(doc_id AS VARCHAR)')} % 100"
+    f" < {EXACT_AUDIT_SAMPLE_PCT}"
+)
+_SAMPLE_WHERE_DUCK = (
+    "" if EXACT_AUDIT_SAMPLE_PCT >= 100 else f" WHERE {_SAMPLE_PRED_DUCK}"
+)
+
+# Sampled twin of _SQL_SHINGLES_CTE for the exact-audit oracles only
+# (the MinHash/LSH oracles keep the unsampled CTE — LSH is the
+# full-corpus path). Byte-identical to the unsampled CTE at the
+# default knob.
+_SQL_SHINGLES_SAMPLED_CTE = f"""
+    WITH toks AS (
+        SELECT doc_id, {SQL_TOKENS.format(col='text')} AS ws
+        FROM documents{_SAMPLE_WHERE_DUCK}
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(ws[i:i+{SHINGLE_K - 1}], ' ')
+                              for i in generate_series(1, len(ws) - {SHINGLE_K} + 1)]) AS shingles
+        FROM toks WHERE len(ws) >= {SHINGLE_K}
+    )
+"""
+
+_audit_doc_counts: dict[str, int] = {}
+
+
+def _warn_if_unsampled_at_scale(
+    spark: SparkSession, sf_dir: str, sample_pct: int | None
+) -> None:
+    """One-line guard (VERDICT r11 #6): an exact audit over more than
+    EXACT_AUDIT_MAX_UNSAMPLED_DOCS documents with the sample knob unset
+    is almost certainly an operational mistake — warn loudly. The
+    count-star is parquet-footer-only and cached per fixture dir."""
+    if sample_pct is not None and sample_pct < 100:
+        return
+    if sf_dir not in _audit_doc_counts:
+        _audit_doc_counts[sf_dir] = load_table(
+            spark, sf_dir, "documents"
+        ).count()
+    n = _audit_doc_counts[sf_dir]
+    if n > EXACT_AUDIT_MAX_UNSAMPLED_DOCS:
+        import warnings
+
+        warnings.warn(
+            f"exact dedup audit over {n} documents with no sample "
+            "contract: set SPARK_GRAFT_EXACT_AUDIT_SAMPLE_PCT (< 100) — "
+            "the inverted-index self-join is O(cap^2 * shingles) and "
+            "should be run on a hash-sample at corpus scale",
+            stacklevel=3,
+        )
 
 
 def _hashed_shingle_pairs(
@@ -170,10 +228,17 @@ def _hashed_shingle_pairs(
     shared by the Jaccard and containment miners. Shuffle-free scan.
     ``sample_pct`` applies the exact-audit hash-sample contract before
     shingling (None/100 = no filter in the plan)."""
+    _warn_if_unsampled_at_scale(spark, sf_dir, sample_pct)
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     if sample_pct is not None and sample_pct < 100:
+        # engine-portable hash60 sample — the SAME predicate is threaded
+        # into the exact-audit oracle CTEs, so Spark and DuckDB audit an
+        # identical sampled universe at any knob value.
         docs = docs.filter(
-            F.pmod(F.xxhash64("doc_id"), F.lit(100)) < F.lit(sample_pct)
+            F.expr(
+                f"{hash60_expr('CAST(doc_id AS STRING)')} % 100"
+                f" < {sample_pct}"
+            )
         )
     return docs.select("doc_id", "text").mapInPandas(
         _hashed_shingle_batches, "doc_id bigint, h bigint"
@@ -243,8 +308,11 @@ def dd_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # CTE chain ending in `pairs(doc_i, doc_j, jaccard)` — shared by the
 # pair query and the connected-components clustering oracle below.
+# Built on the SAMPLED shingles CTE: the exact-audit queries carry the
+# hash-sample contract (byte-identical to the unsampled CTE at the
+# default knob).
 _SQL_JACCARD_PAIRS_CTES = (
-    _SQL_SHINGLES_CTE
+    _SQL_SHINGLES_SAMPLED_CTE
     + f"""
     , hsh AS (
         SELECT doc_id,
@@ -581,6 +649,7 @@ _LSH_PAIRS_SQL_BODY = f"""
     FROM scored WHERE est_jaccard >= {MINHASH_TAU}
     """,
     doc="dedup decision: materialized drop-list (keep lowest doc_id per near-dup pair)",
+    bench=True,
 )
 def dd_droplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipeline's actionable output: every doc that loses a near-dup
@@ -846,7 +915,7 @@ def dd_minhash_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored WHERE est_jaccard >= {MINHASH_TAU}
     ), hsh AS (
         SELECT doc_id, list_distinct([{sql_hash60('s')} for s in shingles]) AS hs
-        FROM sh
+        FROM sh{_SAMPLE_WHERE_DUCK}
     ), inv AS (SELECT doc_id, unnest(hs) AS h FROM hsh),
     dfreq AS (SELECT h, count(*) AS dc FROM inv GROUP BY h),
     capped AS (

@@ -91,20 +91,23 @@ def _islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter("is_stop = 0").drop("is_stop")
 
 
-def _word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _members_with_plen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, island, w, o, plen): phrase members joined with their
+    phrase lengths — the one token-grain intermediate both RAKE layers
+    aggregate over."""
     members = _islands(spark, sf_dir)
     phrases = (
         members.groupBy("doc_id", "island")
         .agg(F.count("*").alias("plen"))
         .filter(F.col("plen") <= RAKE_MAX_PHRASE_LEN)
     )
-    return (
-        members.join(phrases, ["doc_id", "island"])
-        .groupBy("w")
-        .agg(
-            F.count("*").alias("freq"),
-            F.sum("plen").cast("bigint").alias("deg"),
-        )
+    return members.join(phrases, ["doc_id", "island"])
+
+
+def _word_stats(members_plen: DataFrame) -> DataFrame:
+    return members_plen.groupBy("w").agg(
+        F.count("*").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
     )
 
 
@@ -122,6 +125,7 @@ def _word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=f"RAKE keyword scores: top-{RAKE_TOP_WORDS} words by exact"
     f" degree/frequency (permille) over stopword-delimited phrases",
+    bench=True,
 )
 def tx_rake_word_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE's word layer: segment every document into phrases at the
@@ -131,7 +135,7 @@ def tx_rake_word_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     live in long multi-word keyphrases outrank equally-frequent words
     that appear alone — that asymmetry is the whole trick. Two keyed
     shuffles (phrase lengths, word stats) over the tokenized scan."""
-    ws = _word_stats(spark, sf_dir)
+    ws = _word_stats(_members_with_plen(spark, sf_dir))
     return (
         ws.select(
             F.col("w").alias("word"),
@@ -175,6 +179,7 @@ def tx_rake_word_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=f"RAKE keyphrases: top-{RAKE_TOP_PHRASES} multi-word phrases by"
     f" summed word scores (permille), occurrences deduped by text",
+    bench=True,
 )
 def tx_rake_top_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE's phrase layer: each candidate phrase scores the sum of
@@ -185,19 +190,23 @@ def tx_rake_top_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines (sort_array of (pos, word) structs on the Spark
     side, ORDER BY inside string_agg in DuckDB) — same bytes, same
     hash. The word-score table is vocabulary-sized and joins onto
-    phrase members by term; everything else is the segmentation scan."""
-    members = _islands(spark, sf_dir)
-    phrases = (
-        members.groupBy("doc_id", "island")
-        .agg(F.count("*").alias("plen"))
-        .filter(F.col("plen") <= RAKE_MAX_PHRASE_LEN)
-    )
-    ws = _word_stats(spark, sf_dir).select(
+    phrase members by term; everything else is the segmentation scan.
+
+    Both RAKE layers (global word stats, per-phrase scoring) aggregate
+    the same token-grain (members ⋈ plen) intermediate, so it is
+    materialized ONCE with a lazy localCheckpoint — Spark does not
+    dedupe common subplans, and before round 12 the segmentation scan
+    (tokenize + posexplode + per-doc cumulative window) executed twice,
+    doubling the query's cost. On a cluster the equivalent is
+    persist(DISK_ONLY) or a checkpoint to the shuffle service; the
+    intermediate is token-grain — the same order of bytes the two
+    keyed shuffles already move."""
+    mp = _members_with_plen(spark, sf_dir).localCheckpoint(eager=False)
+    ws = _word_stats(mp).select(
         "w", F.expr("CAST(deg * 1000 div freq AS BIGINT)").alias("wscore")
     )
     scored = (
-        members.join(phrases, ["doc_id", "island"])
-        .join(ws, "w")
+        mp.join(ws, "w")
         .groupBy("doc_id", "island")
         .agg(
             F.expr(

@@ -178,7 +178,9 @@ def dd_ppjoin_strategy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this query is the planning step: the same statistics the
     LSH band sweep logs, one scan, no candidates materialized."""
     inv1 = _dedup._cache_tracked(
-        _dedup._capped_inverted_index(spark, sf_dir)
+        _dedup._capped_inverted_index(
+            spark, sf_dir, sample_pct=_dedup.EXACT_AUDIT_SAMPLE_PCT
+        )
     )
     vol = (
         inv1.groupBy("h")
@@ -238,7 +240,9 @@ def dd_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialize: ~(1−τ) of the postings, joined rare-key-first, with
     the df-cap already bounding every bucket."""
     inv1 = _dedup._cache_tracked(
-        _dedup._capped_inverted_index(spark, sf_dir)
+        _dedup._capped_inverted_index(
+            spark, sf_dir, sample_pct=_dedup.EXACT_AUDIT_SAMPLE_PCT
+        )
     )
     cand = _prefix_candidates(inv1)
     index_cand = _index_candidates(inv1)

@@ -116,12 +116,13 @@ _U_SCALE = 64  # users per utility unit
     f"""
     WITH util AS (
         SELECT event_type,
-               CAST(count(DISTINCT user_id) // {_U_SCALE} AS BIGINT) AS u
+               CAST(least(count(DISTINCT user_id) // {_U_SCALE}, 50)
+                    AS BIGINT) AS u
         FROM events GROUP BY 1
     ),
     w AS (
         SELECT event_type, u,
-               CAST(pow(2, least(u, 50)) AS BIGINT) AS weight
+               CAST(pow(2, u) AS BIGINT) AS weight
         FROM util
     ),
     cum AS (
@@ -155,15 +156,21 @@ def dp_exponential_mechanism(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-count shuffle; everything after runs over |event_type|
     rows."""
     ev = load_table(spark, sf_dir, "events")
+    # utility is clamped at 50 AT THE SOURCE (not just inside the
+    # weight): the released utility column must satisfy
+    # weight == 2**utility on any corpus — reporting an uncapped u
+    # with a capped weight silently flattened selection probabilities
+    # past u = 50 (ADVICE r11 #5).
     util = ev.groupBy("event_type").agg(
         F.expr(
-            f"CAST(count(DISTINCT user_id) div {_U_SCALE} AS BIGINT)"
+            f"CAST(least(count(DISTINCT user_id) div {_U_SCALE}, 50)"
+            " AS BIGINT)"
         ).alias("u")
     )
     w = util.selectExpr(
         "event_type",
         "u",
-        "CAST(pow(2, least(u, 50)) AS BIGINT) AS weight",
+        "CAST(pow(2, u) AS BIGINT) AS weight",
     )
     wc = Window.orderBy("event_type").rowsBetween(
         Window.unboundedPreceding, 0

@@ -105,13 +105,13 @@ _DELTA = "0.02"
     )
     SELECT n AS n_observed,
            CAST(s * 1000000 // n AS BIGINT) AS p1_ppm,
-           CAST(s * 1000000 // n + 20000 AS BIGINT) AS p2_ppm,
+           CAST(least(s * 1000000 // n + 20000, 1000000) AS BIGINT) AS p2_ppm,
            CAST(ceil(
-             pow({_Z_A} * sqrt(2 * ((CAST(s AS DOUBLE) / n + (CAST(s AS DOUBLE) / n + {_DELTA})) / 2)
-                               * (1 - ((CAST(s AS DOUBLE) / n + (CAST(s AS DOUBLE) / n + {_DELTA})) / 2)))
+             pow({_Z_A} * sqrt(2 * ((CAST(s AS DOUBLE) / n + least(CAST(s AS DOUBLE) / n + {_DELTA}, CAST(1.0 AS DOUBLE))) / 2)
+                               * (1 - ((CAST(s AS DOUBLE) / n + least(CAST(s AS DOUBLE) / n + {_DELTA}, CAST(1.0 AS DOUBLE))) / 2)))
                + {_Z_B} * sqrt((CAST(s AS DOUBLE) / n) * (1 - CAST(s AS DOUBLE) / n)
-                               + (CAST(s AS DOUBLE) / n + {_DELTA})
-                                 * (1 - (CAST(s AS DOUBLE) / n + {_DELTA}))), 2)
+                               + least(CAST(s AS DOUBLE) / n + {_DELTA}, CAST(1.0 AS DOUBLE))
+                                 * (1 - least(CAST(s AS DOUBLE) / n + {_DELTA}, CAST(1.0 AS DOUBLE)))), 2)
              / ({_DELTA} * {_DELTA})) AS BIGINT) AS n_per_arm
     FROM base
     """,
@@ -133,12 +133,12 @@ def ab_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.selectExpr(
         "n AS n_observed",
         "CAST(s * 1000000 div n AS BIGINT) AS p1_ppm",
-        "CAST(s * 1000000 div n + 20000 AS BIGINT) AS p2_ppm",
+        "CAST(least(s * 1000000 div n + 20000, 1000000) AS BIGINT) AS p2_ppm",
         f"CAST(ceil("
-        f"pow({_Z_A} * sqrt(2 * ((CAST(s AS DOUBLE) / n + (CAST(s AS DOUBLE) / n + {_DELTA})) / 2)"
-        f" * (1 - ((CAST(s AS DOUBLE) / n + (CAST(s AS DOUBLE) / n + {_DELTA})) / 2)))"
+        f"pow({_Z_A} * sqrt(2 * ((CAST(s AS DOUBLE) / n + least(CAST(s AS DOUBLE) / n + {_DELTA}, CAST(1.0 AS DOUBLE))) / 2)"
+        f" * (1 - ((CAST(s AS DOUBLE) / n + least(CAST(s AS DOUBLE) / n + {_DELTA}, CAST(1.0 AS DOUBLE))) / 2)))"
         f" + {_Z_B} * sqrt((CAST(s AS DOUBLE) / n) * (1 - CAST(s AS DOUBLE) / n)"
-        f" + (CAST(s AS DOUBLE) / n + {_DELTA})"
-        f" * (1 - (CAST(s AS DOUBLE) / n + {_DELTA}))), 2)"
+        f" + least(CAST(s AS DOUBLE) / n + {_DELTA}, CAST(1.0 AS DOUBLE))"
+        f" * (1 - least(CAST(s AS DOUBLE) / n + {_DELTA}, CAST(1.0 AS DOUBLE)))), 2)"
         f" / ({_DELTA} * {_DELTA})) AS BIGINT) AS n_per_arm",
     )

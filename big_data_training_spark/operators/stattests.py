@@ -118,7 +118,8 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM cells),
     contrib AS (
         SELECT CAST(floor(
-                 CAST(o * t - r * c AS DOUBLE) * CAST(o * t - r * c AS DOUBLE)
+                 (CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * c)
+                 * (CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * c)
                  * 1000000 / (CAST(t AS DOUBLE) * r * c)
                ) AS BIGINT) AS chi2_micro_cell
         FROM cells JOIN rows_ USING (event_type)
@@ -152,8 +153,12 @@ def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cols_), "bucket")
         .crossJoin(F.broadcast(tot))
         .selectExpr(
-            "CAST(floor(CAST(o * t - r * c AS DOUBLE)"
-            " * CAST(o * t - r * c AS DOUBLE)"
+            # o,t,r,c are cast to DOUBLE BEFORE multiplying: o*t ~ n^2
+            # overflows BIGINT past n ~ 3e9 events (Spark non-ANSI wraps,
+            # DuckDB raises — the engines would diverge exactly at scale).
+            # Counts stay below 2^53 so the double products are exact.
+            "CAST(floor((CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * c)"
+            " * (CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * c)"
             " * 1000000 / (CAST(t AS DOUBLE) * r * c)) AS BIGINT)"
             " AS chi2_micro_cell"
         )

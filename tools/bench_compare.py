@@ -30,12 +30,14 @@ def main() -> None:
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--threshold"):
+        if a == "--threshold" or a.startswith("--threshold="):
             if "=" in a:
                 thr = float(a.split("=", 1)[1])
-            else:
+            elif i + 1 < len(argv):
                 i += 1
                 thr = float(argv[i])
+            else:
+                sys.exit(__doc__)
         elif not a.startswith("--"):
             args.append(a)
         i += 1
