@@ -233,8 +233,16 @@ def fin_rolling_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     floored to milli — identical doubles, identical floors. Full
     frames only; every-5th-day sampling keeps the certified row set
     compact."""
+    return sharpe_finish(_daily(spark, sf_dir))
+
+
+def sharpe_finish(daily: DataFrame) -> DataFrame:
+    """Rolling-Sharpe readout over a (day, d_milli) series — shared by
+    the batch query and its streaming twin (st_sharpe_stream), so the
+    two can only ever diverge in how the day series is MAINTAINED,
+    never in the statistic."""
     w = Window.orderBy("day").rowsBetween(-6, 0)
-    roll = _daily(spark, sf_dir).select(
+    roll = daily.select(
         "day",
         F.count("*").over(w).cast("bigint").alias("n7"),
         F.sum("d_milli").over(w).cast("bigint").alias("s7"),
@@ -364,8 +372,14 @@ def ts_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison is cross-multiplied into one double inequality over
     exact integers — identical operands on both sides, so the strict
     inequality can never disagree between engines."""
+    return bollinger_finish(_daily(spark, sf_dir))
+
+
+def bollinger_finish(daily: DataFrame) -> DataFrame:
+    """Breakout test over a (day, d_milli) series — shared by the batch
+    query and its streaming twin (st_bollinger_stream)."""
     w = Window.orderBy("day").rowsBetween(-19, -1)
-    roll = _daily(spark, sf_dir).select(
+    roll = daily.select(
         "day",
         "d_milli",
         F.count("*").over(w).cast("bigint").alias("n20"),

@@ -203,6 +203,9 @@ _OPERATOR_MODULES = (
     "extensions.sampledesign",
     "extensions.encodings",
     "streaming.ohlc_stream",
+    # round-12 additions (END-registered: never-certified names queue
+    # ahead of the re-certification rotation in the driver slice).
+    "streaming.marketdata_stream",
 )
 
 import_errors: dict[str, str] = {}
