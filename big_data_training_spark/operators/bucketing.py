@@ -1,0 +1,95 @@
+"""J3 made first-class: a bucketed co-located join through the session
+catalog (kafka/README.md:92 co-partitioned consumption; the Kafka
+"both topics partitioned by the same key count" contract).
+
+Both sides are written ``bucketBy(8, key)`` into warehouse tables, so
+the sort-merge join plans with ZERO Exchange on either side — the
+bucketed layout IS the shuffle, paid once at write time and amortized
+over every later join on the key. tests/test_scale_strategies.py
+asserts that plan property (no ShuffleExchange under the join);
+this query certifies the VALUES through the driver's DuckDB gate
+(bucketing must never change results, only movement).
+
+Scale: this is the canonical 100 TB co-location strategy — fact tables
+bucketed by join key at ingest join without reshuffling 100 TB per
+query. Bucket count on a real cluster is sized so a bucket fits an
+executor's shuffle-read budget (docs/SCALING.md); 8 here mirrors the
+existing J3 plan test.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_training_spark.data import load_table
+from big_data_training_spark.registry import register
+
+
+@register(
+    "j3_bucketed_coloc_join",
+    """
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= DATE '1995-01-01'
+    GROUP BY 1
+    """,
+    doc="J3 co-located join: both sides bucketed by the join key in the"
+    " warehouse, sort-merge joined with no Exchange on either side",
+)
+def j3_bucketed_coloc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem and orders bucketed by the SAME key into catalog
+    tables, then join through ``spark.table`` — Catalyst sees matching
+    HashClusteredDistribution from the bucket spec and plans the
+    sort-merge join with no Exchange on either side (the plan test
+    asserts it). The filter stays on the probe side so pushdown is
+    visible through the bucketed scan too. Values must equal the plain
+    join — which is exactly what the oracle checks."""
+    from big_data_training_spark.streaming.replay import materialize
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    base = tempfile.mkdtemp(prefix="bdts_j3_wh_")
+    lt, ot = "bdts_j3_lineitem", "bdts_j3_orders"
+    try:
+        for name, df, key in ((lt, li, "l_orderkey"), (ot, orders, "o_orderkey")):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.mode("overwrite")
+                .option("path", os.path.join(base, name))
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+        joined = (
+            spark.table(lt)
+            .join(
+                spark.table(ot),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count("*").alias("n_items"),
+                # quantities are integral doubles: cast BEFORE summing so
+                # the sum is exact integer arithmetic in both engines
+                F.sum(F.col("l_quantity").cast("bigint"))
+                .cast("bigint")
+                .alias("sum_qty"),
+            )
+        )
+        return materialize(joined)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {lt}")
+        spark.sql(f"DROP TABLE IF EXISTS {ot}")
+        shutil.rmtree(base, ignore_errors=True)

@@ -206,6 +206,7 @@ _OPERATOR_MODULES = (
     # round-12 additions (END-registered: never-certified names queue
     # ahead of the re-certification rotation in the driver slice).
     "streaming.marketdata_stream",
+    "operators.bucketing",
 )
 
 import_errors: dict[str, str] = {}
