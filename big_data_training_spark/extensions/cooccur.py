@@ -257,6 +257,7 @@ def _npmi_oracle() -> str:
     _npmi_oracle(),
     doc=f"top-{NPMI_TOP} item pairs by normalized PMI (co-order lift"
     " beyond chance), exact 1/16-bit fixed-point logs",
+    bench=True,
 )
 def rec_cooccur_npmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NPMI = pmi/−log p(i,j) rescales PMI into [−1, 1] so rare and

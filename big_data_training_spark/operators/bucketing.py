@@ -42,6 +42,7 @@ from big_data_training_spark.registry import register
     """,
     doc="J3 co-located join: both sides bucketed by the join key in the"
     " warehouse, sort-merge joined with no Exchange on either side",
+    bench=True,
 )
 def j3_bucketed_coloc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write lineitem and orders bucketed by the SAME key into catalog

@@ -534,6 +534,7 @@ def w5_watermark_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, count(*) AS n FROM events GROUP BY 1
     """,
     doc="S7: console/print sink — streaming aggregate to stdout, verified twin",
+    bench=True,
 )
 def s7_console_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The print/console sink (kafka/README.md console consumer, Flink
