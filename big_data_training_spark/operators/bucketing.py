@@ -54,43 +54,56 @@ def j3_bucketed_coloc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — which is exactly what the oracle checks."""
     from big_data_training_spark.streaming.replay import materialize
 
+    base = tempfile.mkdtemp(prefix="bdts_j3_wh_")
+    try:
+        return materialize(_coloc_join(_write_bucketed(spark, sf_dir, base)))
+    finally:
+        _drop_bucketed(spark)
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_LT, _OT = "bdts_j3_lineitem", "bdts_j3_orders"
+
+
+def _write_bucketed(spark: SparkSession, sf_dir: str, base: str) -> SparkSession:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity"
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
-    base = tempfile.mkdtemp(prefix="bdts_j3_wh_")
-    lt, ot = "bdts_j3_lineitem", "bdts_j3_orders"
-    try:
-        for name, df, key in ((lt, li, "l_orderkey"), (ot, orders, "o_orderkey")):
-            spark.sql(f"DROP TABLE IF EXISTS {name}")
-            (
-                df.write.mode("overwrite")
-                .option("path", os.path.join(base, name))
-                .bucketBy(8, key)
-                .sortBy(key)
-                .saveAsTable(name)
-            )
-        joined = (
-            spark.table(lt)
-            .join(
-                spark.table(ot),
-                F.col("l_orderkey") == F.col("o_orderkey"),
-            )
-            .filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
-            .groupBy(F.col("o_orderpriority").alias("priority"))
-            .agg(
-                F.count("*").alias("n_items"),
-                # quantities are integral doubles: cast BEFORE summing so
-                # the sum is exact integer arithmetic in both engines
-                F.sum(F.col("l_quantity").cast("bigint"))
-                .cast("bigint")
-                .alias("sum_qty"),
-            )
+    for name, df, key in ((_LT, li, "l_orderkey"), (_OT, orders, "o_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(base, name))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
         )
-        return materialize(joined)
-    finally:
-        spark.sql(f"DROP TABLE IF EXISTS {lt}")
-        spark.sql(f"DROP TABLE IF EXISTS {ot}")
-        shutil.rmtree(base, ignore_errors=True)
+    return spark
+
+
+def _coloc_join(spark: SparkSession) -> DataFrame:
+    return (
+        spark.table(_LT)
+        .join(
+            spark.table(_OT),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_items"),
+            # quantities are integral doubles: cast BEFORE summing so
+            # the sum is exact integer arithmetic in both engines
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("sum_qty"),
+        )
+    )
+
+
+def _drop_bucketed(spark: SparkSession) -> None:
+    spark.sql(f"DROP TABLE IF EXISTS {_LT}")
+    spark.sql(f"DROP TABLE IF EXISTS {_OT}")

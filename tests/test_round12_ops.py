@@ -110,3 +110,58 @@ def test_power_sample_size_target_rate_clamped(spark, sf_dir):
     row = ab_power_sample_size(spark, sf_dir).first()
     assert row["p2_ppm"] <= 1_000_000
     assert row["n_per_arm"] > 0
+
+
+def test_j3_query_join_sides_have_no_exchange(spark, sf_dir):
+    """The registered j3_bucketed_coloc_join's OWN join must plan with
+    no Exchange under either scan (the generic pattern test covers
+    ad-hoc tables; this pins the claim to the shipped query). The
+    final single-row aggregate exchange is allowed — the JOIN sides
+    are what bucketing de-shuffles."""
+    import tempfile
+
+    from big_data_training_spark.operators import bucketing as b
+
+    base = tempfile.mkdtemp(prefix="bdts_j3_test_")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = b._coloc_join(b._write_bucketed(spark, sf_dir, base))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_part = plan.split("SortMergeJoin", 1)
+        assert len(join_part) == 2, plan  # the join IS sort-merge
+        # nothing below the join may re-shuffle on the join key
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        b._drop_bucketed(spark)
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_registry_rotation_orders_oldest_certified_first(tmp_path):
+    """The re-certification rotation contract: unchecked names lead,
+    then certified names ordered by their LATEST green CORRECTNESS
+    round ascending — so the driver's fixed slice always re-validates
+    the stalest certifications plus anything new."""
+    import json
+
+    from big_data_training_spark import registry as reg
+
+    q = reg.all_queries()
+    names = list(q)
+    rounds = reg._round_markers()
+    # every registered name is either certified or leads the list
+    cert_positions = [i for i, n in enumerate(names) if n in reg._DRIVER_CERTIFIED]
+    uncert_positions = [
+        i for i, n in enumerate(names) if n not in reg._DRIVER_CERTIFIED
+    ]
+    assert not uncert_positions or max(uncert_positions) < min(cert_positions)
+    cert_rounds = [rounds.get(names[i], 0) for i in cert_positions]
+    assert cert_rounds == sorted(cert_rounds)
+    # the markers really come from the recorded driver rows
+    r11 = json.load(open("CORRECTNESS_r11.json"))
+    assert all(rounds[n] >= 11 for n in r11)
