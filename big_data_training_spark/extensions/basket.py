@@ -154,6 +154,7 @@ def mb_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="association rules a=>b with exact integer confidence (permille)"
     " and lift (micro); marginals broadcast onto the pair table",
+    bench=True,
 )
 def mb_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association rules from the pair pass: each undirected pair

@@ -809,6 +809,7 @@ CONTAIN_TAU = 0.6
     WHERE c::DOUBLE / si.n >= {CONTAIN_TAU} OR c::DOUBLE / sj.n >= {CONTAIN_TAU}
     """,
     doc="asymmetric shingle containment pairs (quote / doc-in-doc detection)",
+    bench=True,
 )
 def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment |A∩B|/|A| is the asymmetric cousin of Jaccard: a short
