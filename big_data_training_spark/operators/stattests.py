@@ -156,7 +156,11 @@ def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             # o,t,r,c are cast to DOUBLE BEFORE multiplying: o*t ~ n^2
             # overflows BIGINT past n ~ 3e9 events (Spark non-ANSI wraps,
             # DuckDB raises — the engines would diverge exactly at scale).
-            # Counts stay below 2^53 so the double products are exact.
+            # Past ~1e8 total events the products exceed 2^53 and the doubles
+            # are no longer exact integers; both engines then compute the SAME
+            # rounded double (IEEE-754 is deterministic), so engine parity
+            # holds, but floor(chi2_micro) may differ from the exact-integer
+            # formulation in that regime.
             "CAST(floor((CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * c)"
             " * (CAST(o AS DOUBLE) * t - CAST(r AS DOUBLE) * c)"
             " * 1000000 / (CAST(t AS DOUBLE) * r * c)) AS BIGINT)"

@@ -422,6 +422,10 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     "q8_market_share", "q9_product_profit", "q_order_priority_count",
     "s4_offset_range_scan", "s9_sql_api_region_revenue", "w1_tumbling_6h_sum",
     "win_first_last", "win_rank_suite",
+    # round-12 green rows (3 new names; the other 47 r12 rows re-certified
+    # round-1/2 names already listed above — their rotation markers advance
+    # automatically via _round_markers()).
+    "j3_bucketed_coloc_join", "st_bollinger_stream", "st_sharpe_stream",
 })
 
 
@@ -438,12 +442,28 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
 _ROUND_OF: dict[str, int] = {}
 
 
-def _round_markers() -> dict[str, int]:
-    """Map each certified name to its certifying round for rotation order.
+def _row_is_green(row: dict) -> bool:
+    """A driver CORRECTNESS row counts as a certification only when green.
 
-    Derived from the round-grouped blocks of ``_DRIVER_CERTIFIED``'s source
-    literal would be fragile; instead the blocks are re-declared here as
-    (round, names) in one place. Round 1/2's joint slice is round 2.
+    Full parity green: rows+schema matched and the value hash did not
+    mismatch. Rows-only-by-design queries (no ``oracle_sql`` entry) record
+    ``err == 'no_oracle'`` with a non-null ``spark_rows`` — that weaker check
+    passing is their green (they can never hash-match, and treating them as
+    red would pin them to the front of every rotation slice forever).
+    """
+    if row.get("err") == "no_oracle":
+        return row.get("spark_rows") is not None
+    return bool(row.get("rows_match")) and row.get("hash_match") is not False
+
+
+def _round_markers() -> dict[str, int]:
+    """Map each certified name to its latest GREEN certifying round.
+
+    Only green rows advance a name's marker (a red row must not push the
+    name to the back of the re-certification queue — the rotation exists to
+    catch exactly that drift). A name whose LATEST row is red is forced to
+    the FRONT of the certified queue (marker 0) so the next driver slice
+    re-checks it first.
     """
     if _ROUND_OF:
         return _ROUND_OF
@@ -451,6 +471,7 @@ def _round_markers() -> dict[str, int]:
     import pathlib
 
     root = pathlib.Path(__file__).resolve().parent.parent
+    latest_red: dict[str, bool] = {}
     for rnd in range(1, 99):
         path = root / f"CORRECTNESS_r{rnd:02d}.json"
         if not path.exists():
@@ -459,9 +480,16 @@ def _round_markers() -> dict[str, int]:
             rows = json.loads(path.read_text())
         except Exception:
             continue
-        for name in rows:
-            # Latest green row wins: a re-certified name rotates to the back.
-            _ROUND_OF[name] = rnd
+        for name, row in rows.items():
+            if _row_is_green(row):
+                # Latest green row wins: re-certified names rotate back.
+                _ROUND_OF[name] = rnd
+                latest_red[name] = False
+            else:
+                latest_red[name] = True
+    for name, red in latest_red.items():
+        if red:
+            _ROUND_OF[name] = 0
     return _ROUND_OF
 
 

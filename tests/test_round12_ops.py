@@ -122,11 +122,14 @@ def test_j3_query_join_sides_have_no_exchange(spark, sf_dir):
 
     from big_data_training_spark.operators import bucketing as b
 
-    base = tempfile.mkdtemp(prefix="bdts_j3_test_")
+    base = tempfile.mkdtemp(prefix="bdts_j3_wh_")
+    lt, ot = b._table_names(base)
+    # the per-run suffix keeps concurrent warehouse sessions collision-free
+    assert lt != "bdts_j3_lineitem" and ot != "bdts_j3_orders"
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        joined = b._coloc_join(b._write_bucketed(spark, sf_dir, base))
+        joined = b._coloc_join(b._write_bucketed(spark, sf_dir, base), lt, ot)
         plan = joined._jdf.queryExecution().executedPlan().toString()
         join_part = plan.split("SortMergeJoin", 1)
         assert len(join_part) == 2, plan  # the join IS sort-merge
@@ -136,7 +139,7 @@ def test_j3_query_join_sides_have_no_exchange(spark, sf_dir):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        b._drop_bucketed(spark)
+        b._drop_bucketed(spark, lt, ot)
         import shutil
 
         shutil.rmtree(base, ignore_errors=True)
@@ -151,17 +154,50 @@ def test_registry_rotation_orders_oldest_certified_first(tmp_path):
 
     from big_data_training_spark import registry as reg
 
+    import pathlib
+
     q = reg.all_queries()
     names = list(q)
-    rounds = reg._round_markers()
+    # Derive the expected markers INDEPENDENTLY of reg._round_markers():
+    # latest GREEN row wins; a latest-red name is forced to the front (0).
+    root = pathlib.Path(reg.__file__).resolve().parent.parent
+    expected: dict[str, int] = {}
+    latest_red: dict[str, bool] = {}
+    for rnd in range(1, 99):
+        path = root / f"CORRECTNESS_r{rnd:02d}.json"
+        if not path.exists():
+            continue
+        for name, row in json.loads(path.read_text()).items():
+            if row.get("err") == "no_oracle":
+                green = row.get("spark_rows") is not None
+            else:
+                green = bool(row.get("rows_match")) and (
+                    row.get("hash_match") is not False
+                )
+            if green:
+                expected[name] = rnd
+                latest_red[name] = False
+            else:
+                latest_red[name] = True
+    for name, red in latest_red.items():
+        if red:
+            expected[name] = 0
     # every registered name is either certified or leads the list
     cert_positions = [i for i, n in enumerate(names) if n in reg._DRIVER_CERTIFIED]
     uncert_positions = [
         i for i, n in enumerate(names) if n not in reg._DRIVER_CERTIFIED
     ]
     assert not uncert_positions or max(uncert_positions) < min(cert_positions)
-    cert_rounds = [rounds.get(names[i], 0) for i in cert_positions]
+    cert_rounds = [expected.get(names[i], 0) for i in cert_positions]
     assert cert_rounds == sorted(cert_rounds)
-    # the markers really come from the recorded driver rows
-    r11 = json.load(open("CORRECTNESS_r11.json"))
+    # a red row must NOT advance a marker: r03 recorded hash_match=False for
+    # dd_simhash; its marker must come from a later green round, never 3
+    assert expected.get("dd_simhash", 0) != 3
+    # rows-only-by-design rows (err == 'no_oracle') ARE their green
+    assert expected.get("p1_partition_balance", 0) >= 5
+    # the registry agrees with the independent derivation
+    rounds = reg._round_markers()
+    assert {n: rounds.get(n, 0) for n in expected} == expected
+    # markers really come from the recorded driver rows
+    r11 = json.load(open(root / "CORRECTNESS_r11.json"))
     assert all(rounds[n] >= 11 for n in r11)
