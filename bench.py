@@ -39,6 +39,18 @@ CAL_NORM_SEC = 0.25
 # A run whose cal exceeds this is flagged: its RAW numbers are ambient
 # load, not code, and should not be read per-query without adjustment.
 CAL_FLAG_RATIO = 1.5
+# Second calibration axis (VERDICT r12 #3): the CPU-bound kernel above
+# under-detects scheduler contention (r12 forensic record 1786877797)
+# and over-corrects queries that are less CPU-bound than it is
+# (1786879193). This one is SHUFFLE-bound — a fixed groupBy whose
+# map-side combine barely compresses, so most of its time is exchange
+# write/read + task scheduling, the component streaming and join-heavy
+# queries actually feel. Norm measured on the same unloaded container
+# as CAL_NORM_SEC. The two ratios disagreeing (> CAL_AXES_DISAGREE_X
+# apart) means ambient load is contention-shaped, not cycle-shaped —
+# read NEITHER adjusted total as a code signal for shuffle-heavy rows.
+CAL_SHUFFLE_NORM_SEC = 0.52
+CAL_AXES_DISAGREE_X = 1.5
 
 
 def _cpu_mhz() -> float | None:
@@ -70,6 +82,27 @@ def _calibration_sec(spark) -> float:
     return round(statistics.median(runs), 3)
 
 
+def _calibration_shuffle_sec(spark) -> float:
+    """Median runtime of a FIXED shuffle-bound kernel: 8M rows hashed
+    into 1M groups — ~8 rows per key per map partition, so the map-side
+    combine compresses little and the exchange carries most of the
+    input. Times the shuffle write/fetch/deserialize path plus task
+    scheduling across all 32 slots — the axis the CPU kernel misses."""
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        (
+            spark.range(8_000_000)
+            .selectExpr("id % 1000000 AS k", "id AS v")
+            .groupBy("k")
+            .sum("v")
+            .selectExpr("count(*) AS n", "sum(`sum(v)`) AS s")
+            .collect()
+        )
+        runs.append(time.time() - t0)
+    return round(statistics.median(runs), 3)
+
+
 def main() -> None:
     spark = get_session("bench")
     specs = all_queries()
@@ -93,6 +126,7 @@ def main() -> None:
         "load1": round(os.getloadavg()[0], 2),
         "cpu_mhz": _cpu_mhz(),
         "cal_sec": _calibration_sec(spark),
+        "cal_shuffle_sec": _calibration_shuffle_sec(spark),
     }
     print(f"# env: {env}", file=sys.stderr)
 
@@ -118,9 +152,31 @@ def main() -> None:
     # the adjustment uses the mean of the two so a load ramp is split
     # rather than ignored.
     env["cal_sec_end"] = _calibration_sec(spark)
+    env["cal_shuffle_sec_end"] = _calibration_shuffle_sec(spark)
     cal_mid = (env["cal_sec"] + env["cal_sec_end"]) / 2
     cal_scale = CAL_NORM_SEC / cal_mid if cal_mid > 0 else 1.0
     env["cal_flagged"] = cal_mid > CAL_FLAG_RATIO * CAL_NORM_SEC
+    # Two-axis disagreement check: the CPU ratio and the shuffle ratio
+    # should move together under pure frequency/cycle contention; a
+    # shuffle ratio far above the CPU ratio means scheduler/IO
+    # contention the CPU-normed adjustment cannot correct for.
+    shuf_mid = (env["cal_shuffle_sec"] + env["cal_shuffle_sec_end"]) / 2
+    cpu_ratio = cal_mid / CAL_NORM_SEC if CAL_NORM_SEC else 1.0
+    shuf_ratio = shuf_mid / CAL_SHUFFLE_NORM_SEC if CAL_SHUFFLE_NORM_SEC else 1.0
+    env["cal_cpu_ratio"] = round(cpu_ratio, 3)
+    env["cal_shuffle_ratio"] = round(shuf_ratio, 3)
+    env["cal_axes_disagree"] = (
+        max(cpu_ratio, shuf_ratio) / max(1e-9, min(cpu_ratio, shuf_ratio))
+        > CAL_AXES_DISAGREE_X
+    )
+    if env["cal_axes_disagree"]:
+        print(
+            f"# WARNING: calibration axes disagree (cpu {cpu_ratio:.2f}x"
+            f" vs shuffle {shuf_ratio:.2f}x norm) — contention-shaped "
+            "load; cal-adjusted totals are unreliable for shuffle-heavy "
+            "and streaming rows this run",
+            file=sys.stderr,
+        )
     if env["cal_flagged"]:
         print(
             f"# WARNING: calibration {cal_mid:.3f}s > "

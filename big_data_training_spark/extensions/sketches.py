@@ -311,10 +311,10 @@ def sk_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 CMS_D = 4  # hash rows
 CMS_W = 64  # counters per row
 
-
-@register(
-    "sk_cms_heavy_hitters",
-    f"""
+# Shared by the batch query and its streaming twin (streaming/
+# sketch_stream.py) so the two registrations are single-sourced: the
+# same oracle string, the same cell expansion, the same probe finish.
+_CMS_SQL = f"""
     WITH hashed AS (
         SELECT user_id, r, {sql_hash60("concat(CAST(r AS VARCHAR), ':', CAST(user_id AS VARCHAR))")} % {CMS_W} AS bucket
         FROM events, generate_series(0, {CMS_D - 1}) AS g(r)
@@ -332,7 +332,52 @@ CMS_W = 64  # counters per row
         GROUP BY p.user_id, p.true_n
     )
     SELECT user_id, true_n, cms_est FROM est
-    """,
+    """
+
+
+def _cms_rows():
+    return F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("r")
+
+
+def _cms_bucket():
+    return (
+        F.pmod(
+            hash60(
+                F.concat(
+                    F.col("r").cast("string"),
+                    F.lit(":"),
+                    F.col("user_id").cast("string"),
+                )
+            ),
+            F.lit(CMS_W),
+        )
+    ).alias("bucket")
+
+
+def _cms_cells(ev: DataFrame) -> DataFrame:
+    """Expand each key occurrence into its d (row, bucket) cells — the
+    map-side input of the d×w counter aggregate."""
+    return ev.select("user_id", _cms_rows()).select("user_id", "r", _cms_bucket())
+
+
+def _cms_probe_estimate(cms: DataFrame, probes: DataFrame) -> DataFrame:
+    """The CMS point-estimate finish: min over the d counters each probe
+    key hashes to. ``cms`` is the (r, bucket, c) counter table (≤ d·w
+    rows — broadcast), ``probes`` is (user_id, true_n)."""
+    probe_cells = probes.select("user_id", "true_n", _cms_rows()).select(
+        "user_id", "true_n", "r", _cms_bucket()
+    )
+    return (
+        probe_cells.join(F.broadcast(cms), ["r", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("c").alias("cms_est"))
+        .select("user_id", "true_n", "cms_est")
+    )
+
+
+@register(
+    "sk_cms_heavy_hitters",
+    _CMS_SQL,
     doc="count-min sketch: mergeable heavy-hitter counts, engine-exact",
 )
 def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,37 +391,13 @@ def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a mergeable summary (bit-identical to merging per-partition
     sketches by cell-wise +); probes join a broadcast 256-row table."""
     ev = load_table(spark, sf_dir, "events")
-    rows = F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("r")
-    bucket = (
-        F.pmod(
-            hash60(
-                F.concat(
-                    F.col("r").cast("string"), F.lit(":"), F.col("user_id").cast("string")
-                )
-            ),
-            F.lit(CMS_W),
-        )
-    ).alias("bucket")
-    cms = (
-        ev.select("user_id", rows)
-        .select("user_id", "r", bucket)
-        .groupBy("r", "bucket")
-        .agg(F.count("*").alias("c"))
-    )
+    cms = _cms_cells(ev).groupBy("r", "bucket").agg(F.count("*").alias("c"))
     probes = (
         ev.filter(F.col("user_id") % 25 == 0)
         .groupBy("user_id")
         .agg(F.count("*").alias("true_n"))
     )
-    probe_cells = probes.select("user_id", "true_n", rows).select(
-        "user_id", "true_n", "r", bucket
-    )
-    return (
-        probe_cells.join(F.broadcast(cms), ["r", "bucket"])
-        .groupBy("user_id", "true_n")
-        .agg(F.min("c").alias("cms_est"))
-        .select("user_id", "true_n", "cms_est")
-    )
+    return _cms_probe_estimate(cms, probes)
 
 
 # ---------------------------------------------------------------------------

@@ -207,6 +207,7 @@ _OPERATOR_MODULES = (
     # ahead of the re-certification rotation in the driver slice).
     "streaming.marketdata_stream",
     "operators.bucketing",
+    "streaming.sketch_stream",
 )
 
 import_errors: dict[str, str] = {}
@@ -491,6 +492,15 @@ def _round_markers() -> dict[str, int]:
         if red:
             _ROUND_OF[name] = 0
     return _ROUND_OF
+
+
+def rotation_stale_count(max_round: int = 3) -> int:
+    """How many certified names still carry a round ≤ ``max_round``
+    certificate (or none green at all) — the closing-gates metric the
+    re-certification rotation exists to drive to zero (VERDICT r12 #6).
+    Decrements by ~the driver slice size each round."""
+    rounds = _round_markers()
+    return sum(1 for n in _DRIVER_CERTIFIED if rounds.get(n, 0) <= max_round)
 
 
 def all_queries() -> dict[str, QuerySpec]:
