@@ -207,7 +207,6 @@ _OPERATOR_MODULES = (
     # ahead of the re-certification rotation in the driver slice).
     "streaming.marketdata_stream",
     "operators.bucketing",
-    "streaming.sketch_stream",
 )
 
 import_errors: dict[str, str] = {}
