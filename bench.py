@@ -49,7 +49,11 @@ CAL_FLAG_RATIO = 1.5
 # as CAL_NORM_SEC. The two ratios disagreeing (> CAL_AXES_DISAGREE_X
 # apart) means ambient load is contention-shaped, not cycle-shaped —
 # read NEITHER adjusted total as a code signal for shuffle-heavy rows.
-CAL_SHUFFLE_NORM_SEC = 0.52
+# Norm pinned from 4 steady-state runs on an idle container with the
+# cpu cal at its 0.25 norm: 0.72/0.79/0.80/0.84. NOTE the kernel does
+# NOT scale linearly with row count (fixed 3-stage x 32-task
+# scheduling floor) — the norm must be measured, never derived.
+CAL_SHUFFLE_NORM_SEC = 0.79
 CAL_AXES_DISAGREE_X = 1.5
 
 
