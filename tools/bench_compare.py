@@ -45,8 +45,16 @@ def main() -> None:
         sys.exit(__doc__)
     old = json.load(open(args[0]))
     new = json.load(open(args[1]))
-    cal_o = (old.get("env") or {}).get("cal_sec")
-    cal_n = (new.get("env") or {}).get("cal_sec")
+
+    def _cal_mid(rec: dict, key: str) -> float | None:
+        env = rec.get("env") or {}
+        start, end = env.get(key), env.get(f"{key}_end")
+        if start is None:
+            return None
+        return (start + end) / 2 if end is not None else start
+
+    cal_o = _cal_mid(old, "cal_sec")
+    cal_n = _cal_mid(new, "cal_sec")
     cal_ratio = (cal_n / cal_o) if cal_o and cal_n else 1.0
     qo, qn = old["queries"], new["queries"]
     shared = sorted(set(qo) & set(qn))
@@ -54,8 +62,26 @@ def main() -> None:
     print(
         f"shared={len(shared)} total {so:.1f}s -> {sn:.1f}s ="
         f" {sn / so:.2f}x raw, {sn / so / cal_ratio:.2f}x net of cal"
-        f" (cal {cal_o} -> {cal_n}, ratio {cal_ratio:.2f})"
+        f" (cal mid {cal_o} -> {cal_n}, ratio {cal_ratio:.2f})"
     )
+    # Second axis (round 13+): records carrying the shuffle-bound kernel
+    # expose contention-shaped ambient load the CPU kernel misses —
+    # streaming/trigger-bound and iterative-graph movers should be read
+    # against THIS ratio, not the CPU one.
+    shuf_o = _cal_mid(old, "cal_shuffle_sec")
+    shuf_n = _cal_mid(new, "cal_shuffle_sec")
+    if shuf_o and shuf_n:
+        print(
+            f"shuffle axis: cal mid {shuf_o:.3f} -> {shuf_n:.3f}, ratio"
+            f" {shuf_n / shuf_o:.2f} — read streaming/trigger-bound and"
+            f" iterative-graph movers against this axis"
+        )
+    elif shuf_n or shuf_o:
+        print(
+            "shuffle axis: only one record carries cal_shuffle_sec —"
+            " streaming-row deltas are not load-attributable across"
+            " this pair"
+        )
     movers = []
     for q in shared:
         raw = qn[q] / max(qo[q], 1e-9)
