@@ -26,8 +26,10 @@ from pyspark.sql import functions as F
 from big_data_training_spark import registry as _registry
 from big_data_training_spark.data import load_table
 from big_data_training_spark.extensions import sketches as _sketches  # noqa: F401
-from big_data_training_spark.extensions.sketches import CMS_D, CMS_W
-from big_data_training_spark.functions.hashing import hash60
+from big_data_training_spark.extensions.sketches import (
+    _cms_cells as _cms_cell_rows,
+)
+from big_data_training_spark.extensions.sketches import _cms_probe_estimate
 from big_data_training_spark.registry import register
 from big_data_training_spark.streaming.incremental import (
     _run_foreach_batch,
@@ -39,23 +41,11 @@ PROBE_MOD = 25  # same probe panel as the batch sketch
 
 
 def _cms_cells(df: DataFrame) -> DataFrame:
-    """(r, bucket, c) partial sketch of a batch — 256 rows max."""
-    rows = F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("r")
-    bucket = F.pmod(
-        hash60(
-            F.concat(
-                F.col("r").cast("string"),
-                F.lit(":"),
-                F.col("user_id").cast("string"),
-            )
-        ),
-        F.lit(CMS_W),
-    ).alias("bucket")
-    return (
-        df.select("user_id", rows)
-        .select("user_id", "r", bucket)
-        .groupBy("r", "bucket")
-        .agg(F.count("*").alias("c"))
+    """(r, bucket, c) partial sketch of a batch — 256 rows max. Cell
+    expansion single-sourced from the batch query's helper
+    (extensions/sketches.py) since round 13."""
+    return _cms_cell_rows(df).groupBy("r", "bucket").agg(
+        F.count("*").alias("c")
     )
 
 
@@ -102,26 +92,8 @@ def st_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("n").alias("true_n"))
     )
-    rows = F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("r")
-    bucket = F.pmod(
-        hash60(
-            F.concat(
-                F.col("r").cast("string"),
-                F.lit(":"),
-                F.col("user_id").cast("string"),
-            )
-        ),
-        F.lit(CMS_W),
-    ).alias("bucket")
-    probe_cells = probes.select("user_id", "true_n", rows).select(
-        "user_id", "true_n", "r", bucket
-    )
-    out = materialize(
-        probe_cells.join(F.broadcast(cms), ["r", "bucket"])
-        .groupBy("user_id", "true_n")
-        .agg(F.min("c").alias("cms_est"))
-        .select("user_id", "true_n", "cms_est")
-    )
+    # finish single-sourced from the batch query (extensions/sketches.py)
+    out = materialize(_cms_probe_estimate(cms, probes))
     cleanup_scratch()
     return out
 
