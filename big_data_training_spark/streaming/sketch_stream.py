@@ -141,31 +141,47 @@ _P95_K_EXPR = "(n * 95 + 99) div 100"
     " histogram state, non-linear rank-select finish",
 )
 def st_p95_value_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact p95 of event value per type, maintained as a stream: the
-    state is the per-(type, cents) count histogram (additive — any
-    micro-batch slicing merges to the same histogram); the finish walks
-    the cumulative counts and picks the smallest cents reaching rank
-    k = ceil(0.95·n). percentile_disc semantics, zero approximation,
-    and O(|value domain|) state instead of O(events). The cumulative
-    window partitions by event_type over the bounded histogram — never
-    a global sort over rows."""
-    from big_data_training_spark.streaming.replay import (
-        read_stream_table,
-        run_to_completion,
+    """Exact p95 of event value per type, maintained as a stream: each
+    micro-batch (segmented replay, maxFilesPerTrigger=1 — the same
+    multi-batch template as st_cms_stream above) appends its own
+    per-(type, cents) count partial; partials fold by plain addition in
+    any arrival order, and the finish walks the cumulative counts and
+    picks the smallest cents reaching rank k = ceil(0.95·n).
+    percentile_disc semantics, zero approximation, and O(|value
+    domain|) state instead of O(events) — growth-probed in
+    tools/probe_p95_stream_scale.py (state constant across 4× events,
+    linear in the domain). The cumulative window partitions by
+    event_type over the bounded histogram — never a global sort over
+    rows."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
     )
+    topic = _write_id_segments(spark, events, "event_id", "bdts_p95_topic_")
+    partials_dir = scratch_dir("bdts_p95_partials_")
 
-    ev = read_stream_table(spark, sf_dir, "events")
-    hist = (
-        ev.filter(F.col("value").isNotNull())
-        .select(
-            "event_type",
-            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.filter(F.col("value").isNotNull())
+            .select(
+                "event_type",
+                F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+            )
+            .groupBy("event_type", "cents")
+            .agg(F.count("*").alias("cnt"))
+            .write.mode("append")
+            .parquet(os.path.join(partials_dir, "hist"))
         )
+
+    _run_foreach_batch(spark, topic, apply)
+
+    merged = (
+        spark.read.parquet(os.path.join(partials_dir, "hist"))
         .groupBy("event_type", "cents")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("cnt").alias("cnt"))
     )
-    merged = run_to_completion(hist, "complete")
-    return _p95_finish(merged)
+    out = materialize(_p95_finish(merged))
+    cleanup_scratch()
+    return out
 
 
 def _p95_finish(hist: DataFrame) -> DataFrame:
