@@ -55,6 +55,22 @@ CAL_FLAG_RATIO = 1.5
 # scheduling floor) — the norm must be measured, never derived.
 CAL_SHUFFLE_NORM_SEC = 0.79
 CAL_AXES_DISAGREE_X = 1.5
+# Third calibration axis (VERDICT r13 #1): the driver's r13 record read
+# at-norm on BOTH axes above while its streaming rows ran 1.6-2.2x
+# inflated (st_j2_outer 11.13 s vs 5.66 s same-day at-norm) — ambient
+# load was micro-batch-scheduling-shaped, which neither a codegen fold
+# nor one 3-stage batch shuffle feels. This kernel replays N_TRIGGERS
+# no-op foreachBatch micro-batches (maxFilesPerTrigger=1 over N single-
+# row files), so its time is almost pure per-trigger scheduling latency:
+# stream planning + offset tracking + checkpoint commit + one 1-task job
+# per trigger — the component every st_*/w6 replay row pays tens of
+# times over. Norm pinned by MEASUREMENT (never derived): 6 steady-state
+# runs on this container at cpu-cal 0.24-0.26 measured
+# 2.41/2.46/2.49/2.52/2.58/2.63 — median ≈ 2.5. Streaming/trigger-bound
+# rows (st_*, w6_*) should be read against cal_trigger_ratio, not the
+# CPU ratio.
+CAL_TRIGGER_NORM_SEC = 2.5
+N_TRIGGERS = 8
 
 
 def _cpu_mhz() -> float | None:
@@ -107,6 +123,65 @@ def _calibration_shuffle_sec(spark) -> float:
     return round(statistics.median(runs), 3)
 
 
+_TRIGGER_FIXTURE: str | None = None
+
+
+def _trigger_fixture() -> str:
+    """Write N_TRIGGERS single-row parquet files ONCE per process, with
+    ascending mtimes so the file source replays them as N successive
+    micro-batches. Data content is irrelevant — the kernel prices the
+    trigger machinery, not the rows."""
+    global _TRIGGER_FIXTURE
+    if _TRIGGER_FIXTURE is None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="bdts_cal_trigger_")
+        for i in range(N_TRIGGERS):
+            path = os.path.join(d, f"t{i:02d}.parquet")
+            pq.write_table(pa.table({"id": [i]}), path)
+            os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+        _TRIGGER_FIXTURE = d
+    return _TRIGGER_FIXTURE
+
+
+def _calibration_trigger_sec(spark) -> float:
+    """Median wall time of a FIXED trigger-bound streaming kernel:
+    N_TRIGGERS single-row files replayed one-per-trigger through a
+    foreachBatch that only counts its 1-row batch. Per run that is query
+    start-up plus N_TRIGGERS x (micro-batch plan + schedule + 1-task job
+    + checkpoint commit) — the pure per-trigger latency path that
+    inflates under contention-shaped ambient load while the CPU and
+    shuffle kernels stay at norm (driver r13 record 1786914806)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    topic = _trigger_fixture()
+    schema = spark.read.parquet(topic).schema
+    runs = []
+    for _ in range(3):
+        ckpt = tempfile.mkdtemp(prefix="bdts_cal_trigger_ckpt_")
+        t0 = time.time()
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(topic)
+            .writeStream.foreachBatch(lambda df, _bid: df.count())
+            .queryName(f"cal_trigger_{uuid.uuid4().hex[:8]}")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        runs.append(time.time() - t0)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return round(statistics.median(runs), 3)
+
+
 def main() -> None:
     spark = get_session("bench")
     specs = all_queries()
@@ -131,6 +206,7 @@ def main() -> None:
         "cpu_mhz": _cpu_mhz(),
         "cal_sec": _calibration_sec(spark),
         "cal_shuffle_sec": _calibration_shuffle_sec(spark),
+        "cal_trigger_sec": _calibration_trigger_sec(spark),
     }
     print(f"# env: {env}", file=sys.stderr)
 
@@ -157,6 +233,7 @@ def main() -> None:
     # rather than ignored.
     env["cal_sec_end"] = _calibration_sec(spark)
     env["cal_shuffle_sec_end"] = _calibration_shuffle_sec(spark)
+    env["cal_trigger_sec_end"] = _calibration_trigger_sec(spark)
     cal_mid = (env["cal_sec"] + env["cal_sec_end"]) / 2
     cal_scale = CAL_NORM_SEC / cal_mid if cal_mid > 0 else 1.0
     env["cal_flagged"] = cal_mid > CAL_FLAG_RATIO * CAL_NORM_SEC
@@ -167,18 +244,24 @@ def main() -> None:
     shuf_mid = (env["cal_shuffle_sec"] + env["cal_shuffle_sec_end"]) / 2
     cpu_ratio = cal_mid / CAL_NORM_SEC if CAL_NORM_SEC else 1.0
     shuf_ratio = shuf_mid / CAL_SHUFFLE_NORM_SEC if CAL_SHUFFLE_NORM_SEC else 1.0
+    trig_mid = (env["cal_trigger_sec"] + env["cal_trigger_sec_end"]) / 2
+    trig_ratio = (
+        trig_mid / CAL_TRIGGER_NORM_SEC if CAL_TRIGGER_NORM_SEC else 1.0
+    )
     env["cal_cpu_ratio"] = round(cpu_ratio, 3)
     env["cal_shuffle_ratio"] = round(shuf_ratio, 3)
+    env["cal_trigger_ratio"] = round(trig_ratio, 3)
+    ratios = (cpu_ratio, shuf_ratio, trig_ratio)
     env["cal_axes_disagree"] = (
-        max(cpu_ratio, shuf_ratio) / max(1e-9, min(cpu_ratio, shuf_ratio))
-        > CAL_AXES_DISAGREE_X
+        max(ratios) / max(1e-9, min(ratios)) > CAL_AXES_DISAGREE_X
     )
     if env["cal_axes_disagree"]:
         print(
             f"# WARNING: calibration axes disagree (cpu {cpu_ratio:.2f}x"
-            f" vs shuffle {shuf_ratio:.2f}x norm) — contention-shaped "
-            "load; cal-adjusted totals are unreliable for shuffle-heavy "
-            "and streaming rows this run",
+            f" vs shuffle {shuf_ratio:.2f}x vs trigger {trig_ratio:.2f}x"
+            " norm) — contention-shaped load; cal-adjusted totals are "
+            "unreliable this run: read shuffle-heavy rows against the "
+            "shuffle axis and st_*/w6 rows against the trigger axis",
             file=sys.stderr,
         )
     if env["cal_flagged"]:

@@ -22,6 +22,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,11 +75,16 @@ def j3_bucketed_coloc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _table_names(base: str) -> tuple[str, str]:
-    """Per-run catalog table names: suffix from the mkdtemp token so two
-    sessions sharing a warehouse cannot collide."""
-    token = os.path.basename(base).replace("bdts_j3_wh_", "").lower()
-    token = "".join(ch for ch in token if ch.isalnum()) or "solo"
+    """Per-run catalog table names: a uuid4 suffix (not the mkdtemp token,
+    which is unique only per local filesystem and loses entropy when
+    non-alnum chars are stripped) so two hosts sharing one metastore
+    cannot collide (advisory r13). The uuid is cached per tempdir so the
+    create/join/drop trio in one run agrees on the names."""
+    token = _RUN_TOKENS.setdefault(base, uuid.uuid4().hex[:12])
     return f"bdts_j3_lineitem_{token}", f"bdts_j3_orders_{token}"
+
+
+_RUN_TOKENS: dict[str, str] = {}
 
 
 def _write_bucketed(spark: SparkSession, sf_dir: str, base: str) -> SparkSession:

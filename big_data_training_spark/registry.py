@@ -426,6 +426,10 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     # round-1/2 names already listed above — their rotation markers advance
     # automatically via _round_markers()).
     "j3_bucketed_coloc_join", "st_bollinger_stream", "st_sharpe_stream",
+    # round-13 green rows (1 new name; the other 49 r13 rows re-certified
+    # round-3/4 names already listed above — markers advance via
+    # _round_markers()).
+    "st_p95_value_stream",
 })
 
 
@@ -453,7 +457,16 @@ def _row_is_green(row: dict) -> bool:
     """
     if row.get("err") == "no_oracle":
         return row.get("spark_rows") is not None
-    return bool(row.get("rows_match")) and row.get("hash_match") is not False
+    # Full-parity rows must be green on ALL three axes (advisory r13: a
+    # rows_match=true/schema_match=false row, or one whose hash was skipped,
+    # must not advance a certification marker). Audited against every
+    # CORRECTNESS_r*.json on record: all err==null rows carry an explicit
+    # hash_match True/False, so the strict form changes no historical marker.
+    return (
+        bool(row.get("rows_match"))
+        and row.get("schema_match") is not False
+        and row.get("hash_match") is True
+    )
 
 
 def _round_markers() -> dict[str, int]:

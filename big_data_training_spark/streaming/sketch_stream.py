@@ -212,3 +212,128 @@ def _p95_finish(hist: DataFrame) -> DataFrame:
             F.col("p95_cents").cast("bigint").alias("p95_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 14: the UNBOUNDED-domain streaming quantile regime (VERDICT r13
+# #4). st_p95_value_stream's state is O(|value domain|) — fine for
+# price-like domains, unbounded for e.g. latencies in nanoseconds. The
+# documented escape hatch (operators/quantile2p.py) is the two-phase
+# coarse-bucket plan, and this is its streaming form: the ONLINE state
+# is a coarse histogram bounded by the BUCKET COUNT (domain / 2^shift,
+# and with a dyadic/log bucket function truly constant), maintained
+# additively per micro-batch; the finish locates the one hot bucket per
+# key and DRILLS only that bucket's rows out of the retained log (the
+# replay topic here; Kafka/warehouse retention in production) with a
+# bucket-range predicate. Still exact — two-phase never approximates —
+# so the oracle is the same percentile_disc SQL as the fine twin.
+#
+# Scale: state store holds O(|buckets| x |keys|) counters forever; the
+# drill is a second scan that reads ~n/|buckets| rows per key (a range
+# predicate on a value column — pushable to parquet row-group stats
+# when the log is value-sorted within segments). Nothing ever sorts
+# more than one bucket's residents.
+# ---------------------------------------------------------------------------
+
+COARSE_SHIFT = 7  # cents div 128: ~383 buckets over the sf0.01 domain
+
+
+@register(
+    "st_p95_coarse_stream",
+    # exactness claim: identical value to the fine-domain twin, hence
+    # the same percentile_disc-semantics oracle
+    _registry._REGISTRY["st_p95_value_stream"].oracle,
+    doc="exact streaming p95 per event type for UNBOUNDED value"
+    " domains: coarse-bucket histogram state (bounded by bucket count,"
+    " not domain), finish drills only the hot bucket from the retained"
+    " log — the streaming form of agg_exact_quantile_twophase",
+)
+def st_p95_coarse_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each micro-batch appends a per-(type, bucket) count partial —
+    at most |types| x |buckets| rows regardless of batch volume, and the
+    partials fold by plain addition in any arrival order. The finish
+    (a) merges partials, (b) walks the bounded bucket table's cumulative
+    counts to find, per type, the first bucket whose cum reaches
+    k = ceil(0.95*n) plus the rank mass before it, then (c) re-reads
+    ONLY that bucket's rows from the retained replay topic (bucket
+    predicate on the scan) and row_number-selects rank k - cum_before.
+    The value at a given rank is deterministic under ties, so the
+    result is hash-equal to percentile_disc."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    topic = _write_id_segments(spark, events, "event_id", "bdts_p95c_topic_")
+    partials_dir = scratch_dir("bdts_p95c_partials_")
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.filter(F.col("value").isNotNull())
+            .select(
+                "event_type",
+                F.expr(
+                    f"CAST(floor(value * 100) AS BIGINT)"
+                    f" div {1 << COARSE_SHIFT}"
+                ).alias("b"),
+            )
+            .groupBy("event_type", "b")
+            .agg(F.count("*").alias("cnt"))
+            .write.mode("append")
+            .parquet(os.path.join(partials_dir, "coarse"))
+        )
+
+    _run_foreach_batch(spark, topic, apply)
+
+    coarse = (
+        spark.read.parquet(os.path.join(partials_dir, "coarse"))
+        .groupBy("event_type", "b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("event_type")
+    cum = (
+        coarse.withColumn("cum", F.sum("cnt").over(wc))
+        .withColumn("n", F.sum("cnt").over(wn))
+        .withColumn("k", F.expr(_P95_K_EXPR))
+        .withColumn("cum_before", F.col("cum") - F.col("cnt"))
+    )
+    # first bucket reaching rank k, per type (min-struct extremum —
+    # no second window pass over the bounded bucket table)
+    sel = (
+        cum.filter(F.col("cum") >= F.col("k"))
+        .groupBy("event_type", "n", "k")
+        .agg(F.min(F.struct("b", "cum_before")).alias("m"))
+        .selectExpr(
+            "event_type", "n", "k", "m.b AS b", "m.cum_before AS cum_before"
+        )
+    )
+    # drill: retained log scanned once, only hot-bucket rows survive the
+    # broadcast semi-ish join; ranks are within one bucket's residents
+    log = (
+        spark.read.parquet(topic)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .withColumn("b", F.expr(f"cents div {1 << COARSE_SHIFT}"))
+    )
+    wrank = Window.partitionBy("event_type").orderBy("cents")
+    out = materialize(
+        log.join(F.broadcast(sel), ["event_type", "b"])
+        .withColumn("rn", F.row_number().over(wrank))
+        .filter(F.col("rn") == F.col("k") - F.col("cum_before"))
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("k").cast("bigint").alias("k"),
+            F.col("cents").cast("bigint").alias("p95_cents"),
+        )
+    )
+    cleanup_scratch()
+    return out

@@ -8,7 +8,11 @@ Each probe is a fresh subprocess (own JVM) that warms the named
 queries once, times ITERS runs each (median reported), and brackets
 the run with the SAME CPU calibration kernel bench.py uses — so every
 probe carries its own container-speed yardstick. Probe order is
-A B B A A B: the mirrored middle pair cancels a linear ambient trend.
+NEW OLD OLD NEW NEW OLD: the mirrored middle pair (OLD,NEW / NEW,OLD)
+cancels a linear ambient trend; the outer probes (first NEW, last OLD)
+are NOT trend-balanced against each other, so under a strong monotone
+drift compare the inner four first and use cal_start/cal_end to decide
+whether the outers are trustworthy.
 
 Usage:
     python tools/ab_interleaved.py OLD_CHECKOUT q1,q2[,...] \

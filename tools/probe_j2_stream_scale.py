@@ -113,6 +113,11 @@ def _run_join(spark, topic: str) -> dict:
     ).select("signup_id", "purchase_id", "user_id")
     qname = f"probe_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="bdts_probe_ckpt_")
+    # recentProgress retains only the last numRecentProgressUpdates entries
+    # (default 100) — fine at 8 segments, but a raised N_SEGMENTS/multiplier
+    # would silently truncate the peak (advisory r13). Raise the retention
+    # and assert below that no trigger was dropped.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     t0 = time.time()
     q = (
         joined.writeStream.outputMode("append")
@@ -127,6 +132,13 @@ def _run_join(spark, topic: str) -> dict:
         progress = [json.loads(pr.json) for pr in q.recentProgress]
     finally:
         q.stop()
+    # One progress entry per micro-batch: N_SEGMENTS data triggers plus at
+    # most a few no-data watermark-commit triggers. If this trips, the
+    # retention above was exceeded and peak_state_rows is untrustworthy.
+    assert N_SEGMENTS <= len(progress) < 9999, (
+        f"expected >= {N_SEGMENTS} retained progress entries, got "
+        f"{len(progress)} — peak-state reading would be truncated"
+    )
     n_out = spark.table(qname).count()
     spark.catalog.dropTempView(qname)
     shutil.rmtree(ckpt, ignore_errors=True)

@@ -69,6 +69,8 @@ def _write_events(base_dir: str, tag: str, n: int, domain_cents: int) -> str:
 
 def main() -> None:
     from big_data_training_spark.streaming.sketch_stream import (
+        COARSE_SHIFT,
+        st_p95_coarse_stream,
         st_p95_value_stream,
     )
 
@@ -102,6 +104,30 @@ def main() -> None:
                     .distinct()
                     .count()
                 )
+                # round 14: the coarse (unbounded-domain) twin in the SAME
+                # sweep — its state must be bounded by the bucket count
+                # (domain div 2^COARSE_SHIFT) while the fine twin's grows
+                # linearly with the domain; both must return the same p95.
+                t1 = time.time()
+                coarse_out = {
+                    (r["event_type"], r["p95_cents"])
+                    for r in st_p95_coarse_stream(spark, d).collect()
+                }
+                coarse_wall = time.time() - t1
+                fine_out = {
+                    (r["event_type"], r["p95_cents"])
+                    for r in out.collect()
+                }
+                coarse_state = (
+                    load_table(spark, d, "events")
+                    .selectExpr(
+                        "event_type",
+                        "CAST(floor(value * 100) AS BIGINT)"
+                        f" div {1 << COARSE_SHIFT} AS b",
+                    )
+                    .distinct()
+                    .count()
+                )
                 print(
                     json.dumps(
                         {
@@ -110,7 +136,10 @@ def main() -> None:
                             "n_events": n,
                             "domain_cents": dom,
                             "state_rows": state,
+                            "coarse_state_rows": coarse_state,
                             "wall_sec": round(wall, 2),
+                            "coarse_wall_sec": round(coarse_wall, 2),
+                            "coarse_equals_fine": coarse_out == fine_out,
                             "result_rows": n_out,
                         }
                     )
