@@ -64,12 +64,15 @@ CAL_AXES_DISAGREE_X = 1.5
 # row files), so its time is almost pure per-trigger scheduling latency:
 # stream planning + offset tracking + checkpoint commit + one 1-task job
 # per trigger — the component every st_*/w6 replay row pays tens of
-# times over. Norm pinned by MEASUREMENT (never derived): 6 steady-state
-# runs on this container at cpu-cal 0.24-0.26 measured
-# 2.41/2.46/2.49/2.52/2.58/2.63 — median ≈ 2.5. Streaming/trigger-bound
-# rows (st_*, w6_*) should be read against cal_trigger_ratio, not the
-# CPU ratio.
-CAL_TRIGGER_NORM_SEC = 2.5
+# times over. Norm pinned by MEASUREMENT (never derived): steady-state
+# runs on this container with cpu-cal at 0.20-0.26 and shuffle-cal at
+# 0.66-0.78 measured 1.705/1.732/1.779/1.829/1.857/1.888/1.914/1.962 —
+# median ≈ 1.85. (Under the load the background oracle gate generates,
+# the same kernel read 1.80-2.47 while cpu-cal stayed 0.21-0.32 — the
+# separation this axis exists to expose.) Streaming/trigger-bound rows
+# (st_*, w6_*) should be read against cal_trigger_ratio, not the CPU
+# ratio.
+CAL_TRIGGER_NORM_SEC = 1.85
 N_TRIGGERS = 8
 
 
@@ -146,14 +149,20 @@ def _trigger_fixture() -> str:
     return _TRIGGER_FIXTURE
 
 
-def _calibration_trigger_sec(spark) -> float:
+def _calibration_trigger_sec(spark, n_runs: int = 3) -> float:
     """Median wall time of a FIXED trigger-bound streaming kernel:
     N_TRIGGERS single-row files replayed one-per-trigger through a
     foreachBatch that only counts its 1-row batch. Per run that is query
     start-up plus N_TRIGGERS x (micro-batch plan + schedule + 1-task job
     + checkpoint commit) — the pure per-trigger latency path that
     inflates under contention-shaped ambient load while the CPU and
-    shuffle kernels stay at norm (driver r13 record 1786914806)."""
+    shuffle kernels stay at norm (driver r13 record 1786914806).
+
+    ``n_runs=1`` is the cheap MID-RUN sampling form: the r13 record's
+    inflation was invisible to BOTH bracket axes because the ambient
+    load was transient — present while the streaming rows timed, gone
+    by the closing bracket. Start/end brackets alone cannot see that,
+    whatever the kernel; interleaved single-run samples can."""
     import shutil
     import tempfile
     import uuid
@@ -161,7 +170,7 @@ def _calibration_trigger_sec(spark) -> float:
     topic = _trigger_fixture()
     schema = spark.read.parquet(topic).schema
     runs = []
-    for _ in range(3):
+    for _ in range(n_runs):
         ckpt = tempfile.mkdtemp(prefix="bdts_cal_trigger_ckpt_")
         t0 = time.time()
         q = (
@@ -212,7 +221,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in bench_names:
+    # Mid-run trigger-cal samples (VERDICT r13 #1): one cheap kernel run
+    # every TRIG_SAMPLE_EVERY queries. The r13 driver record's streaming
+    # rows ran 1.6-2.2x inflated while BOTH bracket axes read at-norm —
+    # the load was transient, present mid-run and gone by the closing
+    # bracket. Interleaved samples put the yardstick INSIDE the window
+    # the queries actually timed in.
+    TRIG_SAMPLE_EVERY = 20
+    trig_samples: list[float] = []
+    for i, name in enumerate(bench_names):
+        if i % TRIG_SAMPLE_EVERY == 0 and i > 0:
+            trig_samples.append(_calibration_trigger_sec(spark, n_runs=1))
         runs = []
         n = 0
         for _ in range(ITERS):
@@ -244,10 +263,33 @@ def main() -> None:
     shuf_mid = (env["cal_shuffle_sec"] + env["cal_shuffle_sec_end"]) / 2
     cpu_ratio = cal_mid / CAL_NORM_SEC if CAL_NORM_SEC else 1.0
     shuf_ratio = shuf_mid / CAL_SHUFFLE_NORM_SEC if CAL_SHUFFLE_NORM_SEC else 1.0
-    trig_mid = (env["cal_trigger_sec"] + env["cal_trigger_sec_end"]) / 2
+    # Trigger ratio from brackets AND mid-run samples: the MEDIAN over
+    # all observations normalizes st_*/w6 rows; the MAX flags transient
+    # contention that the brackets alone would have missed (the r13
+    # failure mode). Samples are single runs (noisier than the 3-run
+    # bracket medians) — the median absorbs that; only a sustained
+    # excursion moves it.
+    env["cal_trigger_samples"] = [round(s, 3) for s in trig_samples]
+    trig_obs = [
+        env["cal_trigger_sec"],
+        env["cal_trigger_sec_end"],
+        *trig_samples,
+    ]
+    trig_mid = statistics.median(trig_obs)
     trig_ratio = (
         trig_mid / CAL_TRIGGER_NORM_SEC if CAL_TRIGGER_NORM_SEC else 1.0
     )
+    env["cal_trigger_max_ratio"] = round(
+        max(trig_obs) / CAL_TRIGGER_NORM_SEC, 3
+    )
+    if env["cal_trigger_max_ratio"] > CAL_AXES_DISAGREE_X:
+        print(
+            f"# WARNING: a mid-run trigger-cal sample hit "
+            f"{env['cal_trigger_max_ratio']}x norm — transient "
+            "contention while queries timed; st_*/w6 rows near that "
+            "sample are inflated even if bracket axes read at-norm",
+            file=sys.stderr,
+        )
     env["cal_cpu_ratio"] = round(cpu_ratio, 3)
     env["cal_shuffle_ratio"] = round(shuf_ratio, 3)
     env["cal_trigger_ratio"] = round(trig_ratio, 3)

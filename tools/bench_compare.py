@@ -82,23 +82,59 @@ def main() -> None:
             " streaming-row deltas are not load-attributable across"
             " this pair"
         )
+    # Third axis (round 14+): per-trigger scheduling latency. The driver's
+    # r13 record ran its st_* rows 1.6-2.2x inflated while BOTH axes above
+    # read at-norm — trigger-bound contention is invisible to a codegen
+    # fold and to one batch shuffle. When both records carry the trigger
+    # kernel, st_*/w6 rows are normalized against THIS ratio instead of
+    # the CPU one.
+    trig_o = _cal_mid(old, "cal_trigger_sec")
+    trig_n = _cal_mid(new, "cal_trigger_sec")
+    trig_ratio = None
+    if trig_o and trig_n:
+        trig_ratio = trig_n / trig_o
+        print(
+            f"trigger axis: cal mid {trig_o:.3f} -> {trig_n:.3f}, ratio"
+            f" {trig_ratio:.2f} — st_*/w6 rows below are normalized"
+            " against this axis"
+        )
+    elif trig_n or trig_o:
+        print(
+            "trigger axis: only one record carries cal_trigger_sec —"
+            " st_*/w6 deltas are normalized by the CPU axis only and may"
+            " be trigger-latency drift, not code"
+        )
+
+    def _is_trigger_bound(q: str) -> bool:
+        return q.startswith("st_") or q.startswith("w6")
+
     movers = []
     for q in shared:
         raw = qn[q] / max(qo[q], 1e-9)
-        net = raw / cal_ratio
+        axis = (
+            trig_ratio
+            if trig_ratio is not None and _is_trigger_bound(q)
+            else cal_ratio
+        )
+        net = raw / axis
         if net >= thr or net <= 1 / thr:
             movers.append((net, raw, q))
     movers.sort(reverse=True)
     if not movers:
-        print(f"no query moved beyond {thr}x net of cal")
+        print(f"no query moved beyond {thr}x net of its axis")
         return
     print(f"\nnet movers beyond {thr}x (verify with an interleaved A/B):")
     print("|    net |    raw | query | old s | new s | old spread | new spread |")
     for net, raw, q in movers:
         sp_o = (old.get("spread") or {}).get(q, "")
         sp_n = (new.get("spread") or {}).get(q, "")
+        axis_tag = (
+            " [trigger-axis]"
+            if trig_ratio is not None and _is_trigger_bound(q)
+            else ""
+        )
         print(
-            f"| {net:6.2f} | {raw:6.2f} | {q} | {qo[q]} | {qn[q]} |"
+            f"| {net:6.2f} | {raw:6.2f} | {q}{axis_tag} | {qo[q]} | {qn[q]} |"
             f" {sp_o} | {sp_n} |"
         )
 
