@@ -332,8 +332,22 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "env": env,
     }
+    # Per-row adjustment uses each row's OWN axis (round 14): st_*/w6
+    # rows divide by the trigger ratio, everything else by the CPU
+    # ratio — a record taken under trigger-shaped contention no longer
+    # writes inflated "adjusted" streaming rows into its own history.
+    trig_scale = 1.0 / trig_ratio if trig_ratio > 0 else 1.0
     queries_cal_adjusted = {
-        n: round(t * cal_scale, 3) for n, t in timings.items()
+        n: round(
+            t
+            * (
+                trig_scale
+                if n.startswith("st_") or n.startswith("w6")
+                else cal_scale
+            ),
+            3,
+        )
+        for n, t in timings.items()
     }
     # Persist the FULL payload (every query + spread) in-repo BEFORE the
     # stdout trim below: the driver keeps only ~2000 chars of stdout, so
