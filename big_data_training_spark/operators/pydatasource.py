@@ -437,6 +437,18 @@ def st_pyds_stream_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = env.groupBy("partition").agg(
         F.count("*").alias("n"), F.max("offset").alias("max_offset")
     )
+    # ~6 triggers over an 8-key complete-mode agg: per-trigger task
+    # startup dominates, so the light shuffle pin applies (same regime
+    # as the st_j2 replays — interleaved A/B at sf0.1: pin 4 medians
+    # 4.88 s vs pin 16's 6.45 s across 4-16-16-4-4-16 order; the
+    # state-heavier st_decontaminate/st_attribution rows measured flat
+    # or worse at 4 in the same sweep and keep the default pin).
+    from big_data_training_spark.streaming.replay import (
+        light_stream_session,
+        reroot,
+    )
+
+    agg = reroot(agg, light_stream_session(spark))
     return run_to_completion(agg, "complete")
 
 
