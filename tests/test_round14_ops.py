@@ -91,3 +91,33 @@ def test_p95_coarse_state_is_bucket_bounded(spark, sf_dir):
         f"coarse state {coarse_state} not meaningfully below fine "
         f"{fine_state} — bucket shift too small"
     )
+
+
+def test_stream_stream_joins_plan_on_light_pin(spark):
+    """The r14 light-pin wins (st_j2 ~1.6x, st_pyds ~1.3x — measured
+    tables in docs/SCALING.md) are conf-wiring, invisible to every
+    oracle: assert the reroot targets a session whose shuffle pin is
+    the light value, so a silent rewiring back to the default pin is a
+    red test, not a quiet bench regression."""
+    from big_data_training_spark.streaming.queries import _j2_light
+    from big_data_training_spark.streaming.replay import (
+        _LIGHT_STREAM_SHUFFLE_PARTITIONS,
+        light_stream_session,
+    )
+
+    df = spark.range(10).selectExpr("id", "id % 3 AS k")
+    rerooted = _j2_light(df)
+    assert (
+        rerooted.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        == _LIGHT_STREAM_SHUFFLE_PARTITIONS
+    )
+    # and the light clone itself carries the pin (covers st_pyds too)
+    assert (
+        light_stream_session(spark).conf.get("spark.sql.shuffle.partitions")
+        == _LIGHT_STREAM_SHUFFLE_PARTITIONS
+    )
+    # the parent session's conf must be untouched by the clone
+    assert (
+        spark.conf.get("spark.sql.shuffle.partitions")
+        != _LIGHT_STREAM_SHUFFLE_PARTITIONS
+    )
