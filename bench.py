@@ -229,9 +229,13 @@ def main() -> None:
     # the queries actually timed in.
     TRIG_SAMPLE_EVERY = 20
     trig_samples: list[float] = []
+    trig_sample_at: list[str] = []
     for i, name in enumerate(bench_names):
         if i % TRIG_SAMPLE_EVERY == 0 and i > 0:
             trig_samples.append(_calibration_trigger_sec(spark, n_runs=1))
+            # the query about to run when the sample was taken — lets a
+            # reader localize WHICH rows sat inside a flagged burst
+            trig_sample_at.append(name)
         runs = []
         n = 0
         for _ in range(ITERS):
@@ -270,6 +274,7 @@ def main() -> None:
     # bracket medians) — the median absorbs that; only a sustained
     # excursion moves it.
     env["cal_trigger_samples"] = [round(s, 3) for s in trig_samples]
+    env["cal_trigger_sample_at"] = trig_sample_at
     trig_obs = [
         env["cal_trigger_sec"],
         env["cal_trigger_sec_end"],
