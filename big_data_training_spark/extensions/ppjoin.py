@@ -244,13 +244,43 @@ def dd_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sf_dir, sample_pct=_dedup.EXACT_AUDIT_SAMPLE_PCT
         )
     )
-    cand = _prefix_candidates(inv1)
-    index_cand = _index_candidates(inv1)
-    matches = _dedup.dd_ngram_jaccard_pairs(spark, sf_dir).select(
-        "doc_i", "doc_j"
+    # Each heavy pipeline materializes exactly ONCE (lazy localCheckpoint,
+    # the dd_lsh_recall_report pattern): the prefix self-join feeds both
+    # its count and the recall semi-join, and the full-index self-join is
+    # shared between the candidate count and the verified matches — a
+    # pair-count group over the df>=2 index has exactly one row per
+    # DISTINCT candidate pair, so count(common) IS n_index_candidates and
+    # the Jaccard verify (dd_ngram_jaccard_pairs' own formula, same capped
+    # universe, same τ) reads intersection sizes straight off it. Before
+    # this sharing the prefix and index joins each ran twice (4 quadratic
+    # joins per invocation; interleaved A/B in OPTIMIZATION_r14.md).
+    cand = _prefix_candidates(inv1).localCheckpoint(eager=False)
+    inv = inv1.filter(F.col("dc") >= 2).select("doc_id", "h")
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    sizes = inv1.groupBy("doc_id").agg(F.count("*").alias("n"))
+    si, sj = sizes.alias("si"), sizes.alias("sj")
+    jac = F.col("c") / (F.col("si.n") + F.col("sj.n") - F.col("c"))
+    matches = (
+        common.join(si, F.col("si.doc_id") == F.col("doc_i"))
+        .join(sj, F.col("sj.doc_id") == F.col("doc_j"))
+        .filter(jac >= _dedup.JACCARD_TAU)
+        .select("doc_i", "doc_j")
+        .localCheckpoint(eager=False)
     )
     n_pref = cand.agg(F.count("*").alias("n_prefix_candidates"))
-    n_idx = index_cand.agg(F.count("*").alias("n_index_candidates"))
+    n_idx = common.agg(F.count("*").alias("n_index_candidates"))
     n_m = matches.agg(F.count("*").alias("n_matches"))
     n_mc = matches.join(cand, ["doc_i", "doc_j"], "left_semi").agg(
         F.count("*").alias("n_matches_in_candidates")
