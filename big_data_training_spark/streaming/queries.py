@@ -613,9 +613,10 @@ def _session_evict_state(
     for pdf in pdfs:
         if not len(pdf):
             continue
-        us = (
-            pd.to_datetime(pdf["ts"]).astype("datetime64[us]").astype("int64")
-        )
+        # int64 epoch-µs computed JVM-side (unix_micros) — the previous
+        # per-group pd.to_datetime().astype() chain cost ~0.22 ms/group,
+        # ~30x this numpy path, and dominated addBatch at ~1500 keys/batch
+        us = pdf["us"].values
         n += len(pdf)
         lo, hi = int(us.min()), int(us.max())
         start_us = lo if start_us is None else min(start_us, lo)
@@ -631,9 +632,21 @@ def w6_session_timeout(stream: DataFrame) -> DataFrame:
     """W6: timer-evicted sessionization over any (user_id, ts) stream.
     Sessions are emitted exclusively by firing timers, never by data —
     exercised multi-batch in tests/test_streaming.py."""
+    wm = stream.withWatermark("ts", "0 seconds")
+    # The measured cost of this operator is per-GROUP serializer work in
+    # the applyInPandasWithState protocol (~2 ms CPU/group: Arrow slice →
+    # pandas per column, state round-trip), so ship the narrowest input
+    # Python can take: the key plus ONE int64 epoch-µs column. The
+    # analyzer requires a watermark-tagged attribute in the operator
+    # input, not the timestamp column itself — alias ts's metadata
+    # (spark.watermarkDelayMs) onto the JVM-computed unix_micros column
+    # so the expensive per-group timestamp→pandas conversion never runs.
+    # Watermark VALUES still come from the upstream EventTimeWatermark
+    # node on ts; results are oracle-hash-identical (sf0.001/sf0.01).
+    wm_meta = wm.select("ts").schema[0].metadata
     return (
-        stream.withWatermark("ts", "0 seconds")
-        .select("user_id", "ts")
+        wm
+        .select("user_id", F.unix_micros("ts").alias("us", metadata=wm_meta))
         .groupBy("user_id")
         .applyInPandasWithState(
             _session_evict_state,

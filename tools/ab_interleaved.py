@@ -82,10 +82,22 @@ print("ABRESULT " + json.dumps(out))
 
 
 def _probe(repo: str, sf_dir: str, names: str, iters: int) -> dict:
+    # cwd + PYTHONPATH must BOTH point at the probed checkout: the
+    # driver-side sys.path.insert covers the driver only, while PySpark
+    # workers unpickle module-level functions BY REFERENCE and re-import
+    # the package via the worker's PYTHONPATH/cwd — without this, a probe
+    # of a worker-body change runs the OTHER side's worker code (crash at
+    # best, silently timing the wrong code at worst).
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
     res = subprocess.run(
         [sys.executable, "-c", _PROBE, repo, sf_dir, names, str(iters)],
         capture_output=True,
         text=True,
+        cwd=repo,
+        env=env,
     )
     for line in res.stdout.replace("\r", "\n").splitlines():
         if line.startswith("ABRESULT "):
