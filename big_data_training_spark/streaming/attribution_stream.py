@@ -46,6 +46,7 @@ from big_data_training_spark.streaming.incremental import (
 from big_data_training_spark.streaming.replay import (
     cleanup_scratch,
     materialize,
+    parallel_actions,
     scratch_dir,
 )
 
@@ -74,9 +75,20 @@ def _apply_batch(credits_dir: str, state_dir: str):
             F.col("event_id").alias("t_id"),
             F.col("event_type").alias("channel"),
         )
+        # ONE left join replaces the former inner join + left-anti pass
+        # (which re-scanned purchases and re-ran the join subtree just to
+        # find untouched purchases): a purchase with no qualifying touch
+        # keeps exactly one all-null touch row, ranks rn=1, and the
+        # lookback CASE yields the same NULL channel the anti-join
+        # produced. DESC ordering puts NULLs last, so a real touch always
+        # outranks the null row.
+        tu = touches.unionByName(state)
         cand = purchases.join(
-            touches.unionByName(state), "user_id"
-        ).filter(F.col("t_ts") < F.col("p_ts"))
+            tu,
+            (purchases["user_id"] == tu["user_id"])
+            & (tu["t_ts"] < purchases["p_ts"]),
+            "left",
+        ).drop(tu["user_id"])
         latest = (
             cand.withColumn(
                 "rn",
@@ -99,16 +111,6 @@ def _apply_batch(credits_dir: str, state_dir: str):
                 ).alias("channel"),
             )
         )
-        no_touch = purchases.join(
-            latest.select("p_id"), "p_id", "left_anti"
-        ).select("p_id", "cents", F.lit(None).cast("string").alias("channel"))
-        # Epoch-keyed overwrite, not a blind append: a replayed batch
-        # (restart between sink write and offset commit) rewrites its
-        # own directory instead of double-counting credits — the ST6
-        # batchId-idempotent sink rule.
-        latest.unionByName(no_touch).write.mode("overwrite").parquet(
-            os.path.join(credits_dir, "credits", f"epoch={epoch_id:06d}")
-        )
 
         new_state = (
             state.unionByName(touches)
@@ -124,7 +126,18 @@ def _apply_batch(credits_dir: str, state_dir: str):
             .drop("rn")
         )
         nxt = os.path.join(state_dir, f"state_{epoch_id:06d}")
-        new_state.write.mode("overwrite").parquet(nxt)
+        # Epoch-keyed overwrite, not a blind append: a replayed batch
+        # (restart between sink write and offset commit) rewrites its
+        # own directory instead of double-counting credits — the ST6
+        # batchId-idempotent sink rule. The credit write and the state
+        # write are independent outputs — overlap them (guide §2.6);
+        # the manifest swap below still waits for BOTH.
+        parallel_actions(
+            lambda: latest.write.mode("overwrite").parquet(
+                os.path.join(credits_dir, "credits", f"epoch={epoch_id:06d}")
+            ),
+            lambda: new_state.write.mode("overwrite").parquet(nxt),
+        )
         with open(cur + ".tmp", "w") as fh:
             fh.write(nxt)
         os.replace(cur + ".tmp", cur)  # atomic manifest swap

@@ -32,6 +32,7 @@ from big_data_training_spark.registry import register
 from big_data_training_spark.streaming.replay import (
     cleanup_scratch,
     materialize,
+    parallel_actions,
     scratch_dir,
     light_stream_session,
 )
@@ -96,7 +97,6 @@ def _merge_batch(history_dir: str, state_dir: str):
                 | (F.col("prev_type") != F.col("event_type"))
             )
         ).select("user_id", "ts", "event_id", "event_type")
-        starts.write.mode("append").parquet(os.path.join(history_dir, "versions"))
         new_state = (
             union.withColumn(
                 "rn",
@@ -111,7 +111,15 @@ def _merge_batch(history_dir: str, state_dir: str):
             .withColumn("is_state", F.lit(True))
         )
         nxt = os.path.join(state_dir, f"state_{epoch_id:06d}")
-        new_state.write.mode("overwrite").parquet(nxt)
+        # version-start append and advanced-state write are independent
+        # outputs of the same union — overlap them (guide §2.6); the
+        # manifest swap below still waits for BOTH
+        parallel_actions(
+            lambda: starts.write.mode("append").parquet(
+                os.path.join(history_dir, "versions")
+            ),
+            lambda: new_state.write.mode("overwrite").parquet(nxt),
+        )
         with open(cur + ".tmp", "w") as fh:
             fh.write(nxt)
         os.replace(cur + ".tmp", cur)  # atomic manifest swap

@@ -46,6 +46,7 @@ from big_data_training_spark.streaming.incremental import (
 from big_data_training_spark.streaming.replay import (
     cleanup_scratch,
     materialize,
+    parallel_actions,
     scratch_dir,
 )
 
@@ -109,11 +110,6 @@ def st_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"lead(event_type, 1) OVER {w} AS step2",
             f"lead(event_type, 2) OVER {w} AS step3",
         )
-        seq.filter(F.col("step3").isNotNull()).groupBy(
-            "step1", "step2", "step3"
-        ).agg(F.count("*").alias("n_paths")).write.mode("append").parquet(
-            os.path.join(partials_dir, "p")
-        )
         new_tail = union.selectExpr(
             "event_id",
             "ts",
@@ -123,7 +119,17 @@ def st_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ORDER BY ts DESC, event_id DESC) AS rn",
         ).filter("rn <= 2").drop("rn")
         epoch_path = os.path.join(state_dir, f"epoch_{epoch_id:05d}")
-        new_tail.write.mode("overwrite").parquet(epoch_path)
+        # the partials append and the tail write are independent outputs
+        # of the same union — overlap them (guide §2.6); the manifest
+        # swap below still happens only after BOTH committed
+        parallel_actions(
+            lambda: seq.filter(F.col("step3").isNotNull())
+            .groupBy("step1", "step2", "step3")
+            .agg(F.count("*").alias("n_paths"))
+            .write.mode("append")
+            .parquet(os.path.join(partials_dir, "p")),
+            lambda: new_tail.write.mode("overwrite").parquet(epoch_path),
+        )
         tmp = cur + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(epoch_path)

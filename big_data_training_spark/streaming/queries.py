@@ -571,14 +571,21 @@ def s7_console_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("truncate", True)
         .start()
     )
+    # run the memory twin CONCURRENTLY with the console query (guide
+    # §2.6): the two pipelines are independent single-batch scans, so
+    # overlapping them removes one full query's wall time. await_also
+    # makes run_to_completion wait for the console query BEFORE cleaning
+    # the scratch topics both depend on; q is stopped here either way.
     try:
-        q.processAllAvailable()
+        events2 = read_stream_table(spark, sf_dir, "events")
+        out = run_to_completion(
+            events2.groupBy("event_type").agg(F.count("*").alias("n")),
+            "complete",
+            await_also=(q,),
+        )
     finally:
         q.stop()
-    events2 = read_stream_table(spark, sf_dir, "events")
-    return run_to_completion(
-        events2.groupBy("event_type").agg(F.count("*").alias("n")), "complete"
-    )
+    return out
 
 
 _SESS_EVICT_STATE = "n BIGINT, start_us BIGINT, last_us BIGINT"

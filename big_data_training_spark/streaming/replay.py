@@ -234,6 +234,27 @@ def light_stream_session(spark: SparkSession) -> SparkSession:
     )
 
 
+def parallel_actions(*thunks) -> None:
+    """Run independent Spark actions concurrently (guide §2.6 "overlap
+    independent jobs"): inside a foreachBatch the cost of each small
+    write job is dominated by scheduling + file-commit latency, and two
+    independent outputs (e.g. a fact append and the advanced state dir)
+    can back-fill each other's idle capacity instead of serializing.
+    Caller sequencing stays intact: this returns only after EVERY action
+    finished, and re-raises the first failure — so a manifest swap placed
+    after it keeps exactly the commit semantics of sequential writes."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [
+            pool.submit(inheritable_thread_target(t)) for t in thunks
+        ]
+        for f in futures:
+            f.result()
+
+
 def _sync_listeners(parent: SparkSession, clone: SparkSession) -> None:
     """Make the clone's JVM listener set equal the parent's (add missing,
     drop removed) so lifecycle events reach listeners registered on the
@@ -283,7 +304,7 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def run_to_completion(
-    result: DataFrame, output_mode: str = "complete"
+    result: DataFrame, output_mode: str = "complete", await_also=()
 ) -> DataFrame:
     """Start result → memory sink, process all available input, stop, and
     return the sink contents (materialized — the memory-sink view and all
@@ -318,6 +339,11 @@ def run_to_completion(
     )
     try:
         query.processAllAvailable()
+        # queries the caller overlapped with this one (guide §2.6) must
+        # finish before the shared scratch topics are cleaned below;
+        # stopping them stays the caller's job
+        for other in await_also:
+            other.processAllAvailable()
     finally:
         query.stop()
     out = materialize(ss.table(qname))
