@@ -35,7 +35,12 @@ from big_data_training_spark.streaming.incremental import (
     _run_foreach_batch,
     _write_id_segments,
 )
-from big_data_training_spark.streaming.replay import cleanup_scratch, materialize, scratch_dir
+from big_data_training_spark.streaming.replay import (
+    cleanup_scratch,
+    materialize,
+    parallel_actions,
+    scratch_dir,
+)
 
 PROBE_MOD = 25  # same probe panel as the batch sketch
 
@@ -71,13 +76,17 @@ def st_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials_dir = scratch_dir("bdts_cms_partials_")
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
-        _cms_cells(batch_df).write.mode("append").parquet(
-            os.path.join(partials_dir, "cells")
-        )
-        batch_df.filter(F.col("user_id") % PROBE_MOD == 0).groupBy(
-            "user_id"
-        ).agg(F.count("*").alias("n")).write.mode("append").parquet(
-            os.path.join(partials_dir, "probes")
+        # the cell partial and the probe-panel partial are independent
+        # appends from the same batch — overlap them (guide §2.6)
+        parallel_actions(
+            lambda: _cms_cells(batch_df)
+            .write.mode("append")
+            .parquet(os.path.join(partials_dir, "cells")),
+            lambda: batch_df.filter(F.col("user_id") % PROBE_MOD == 0)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .write.mode("append")
+            .parquet(os.path.join(partials_dir, "probes")),
         )
 
     _run_foreach_batch(spark, topic, apply)
