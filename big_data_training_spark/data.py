@@ -62,21 +62,43 @@ def canonicalize_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Per-session schema memo for the immutable fixture files, keyed on
+# (path, mtime, size): schema INFERENCE costs ~100 ms of driver
+# round-trips per spark.read.parquet() while an explicit-schema read
+# costs ~20 ms — and every query pays this 1-3x per run. Metadata only,
+# never rows; keyed per session because the nanos legacy conf (below) is
+# session-scoped, so each session's FIRST read of a nanos file must still
+# take the inference path that flips it. WeakKey so dead sessions drop.
+import weakref as _weakref
+
+_SCHEMA_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+
+
 def _read_parquet_nanosafe(spark: SparkSession, path: str) -> DataFrame:
     # The parquet reader has no working per-read switch for NTZ
     # inference (the `inferTimestampNTZ` *option* is silently ignored;
     # only the session conf works, verified round 4) — so the read takes
     # whatever the session infers and canonicalize_ts() normalizes the
     # dtype afterwards, leaving external sessions' conf untouched.
+    st = os.stat(path)
+    pkey = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    per = _SCHEMA_MEMO.setdefault(spark, {})
+    schema = per.get(pkey)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
     try:
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
     except Exception:
         # TIMESTAMP(NANOS) columns: only the legacy *session* conf exposes
         # them (as raw int64 nanos; no per-read option exists). This is a
         # deliberate session-wide switch, taken only when a nanos file is
         # actually encountered; canonicalize_ts() then truncates to micros.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+    per[pkey] = df.schema
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -30,6 +30,7 @@ from big_data_training_spark.data import load_table
 from big_data_training_spark.operators.cdc import SCD2_SQL
 from big_data_training_spark.registry import register
 from big_data_training_spark.streaming.replay import (
+    cached_schema,
     cleanup_scratch,
     materialize,
     parallel_actions,
@@ -149,7 +150,8 @@ def st_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle.partitions is never mutated; LIGHT pin — ~25k rows per
     # micro-batch (see replay.py's per-trigger-volume regime note).
     ss = light_stream_session(spark)
-    schema = spark.read.parquet(os.path.join(topic, "seg00.parquet")).schema
+    seg0 = os.path.join(topic, "seg00.parquet")
+    schema = cached_schema(lambda: spark.read.parquet(seg0), seg0)
     stream = (
         ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")

@@ -104,10 +104,14 @@ def _run_foreach_batch(spark: SparkSession, topic: str, apply) -> None:
     # shuffle.partitions is never mutated; the LIGHT pin because these
     # replays move ~25k rows per micro-batch (see replay.py's regime
     # note — task startup dominates, fewer tasks win 15-20%).
-    from big_data_training_spark.streaming.replay import light_stream_session
+    from big_data_training_spark.streaming.replay import (
+        cached_schema,
+        light_stream_session,
+    )
 
     ss = light_stream_session(spark)
-    schema = spark.read.parquet(os.path.join(topic, "seg00.parquet")).schema
+    seg0 = os.path.join(topic, "seg00.parquet")
+    schema = cached_schema(lambda: spark.read.parquet(seg0), seg0)
     stream = (
         ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")

@@ -50,6 +50,26 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+# Schema memo for immutable parquet files (fixtures, cached replay
+# topics): a warm footer read still costs ~120 ms of driver round-trips,
+# paid once per streaming query per bench iteration without this. Keyed
+# on (path, mtime, size) so an externally rebuilt file misses the cache.
+# Metadata only — never rows.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def cached_schema(read_df, path: str):
+    """``read_df()`` must return a DataFrame over ``path``; its schema is
+    memoized under the file's identity."""
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    s = _SCHEMA_CACHE.get(key)
+    if s is None:
+        s = read_df().schema
+        _SCHEMA_CACHE[key] = s
+    return s
+
+
 _pinned_clones: dict[tuple, SparkSession] = {}
 _stream_lock = threading.Lock()
 
@@ -191,6 +211,14 @@ def pinned_clone(spark: SparkSession, conf: dict[str, str]) -> SparkSession:
         "spark.sql.shuffle.partitions": _STREAM_SHUFFLE_PARTITIONS,
         "spark.sql.streaming.stateStore.rocksdb."
         "changelogCheckpointing.enabled": "true",
+        # with tracking on (default), EVERY state put/delete performs a
+        # RocksDB read first just to maintain the numRowsTotal metric —
+        # the standard production setting for write-heavy state is off
+        # (the metric reports -1; nothing in the engine or tests reads
+        # it, and probe tools build their own sessions). Caller's value
+        # still wins, so a metrics-focused session can re-enable it.
+        "spark.sql.streaming.stateStore.rocksdb."
+        "trackTotalNumberOfRows": "false",
         **conf,
     }
     key = (spark, tuple(sorted(conf.items())))
@@ -294,7 +322,7 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     from big_data_training_spark.data import _read_parquet_nanosafe, canonicalize_ts
 
-    schema = _read_parquet_nanosafe(spark, path).schema
+    schema = cached_schema(lambda: _read_parquet_nanosafe(spark, path), path)
     # The file stream source wants a directory to monitor (a "topic"
     # directory into which new log segments land); expose the fixture
     # file through a scratch dir of symlinks.
