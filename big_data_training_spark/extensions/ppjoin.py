@@ -244,17 +244,26 @@ def dd_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sf_dir, sample_pct=_dedup.EXACT_AUDIT_SAMPLE_PCT
         )
     )
-    # Each heavy pipeline materializes exactly ONCE (lazy localCheckpoint,
-    # the dd_lsh_recall_report pattern): the prefix self-join feeds both
-    # its count and the recall semi-join, and the full-index self-join is
-    # shared between the candidate count and the verified matches — a
-    # pair-count group over the df>=2 index has exactly one row per
-    # DISTINCT candidate pair, so count(common) IS n_index_candidates and
-    # the Jaccard verify (dd_ngram_jaccard_pairs' own formula, same capped
-    # universe, same τ) reads intersection sizes straight off it. Before
-    # this sharing the prefix and index joins each ran twice (4 quadratic
-    # joins per invocation; interleaved A/B in OPTIMIZATION_r14.md).
-    cand = _prefix_candidates(inv1).localCheckpoint(eager=False)
+    # ONE aggregate pass computes all four audit counts (round-15 form;
+    # VERDICT r14 #1). The prefix candidate set is a SUBSET of the
+    # full-index candidate set: a prefix collision on h means two capped
+    # docs share h, so dc >= 2 and the df>=2 self-join pairs them too.
+    # Therefore every count is a predicate count over `common` (one row
+    # per DISTINCT full-index candidate pair, with the intersection size
+    # c riding along) left-joined with a membership flag from `cand`:
+    #   n_index_candidates     = count(*)
+    #   n_prefix_candidates    = count(flag)            (cand ⊆ common)
+    #   n_matches              = count_if(jaccard >= τ) (dd_ngram formula)
+    #   n_matches_in_candidates= count_if(jaccard >= τ AND flag)
+    # Each quadratic self-join still runs exactly once (the r14 sharing),
+    # but with ZERO reuse boundaries: the previous lazy localCheckpoints
+    # materialized the candidate RDDs to executor storage and pinned
+    # their partitioning, which blocked AQE coalescing downstream and
+    # regressed the query in full-bench context (driver 4.5→8.1 s).
+    # Both `common` (groupBy doc_i,doc_j) and `cand` (distinct pairs)
+    # leave the same (doc_i, doc_j) hash partitioning, so the flag join
+    # adds no exchange of its own — AQE plans the whole DAG freely.
+    cand = _prefix_candidates(inv1).withColumn("in_cand", F.lit(1))
     inv = inv1.filter(F.col("dc") >= 2).select("doc_id", "h")
     a, b = inv.alias("a"), inv.alias("b")
     common = (
@@ -267,35 +276,29 @@ def dd_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
         )
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=False)
     )
     sizes = inv1.groupBy("doc_id").agg(F.count("*").alias("n"))
     si, sj = sizes.alias("si"), sizes.alias("sj")
     jac = F.col("c") / (F.col("si.n") + F.col("sj.n") - F.col("c"))
-    matches = (
+    is_match = jac >= _dedup.JACCARD_TAU
+    scored = (
         common.join(si, F.col("si.doc_id") == F.col("doc_i"))
         .join(sj, F.col("sj.doc_id") == F.col("doc_j"))
-        .filter(jac >= _dedup.JACCARD_TAU)
-        .select("doc_i", "doc_j")
-        .localCheckpoint(eager=False)
+        .join(cand, ["doc_i", "doc_j"], "left")
     )
-    n_pref = cand.agg(F.count("*").alias("n_prefix_candidates"))
-    n_idx = common.agg(F.count("*").alias("n_index_candidates"))
-    n_m = matches.agg(F.count("*").alias("n_matches"))
-    n_mc = matches.join(cand, ["doc_i", "doc_j"], "left_semi").agg(
-        F.count("*").alias("n_matches_in_candidates")
-    )
-    return (
-        n_pref.crossJoin(F.broadcast(n_idx))
-        .crossJoin(F.broadcast(n_m))
-        .crossJoin(F.broadcast(n_mc))
-        .selectExpr(
-            "n_prefix_candidates",
-            "n_index_candidates",
-            "n_matches",
-            "n_matches_in_candidates",
-            "(n_index_candidates - n_prefix_candidates) * 1000"
-            " div greatest(n_index_candidates, 1)"
-            " AS candidate_reduction_permille",
-        )
+    return scored.agg(
+        F.count("in_cand").alias("n_prefix_candidates"),
+        F.count("*").alias("n_index_candidates"),
+        F.count(F.when(is_match, 1)).alias("n_matches"),
+        F.count(F.when(is_match & F.col("in_cand").isNotNull(), 1)).alias(
+            "n_matches_in_candidates"
+        ),
+    ).selectExpr(
+        "n_prefix_candidates",
+        "n_index_candidates",
+        "n_matches",
+        "n_matches_in_candidates",
+        "(n_index_candidates - n_prefix_candidates) * 1000"
+        " div greatest(n_index_candidates, 1)"
+        " AS candidate_reduction_permille",
     )

@@ -430,6 +430,10 @@ _DRIVER_CERTIFIED: frozenset[str] = frozenset({
     # round-3/4 names already listed above — markers advance via
     # _round_markers()).
     "st_p95_value_stream",
+    # round-14 green rows (1 new name; the other 49 r14 rows re-certified
+    # round-3 names already listed above — markers advance via
+    # _round_markers()).
+    "st_p95_coarse_stream",
 })
 
 

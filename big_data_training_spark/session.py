@@ -81,6 +81,17 @@ def session_builder(
         # refuses to plan a pushFilters-implementing reader without this.
         .config("spark.sql.python.filterPushdown.enabled", "true")
     )
+    # Deployment hook: extra SQL-conf pairs as "k=v;k=v" (or comma-
+    # separated). Scale-dependent knobs (AQE advisory size, coalescing
+    # mode, codec choices) stay parameterised per the engine's rule —
+    # local defaults above keep the bench comparable; a cluster deploy
+    # overrides here without code edits.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in extra.replace(",", ";").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            if k.strip():
+                builder = builder.config(k.strip(), v.strip())
     if os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT", "") == "1":
         # Reliable-checkpoint runs (lineage.truncate_lineage) write RDD
         # blocks per iterative round; let the ContextCleaner delete them

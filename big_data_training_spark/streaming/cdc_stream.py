@@ -148,8 +148,11 @@ def st_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = scratch_dir("bdts_cdc_ckpt_")
     # Plans on a pinned-conf clone so the shared session's
     # shuffle.partitions is never mutated; LIGHT pin — ~25k rows per
-    # micro-batch (see replay.py's per-trigger-volume regime note).
-    ss = light_stream_session(spark)
+    # micro-batch (see replay.py's per-trigger-volume regime note),
+    # sized by the largest segment (= one trigger's volume).
+    from big_data_training_spark.streaming.replay import max_segment_bytes
+
+    ss = light_stream_session(spark, trigger_bytes=max_segment_bytes(topic))
     seg0 = os.path.join(topic, "seg00.parquet")
     schema = cached_schema(lambda: spark.read.parquet(seg0), seg0)
     stream = (

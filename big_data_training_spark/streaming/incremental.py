@@ -103,13 +103,15 @@ def _run_foreach_batch(spark: SparkSession, topic: str, apply) -> None:
     # Plans on a pinned-conf clone so the shared session's
     # shuffle.partitions is never mutated; the LIGHT pin because these
     # replays move ~25k rows per micro-batch (see replay.py's regime
-    # note — task startup dominates, fewer tasks win 15-20%).
+    # note — task startup dominates, fewer tasks win 15-20%). Pin is
+    # sized by the largest segment (= one trigger's volume).
     from big_data_training_spark.streaming.replay import (
         cached_schema,
         light_stream_session,
+        max_segment_bytes,
     )
 
-    ss = light_stream_session(spark)
+    ss = light_stream_session(spark, trigger_bytes=max_segment_bytes(topic))
     seg0 = os.path.join(topic, "seg00.parquet")
     schema = cached_schema(lambda: spark.read.parquet(seg0), seg0)
     stream = (

@@ -352,7 +352,8 @@ def st_j2_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _j2_light(joined: DataFrame) -> DataFrame:
-    """Re-root the stream-stream join onto the LIGHT shuffle pin (4).
+    """Re-root the stream-stream join onto the LIGHT shuffle pin, sized
+    by the two sides' per-trigger volume (replay.pin_for_trigger_bytes).
 
     The bounded replay delivers each side as ONE ~600k-row micro-batch,
     so per-trigger cost is task startup across the join's stateful
@@ -362,13 +363,21 @@ def _j2_light(joined: DataFrame) -> DataFrame:
     pin 4 medians 3.49/3.27 s vs pin 16's 5.69/5.09 s (inner/outer,
     3 reps each, 4-16-16-4-4-16 order) — a 1.6x win; the wider sweep
     read monotone 4 < 8 < 16 < 32. At cluster scale the same rule:
-    size the pin to per-trigger volume, never to executor count."""
+    size the pin to per-trigger volume, never to executor count — the
+    recorded source bytes feed the rule, whose floor is this sweep."""
     from big_data_training_spark.streaming.replay import (
         light_stream_session,
         reroot,
+        take_recorded_trigger_bytes,
     )
 
-    return reroot(joined, light_stream_session(joined.sparkSession))
+    return reroot(
+        joined,
+        light_stream_session(
+            joined.sparkSession,
+            trigger_bytes=take_recorded_trigger_bytes(),
+        ),
+    )
 
 
 @register(

@@ -41,6 +41,7 @@ def cleanup_scratch() -> None:
     dirs = getattr(_scratch, "dirs", [])
     while dirs:
         shutil.rmtree(dirs.pop(), ignore_errors=True)
+    _scratch.trigger_bytes = []
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -180,8 +181,74 @@ def cached_topic(df: DataFrame, label: str, prefix: str, build) -> str:
 # Streaming state operators get one task (and for Python-state ops one
 # Python worker) per shuffle partition with no AQE coalescing — under an
 # untuned session's default 200 that is pure startup overhead per
-# micro-batch, so streaming helpers plan under a pinned small count.
-_STREAM_SHUFFLE_PARTITIONS = "16"
+# micro-batch, so streaming helpers plan under a SIZED pin:
+#
+#     pin = clamp(ceil(per_trigger_bytes / TARGET_BYTES_PER_TASK),
+#                 floor, cap)
+#
+# The volume term is the cluster rule (size the pin to per-trigger
+# volume, never to executor count — VERDICT r14 #5): at 100 TB a
+# constant pin would serialize the stateful operators, so the task
+# count grows with the bytes each trigger actually moves. The FLOORS
+# are the two measured sf0.1 regimes (see the sweep notes below): they
+# govern when per-trigger volume is tiny and per-partition fixed costs
+# (state-store load/commit, task startup) dominate; the volume term
+# takes over as soon as ceil(bytes/target) exceeds them. TARGET is
+# compressed source bytes per task (~2 MiB ≈ 8-16 MiB of in-memory
+# rows — streaming state tasks want smaller partitions than the
+# 100 MB-1 GB batch guidance because every partition also pays a state
+# store); the cap bounds task explosion for pathological volumes.
+_STREAM_PIN_FLOOR = 16
+_LIGHT_STREAM_PIN_FLOOR = 4
+_STREAM_PIN_CAP = 4096
+_TARGET_TRIGGER_BYTES_PER_TASK = 2 << 20
+
+
+def pin_for_trigger_bytes(n_bytes: int | None, floor: int) -> str:
+    """The documented pin rule. ``n_bytes`` is the (compressed) source
+    volume one trigger delivers; ``None``/0 means unknown → floor."""
+    if not n_bytes or n_bytes <= 0:
+        return str(floor)
+    import math
+
+    return str(
+        max(
+            floor,
+            min(
+                _STREAM_PIN_CAP,
+                math.ceil(n_bytes / _TARGET_TRIGGER_BYTES_PER_TASK),
+            ),
+        )
+    )
+
+
+def max_segment_bytes(topic_dir: str) -> int:
+    """Per-trigger volume of a segment-replay topic consumed with
+    ``maxFilesPerTrigger=1``: the largest single segment file."""
+    sizes = [
+        os.path.getsize(os.path.join(topic_dir, f))
+        for f in os.listdir(topic_dir)
+        if f.endswith(".parquet")
+    ]
+    return max(sizes, default=0)
+
+
+# Per-thread record of the source fixture bytes behind topics built by
+# ``read_stream_table`` on this thread — ``run_to_completion`` (same
+# thread, immediately after the query is assembled) sums it as the
+# bounded replay's single-trigger volume. Cleared on consumption and by
+# ``cleanup_scratch`` so one query's volume never leaks into the next.
+def _record_trigger_bytes(n: int) -> None:
+    if not hasattr(_scratch, "trigger_bytes"):
+        _scratch.trigger_bytes = []
+    _scratch.trigger_bytes.append(n)
+
+
+def take_recorded_trigger_bytes() -> int:
+    vols = getattr(_scratch, "trigger_bytes", [])
+    total = sum(vols)
+    _scratch.trigger_bytes = []
+    return total
 
 
 def pinned_clone(spark: SparkSession, conf: dict[str, str]) -> SparkSession:
@@ -208,7 +275,7 @@ def pinned_clone(spark: SparkSession, conf: dict[str, str]) -> SparkSession:
     measured at sf0.1 with identical values); with it the per-batch
     upload is the small changelog and snapshots amortize."""
     conf = {
-        "spark.sql.shuffle.partitions": _STREAM_SHUFFLE_PARTITIONS,
+        "spark.sql.shuffle.partitions": str(_STREAM_PIN_FLOOR),
         "spark.sql.streaming.stateStore.rocksdb."
         "changelogCheckpointing.enabled": "true",
         # with tracking on (default), EVERY state put/delete performs a
@@ -234,31 +301,40 @@ def pinned_clone(spark: SparkSession, conf: dict[str, str]) -> SparkSession:
     return s
 
 
-def stream_session(spark: SparkSession) -> SparkSession:
-    """The default streaming clone: small shuffle-partition pin only."""
+def stream_session(
+    spark: SparkSession, trigger_bytes: int | None = None
+) -> SparkSession:
+    """The default streaming clone: volume-sized shuffle pin with the
+    stateful floor. Floor provenance (sf0.1 sweeps): Python-state
+    operators (applyInPandasWithState — w6) are compute-bound and the
+    knee of per-partition fixed costs (state-store load/commit, timer
+    scan) sits at 16 (2=26.4s, 4=16.9s, 16=12.2s, 32=14.6s)."""
     return pinned_clone(
-        spark, {"spark.sql.shuffle.partitions": _STREAM_SHUFFLE_PARTITIONS}
+        spark,
+        {
+            "spark.sql.shuffle.partitions": pin_for_trigger_bytes(
+                trigger_bytes, _STREAM_PIN_FLOOR
+            )
+        },
     )
 
 
-# Streaming plans get NO AQE partition coalescing, so the shuffle pin
-# must match the per-micro-batch data volume by hand. Two measured
-# regimes: Python-state operators (applyInPandasWithState — w6) are
-# compute-bound and want one task per core-group (pin 16 measured
-# optimal: 2=26.4s, 4=16.9s, 16=12.2s, 32=14.6s at sf0.1); tiny
-# foreachBatch segment replays (~25k rows/batch) are task-startup-bound
-# and want FEWER tasks (interleaved sweep at sf0.1: pin 4 beats 16 by
-# 15-20% on st_cms/st_path_trigrams/st_ewma). At cluster scale the
-# same rule holds with bigger numbers: size the pin to per-trigger
-# volume, not to the executor count.
-_LIGHT_STREAM_SHUFFLE_PARTITIONS = "4"
-
-
-def light_stream_session(spark: SparkSession) -> SparkSession:
-    """Streaming clone for small-per-batch foreachBatch replays."""
+def light_stream_session(
+    spark: SparkSession, trigger_bytes: int | None = None
+) -> SparkSession:
+    """Streaming clone for small-per-batch foreachBatch segment replays
+    and bounded stream-stream joins: same volume rule, lower floor.
+    Floor provenance (sf0.1 interleaved sweeps): ~25k-row micro-batches
+    are task-startup-bound — pin 4 beats 16 by 15-20% on st_cms/
+    st_path_trigrams/st_ewma, and the st_j2 stream-stream joins read
+    monotone 4 < 8 < 16 < 32 (docs/SCALING.md)."""
     return pinned_clone(
         spark,
-        {"spark.sql.shuffle.partitions": _LIGHT_STREAM_SHUFFLE_PARTITIONS},
+        {
+            "spark.sql.shuffle.partitions": pin_for_trigger_bytes(
+                trigger_bytes, _LIGHT_STREAM_PIN_FLOOR
+            )
+        },
     )
 
 
@@ -323,6 +399,10 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from big_data_training_spark.data import _read_parquet_nanosafe, canonicalize_ts
 
     schema = cached_schema(lambda: _read_parquet_nanosafe(spark, path), path)
+    # Bounded replay delivers the whole fixture as ONE micro-batch, so
+    # the fixture size IS this source's per-trigger volume; recorded for
+    # the pin rule (run_to_completion / _j2_light consume it).
+    _record_trigger_bytes(os.path.getsize(path))
     # The file stream source wants a directory to monitor (a "topic"
     # directory into which new log segments land); expose the fixture
     # file through a scratch dir of symlinks.
@@ -354,7 +434,7 @@ def run_to_completion(
     if already_pinned:
         ss = spark
     else:
-        ss = stream_session(spark)
+        ss = stream_session(spark, trigger_bytes=take_recorded_trigger_bytes())
         result = reroot(result, ss)
     qname = f"sink_{uuid.uuid4().hex[:12]}"
     ckpt = scratch_dir("bdts_ckpt_")

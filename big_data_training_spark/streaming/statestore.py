@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from big_data_training_spark.registry import register
 from big_data_training_spark.streaming.replay import (
-    _STREAM_SHUFFLE_PARTITIONS,
+    _STREAM_PIN_FLOOR,
     pinned_clone,
     read_stream_table,
     reroot,
@@ -54,7 +54,7 @@ def rocksdb_stream_session(spark: SparkSession) -> SparkSession:
         {
             _PROVIDER_KEY: ROCKSDB_PROVIDER,
             _CHANGELOG_KEY: "true",
-            "spark.sql.shuffle.partitions": _STREAM_SHUFFLE_PARTITIONS,
+            "spark.sql.shuffle.partitions": str(_STREAM_PIN_FLOOR),
         },
     )
 

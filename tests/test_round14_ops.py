@@ -101,23 +101,23 @@ def test_stream_stream_joins_plan_on_light_pin(spark):
     red test, not a quiet bench regression."""
     from big_data_training_spark.streaming.queries import _j2_light
     from big_data_training_spark.streaming.replay import (
-        _LIGHT_STREAM_SHUFFLE_PARTITIONS,
+        _LIGHT_STREAM_PIN_FLOOR,
         light_stream_session,
     )
 
+    light_pin = str(_LIGHT_STREAM_PIN_FLOOR)
     df = spark.range(10).selectExpr("id", "id % 3 AS k")
     rerooted = _j2_light(df)
     assert (
         rerooted.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        == _LIGHT_STREAM_SHUFFLE_PARTITIONS
+        == light_pin
     )
     # and the light clone itself carries the pin (covers st_pyds too)
     assert (
         light_stream_session(spark).conf.get("spark.sql.shuffle.partitions")
-        == _LIGHT_STREAM_SHUFFLE_PARTITIONS
+        == light_pin
     )
     # the parent session's conf must be untouched by the clone
     assert (
-        spark.conf.get("spark.sql.shuffle.partitions")
-        != _LIGHT_STREAM_SHUFFLE_PARTITIONS
+        spark.conf.get("spark.sql.shuffle.partitions") != light_pin
     )
