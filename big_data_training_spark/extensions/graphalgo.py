@@ -384,19 +384,21 @@ def gr_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.expr("per_edge div 100")).alias("contrib"))
         )
-        ranks = (
-            marked.join(bcast(contribs), "node", "left")
-            .select(
-                "node",
-                (
-                    F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
-                    + F.coalesce("contrib", F.lit(0))
-                )
-                .cast("bigint")
-                .alias("rank"),
+        ranks = marked.join(bcast(contribs), "node", "left").select(
+            "node",
+            (
+                F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
+                + F.coalesce("contrib", F.lit(0))
             )
-            .transform(truncate_lineage)
+            .cast("bigint")
+            .alias("rank"),
         )
+        # No per-round truncation (round-15): PPR_ITER is fixed and small
+        # and each round references `ranks` exactly once, so the chained
+        # plan grows LINEARLY — the gr_pagerank_3iter plain-mode lesson
+        # (chained 3-round plan measured cheaper than three eager
+        # materializations) applies unchanged; leaves stay the
+        # checkpointed ue/nodes/seeds.
     return materialize(
         ranks.orderBy(F.desc("rank"), F.asc("node")).limit(PPR_TOP)
     )

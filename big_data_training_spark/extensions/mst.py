@@ -212,7 +212,11 @@ def gr_boruvka_msf_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             p = p.join(bcast(nxt), F.col("nc") == F.col("p"), "left").select(
                 "c", F.coalesce("np", "p").alias("p")
             )
-        p = p.transform(truncate_lineage)
+        # No truncation of p (round-15): it is consumed exactly once (the
+        # labels rebuild below) and its plan is bounded — 2^D_DOUBLE
+        # references to the CHECKPOINTED ch, all component-count-sized —
+        # so the old per-round materialization job bought nothing.
+        # Measured: jobs/invocation 45 → 42 (tools/probe_gr_jobs.py).
         labels = (
             labels.join(bcast(p), labels.lbl == p.c, "left")
             .select("node", F.coalesce("p", "lbl").alias("lbl"))

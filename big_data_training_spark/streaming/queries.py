@@ -1050,10 +1050,10 @@ def st_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. Same 8-gram collision semantics as the batch form, so the
     oracle is identical."""
     from big_data_training_spark.extensions.curation import (
-        DECON_K,
+        _SHINGLE_PAIR_SCHEMA,
         EVAL_PRED,
-        _DECON_SHINGLES,
         _decon_shingled,
+        _shingle_pair_batches,
     )
 
     # distinct eval shingles up front: the train side's shingle pairs
@@ -1067,17 +1067,24 @@ def st_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     stream = read_stream_table(spark, sf_dir, "documents")
-    # fan the expression-heavy shingling out of the single-file input
-    # split (the streaming analog of data.repartition_for_compute —
-    # at scale the topic is already many splits and this is ~free);
-    # width follows the session's parallelism, never a literal
+    # fan the shingling out of the single-file input split (the
+    # streaming analog of data.repartition_for_compute — at scale the
+    # topic is already many splits and this is ~free); width follows
+    # the session's parallelism, never a literal. Shingling itself is
+    # the SAME Arrow-batched pass as the eval side/_decon_shingled —
+    # round-15: the previous higher-order-function chain was not only
+    # ~8x slower (interpreted lambdas, the curation module's measured
+    # finding) but its explode-inferred `size(shingles) > 0` predicate
+    # was PUSHED BELOW the repartition, so the whole transform chain
+    # ran twice, once single-threaded on the one input split (executed
+    # micro-batch plan in plans/r15/st_decontaminate_stream_before.txt).
+    # mapInPandas is opaque to that pushdown; only (doc_id, text) cross
+    # the Python boundary (guide §4).
     train = (
         stream.repartition(spark.sparkContext.defaultParallelism)
         .filter(f"NOT ({EVAL_PRED})")
-        .withColumn("ws", F.expr("filter(split(text, '\\\\s+'), w -> w != '')"))
-        .filter(F.size("ws") >= DECON_K)
-        .withColumn("shingles", F.expr(_DECON_SHINGLES))
-        .select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", "text")
+        .mapInPandas(_shingle_pair_batches, _SHINGLE_PAIR_SCHEMA)
     )
     hits = (
         train.join(F.broadcast(eval_sh), "s")

@@ -29,10 +29,12 @@ def main() -> None:
     spark = get_session("snap_decon_plan")
     spark.sparkContext.setLogLevel("ERROR")
     from big_data_training_spark.extensions.curation import (
+        _SHINGLE_PAIR_SCHEMA,
         DECON_K,
         EVAL_PRED,
         _DECON_SHINGLES,
         _decon_shingled,
+        _shingle_pair_batches,
     )
     from big_data_training_spark.streaming.replay import (
         read_stream_table,
@@ -46,14 +48,25 @@ def main() -> None:
         _decon_shingled(spark, SF_DIR).filter(EVAL_PRED).select("s").distinct()
     )
     stream = read_stream_table(spark, SF_DIR, "documents")
-    train = (
-        stream.repartition(spark.sparkContext.defaultParallelism)
-        .filter(f"NOT ({EVAL_PRED})")
-        .withColumn("ws", F.expr("filter(split(text, '\\\\s+'), w -> w != '')"))
-        .filter(F.size("ws") >= DECON_K)
-        .withColumn("shingles", F.expr(_DECON_SHINGLES))
-        .select("doc_id", F.explode("shingles").alias("s"))
-    )
+    if tag == "before":
+        # the pre-round-15 HOF-chain train side, kept for plan evidence
+        train = (
+            stream.repartition(spark.sparkContext.defaultParallelism)
+            .filter(f"NOT ({EVAL_PRED})")
+            .withColumn(
+                "ws", F.expr("filter(split(text, '\\\\s+'), w -> w != '')")
+            )
+            .filter(F.size("ws") >= DECON_K)
+            .withColumn("shingles", F.expr(_DECON_SHINGLES))
+            .select("doc_id", F.explode("shingles").alias("s"))
+        )
+    else:
+        train = (
+            stream.repartition(spark.sparkContext.defaultParallelism)
+            .filter(f"NOT ({EVAL_PRED})")
+            .select("doc_id", "text")
+            .mapInPandas(_shingle_pair_batches, _SHINGLE_PAIR_SCHEMA)
+        )
     hits = (
         train.join(F.broadcast(eval_sh), "s")
         .groupBy("doc_id")
